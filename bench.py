@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from impala_refresher_spark.queries import QUERIES
+    from impala_refresher_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    headline = [
+        "star_join_revenue",
+        "agg_pricing_summary",
+        "join_broadcast_dim",
+        "topk_per_group",
+        "filter_compound",
+        "agg_count_distinct",
+    ]
+    headline = [q for q in headline if q in QUERIES]
+    # plus everything else registered, so coverage regressions show up
+    rest = [q for q in sorted(QUERIES) if q not in headline]
+
+    # Warm the JVM/session on a trivial action so q1 doesn't pay startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in headline + rest:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as e:  # keep the bench line parseable even on failure
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            continue
+        timings[name] = round(time.monotonic() - t0, 4)
+        print(f"bench: {name} rows={n} sec={timings[name]}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "declared-query wall-clock (sum)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,597 @@
+"""Relational core: scans, projection/filter, joins, aggregation,
+sort/limit/top-k, set ops (SURVEY.md §2C rows S1, P1-P2, J1-J6,
+G1-G4, O1-O2, U1-U2).
+
+The reference implements none of these (SURVEY.md §2B — it is a
+181-line catalog-refresh CLI, /root/reference/impala-refresher.go);
+this is the engine surface an Impala-adjacent system exposes,
+re-expressed through Catalyst so pushdown, pruning, join selection,
+whole-stage codegen and AQE are all automatic.
+
+Scale notes per operator are inline; the common rules:
+
+- Star joins: fact table (lineitem) stays partitioned; bounded dims
+  (region, nation) are broadcast explicitly; mid-size dims are left
+  to AQE, which switches shuffle->broadcast at runtime when the
+  built side is small enough.
+- Aggregations are hash aggregates with map-side partial aggregation
+  (Catalyst default) — shuffle volume is #groups, not #rows.
+- Top-k per group uses row_number over a partitioned window: one
+  shuffle on the partition key; no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship star query (J6 + G1 + F2 + O1 in one plan)
+# ---------------------------------------------------------------------------
+
+def revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region and order year over the full star join.
+
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, date-range filter,
+    group, sum, sort. At 100 TB: lineitem⋈orders shuffles on orderkey
+    (both huge), customer may shuffle, nation/region broadcast — the
+    exact plan AQE produces from this declarative form.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("region_name", "order_year")
+    )
+
+
+_REVENUE_ORACLE = """
+    SELECT r_name AS region_name,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+query("star_join_revenue", _REVENUE_ORACLE)(revenue_by_region_year)
+
+
+# ---------------------------------------------------------------------------
+# S1 — parquet scan (trivial on its own; declared so the scan path is checked)
+# ---------------------------------------------------------------------------
+
+@query(
+    "scan_parquet",
+    """
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: bare columnar scan. .explain shows ReadSchema pruned to the
+    selected columns — the same scan node that reads 100 TB."""
+    return _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# P1 — projection with computed columns
+# ---------------------------------------------------------------------------
+
+@query(
+    "project_computed",
+    """
+    SELECT l_orderkey,
+           l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+    """,
+)
+def project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: pure projection — no shuffle at any scale; column pruning
+    means the scan reads exactly 6 of lineitem's 11 columns.
+
+    Per-row arithmetic is left unrounded: identical IEEE double ops are
+    bitwise-equal across engines, whereas ROUND at an exact .xx5
+    boundary (common for cent-quantized inputs) is not.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charged"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — compound-predicate filter (BETWEEN / IN / LIKE / IS NULL)
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_compound",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 150000
+      AND o_orderstatus IN ('O', 'F')
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: every predicate here is pushdown-eligible — at scale the
+    parquet scan itself skips row groups via min/max stats."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(1000, 150000)
+        & F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# J1 — inner equi-join (Catalyst picks SMJ/shuffle-hash; AQE may flip to
+# broadcast at runtime)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_inner",
+    """
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — broadcast join (explicit hint on a bounded dimension)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_broadcast_dim",
+    """
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS gross
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: part is a dimension — broadcast it so the fact table never
+    shuffles for this join. At 100 TB this saves the single largest
+    shuffle in the plan (lineitem is ~80% of total bytes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("gross"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — outer joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_left_outer",
+    """
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 left: customers with zero orders survive with n_orders=0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT n_nationkey, n_name, s_suppkey, s_name
+    FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 full: nations without suppliers and (hypothetical) orphan
+    suppliers both appear with NULLs on the missing side."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — semi / anti joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 semi: EXISTS — output carries only left columns, the right
+    side is consumed as a filter (no row multiplication, no wide rows
+    through the shuffle)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 anti: NOT EXISTS — customers who never ordered."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J5 — theta / range join (equi component + non-equi residual)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_range",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM supplier
+    JOIN customer ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: the equi key (nationkey) drives the shuffle; the range
+    predicate is a post-join residual. Without the equi component this
+    would be a cartesian product — at scale, always pair a range
+    predicate with at least one equi key (or bucketize the range)."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1 — hash aggregate battery (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: classic hash aggregate. Partial (map-side) aggregation means
+    the shuffle carries #distinct(returnflag,linestatus) rows per task
+    — a few dozen bytes regardless of input scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2 — exact + approximate distinct
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 exact: count distinct expands to a two-phase aggregate.
+    At scale prefer approx_count_distinct (below) when ±2% is fine —
+    HLL sketches merge map-side and never shuffle raw keys."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL result is impl-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 approx: HyperLogLog++. No SQL oracle — sketch estimates are
+    implementation-specific; the unit test asserts relative error."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3 — rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: rollup = grouping sets {(a,b),(a),()} in one pass
+    (Catalyst expands; still a single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4 — HAVING-style post-aggregation filter
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_having",
+    """
+    SELECT o_custkey,
+           ROUND(SUM(o_totalprice), 2) AS spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5 AND SUM(o_totalprice) > 200000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("_raw_spend"),
+        )
+        .filter((F.col("n_orders") >= 5) & (F.col("_raw_spend") > 200000))
+        .drop("_raw_spend")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — global multi-key sort with explicit null placement + limit
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_topn",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def order_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: sort + limit compiles to TakeOrderedAndProject — each
+    partition keeps its local top-100, the driver merges. No global
+    sort materializes even at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2 — top-k per group (window, not global sort)
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rk
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rk
+      FROM customer
+    ) t WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: row_number ≤ k — one shuffle on the group key; ties broken
+    deterministically by custkey so the result is oracle-stable."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — union all / union distinct
+# ---------------------------------------------------------------------------
+
+@query(
+    "union_all",
+    """
+    SELECT o_orderkey AS okey, o_totalprice AS price FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey AS okey, o_totalprice AS price FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION ALL is a zero-shuffle concatenation of partitions."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("price")
+    )
+    b = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("price")
+    )
+    return a.unionAll(b)
+
+
+@query(
+    "union_distinct",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION DISTINCT = concat + hash-distinct (one shuffle on all
+    columns; partial distinct runs map-side first)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# U2 — intersect / except (+ _all variants)
+# ---------------------------------------------------------------------------
+
+@query(
+    "intersect_keys",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query(
+    "except_all_keys",
+    """
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: EXCEPT ALL keeps multiplicity (bag semantics) — implemented
+    by Catalyst as a counted anti-join, one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ck"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("ck"))
+    return a.exceptAll(b)

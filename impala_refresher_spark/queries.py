@@ -1,0 +1,26 @@
+"""Assembles the full declared-query registry.
+
+Importing this module imports every operator module, which registers
+its queries/oracles via the ``@query`` decorator into
+``impala_refresher_spark.registry``.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+from impala_refresher_spark.registry import ORACLES, QUERIES
+
+_OPERATOR_MODULES = [
+    "impala_refresher_spark.operators.relational",
+]
+
+
+def _load() -> None:
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)
+
+
+_load()
+
+__all__ = ["QUERIES", "ORACLES"]

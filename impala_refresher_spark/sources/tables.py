@@ -1,0 +1,49 @@
+"""Parquet sources for the fixture star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table
+under ``{sf_dir}/``.
+
+Scale notes: ``spark.read.parquet`` is the Catalyst-native scan —
+predicate pushdown, column pruning and partition pruning all apply.
+At 100 TB the same call reads a partitioned directory tree
+(``.../orders/o_orderdate=.../part-*.parquet``); nothing here changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region/nation are bounded by geography; supplier/part/customer are
+# broadcastable at test SFs but shuffle at 100 TB — joins mark only the
+# always-small ones for explicit broadcast and let AQE decide the rest).
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain parquet scan: pushdown-friendly."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
