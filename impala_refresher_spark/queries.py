@@ -13,6 +13,8 @@ from impala_refresher_spark.registry import ORACLES, QUERIES
 
 _OPERATOR_MODULES = [
     "impala_refresher_spark.operators.relational",
+    "impala_refresher_spark.operators.refresh",
+    "impala_refresher_spark.sources.sinks",
 ]
 
 

@@ -1,0 +1,63 @@
+"""Sinks (S2): parquet and CSV writers, declared as round-trip queries
+so the write path is oracle-checked (write → re-read → values must
+still match the DuckDB view of the original data).
+
+Scale notes: ``df.write.parquet`` produces one file per partition —
+at 100 TB you size output files via AQE coalescing or an explicit
+``repartition(n)`` before the write, and partition the directory tree
+by the dominant filter column (``partitionBy``) so downstream scans
+prune. CSV is for interchange only; it loses types and compresses
+poorly — never the at-scale format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+
+SCRATCH = "/root/repo/_scratch"
+
+
+@query(
+    "sink_parquet_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_totalprice > 150000
+    """,
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 parquet: write a filtered projection, read it back. Parquet
+    round-trips every fixture type exactly (incl. timestamps)."""
+    out = f"{SCRATCH}/orders_high_value.parquet"
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)
+
+
+@query(
+    "sink_csv_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_acctbal >= 0
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 CSV: write with header, read back with an explicit schema
+    (never inferSchema in production — it double-scans)."""
+    out = f"{SCRATCH}/customer_pos.csv"
+    df = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_acctbal") >= 0)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+    df.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(df.schema).option("header", True).csv(out)

@@ -13,6 +13,7 @@ At 100 TB the same call reads a partitioned directory tree
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -35,8 +36,18 @@ ALWAYS_BROADCAST = ("region", "nation")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. Plain parquet scan: pushdown-friendly."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Scan one fixture table. Plain parquet scan: pushdown-friendly.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    reads only as a long (``spark.sql.legacy.parquet.nanosAsLong``);
+    convert to a microsecond timestamp here — truncation matches how
+    DuckDB coerces nanos to its micro-precision TIMESTAMP, so oracle
+    comparisons agree.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
