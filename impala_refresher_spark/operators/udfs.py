@@ -1,0 +1,118 @@
+"""UDF surface (SURVEY.md §2C X1-X3): vectorized Pandas UDF, grouped
+UDAF via applyInPandas, and UDTF-shaped expansion (explode/posexplode).
+
+Policy (100 TB): built-in functions first — every declared query
+elsewhere in this engine is pure JVM. When Python is genuinely needed
+the only acceptable shape is Arrow-batched (``pandas_udf`` /
+``applyInPandas`` / ``mapInPandas``); row-at-a-time ``F.udf`` is
+10-100x slower and appears here only in tests as a contrast case.
+Each UDF query's oracle re-expresses the function in SQL, proving the
+Python path computes exactly what the declarative form would.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# X1 — vectorized (Arrow) scalar Pandas UDF
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.IntegerType())
+def _token_count(text: pd.Series) -> pd.Series:
+    """Whitespace token count — one Arrow batch per invocation."""
+    return text.str.split(" ").str.len().astype("int32")
+
+
+@query(
+    "udf_pandas_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def udf_pandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: the Pandas UDF must agree with the SQL re-expression —
+    the oracle is the declarative twin of the Python function."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _token_count("text").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# X2 — UDAF via applyInPandas (grouped map with one-row output)
+# ---------------------------------------------------------------------------
+
+def _median_chars(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"lang": [pdf["lang"].iloc[0]], "median_chars": [float(pdf["n_chars"].median())]}
+    )
+
+
+@query(
+    "udaf_median_chars",
+    """
+    SELECT lang, median(n_chars) AS median_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udaf_median_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: exact median per group — not a built-in aggregate in Spark
+    (percentile_approx is the scale path); applyInPandas shuffles each
+    group to one worker. Fine while groups fit in memory (languages
+    do); for unbounded groups use percentile_approx instead."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("lang", "n_chars").groupBy("lang").applyInPandas(
+        _median_chars, schema="lang string, median_chars double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — UDTF-shaped expansion: explode / posexplode
+# ---------------------------------------------------------------------------
+
+@query(
+    "explode_tokens",
+    """
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: explode (lateral view) + count — the word-count shape.
+    Explode multiplies rows before the shuffle; project away every
+    unneeded column first so the expansion is narrow."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "posexplode_tokens",
+    """
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+           unnest(toks) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20)
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: posexplode keeps the ordinal — needed downstream for
+    positional n-grams and shingling (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

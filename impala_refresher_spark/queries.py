@@ -14,6 +14,9 @@ from impala_refresher_spark.registry import ORACLES, QUERIES
 _OPERATOR_MODULES = [
     "impala_refresher_spark.operators.relational",
     "impala_refresher_spark.operators.refresh",
+    "impala_refresher_spark.operators.windows",
+    "impala_refresher_spark.operators.udfs",
+    "impala_refresher_spark.functions.scalar",
     "impala_refresher_spark.sources.sinks",
 ]
 
