@@ -1,0 +1,294 @@
+"""Deduplication operators for LLM-training corpora (SURVEY.md §2C
+L1-L2 + SimHash and n-gram-Jaccard extensions).
+
+Scale design (the part that matters at 100 TB):
+
+- Exact dedup groups on sha256(text), never on the text itself — the
+  shuffle carries 32-byte keys, not documents.
+- MinHash-LSH is the standard near-dup pipeline (shingle → k minhash
+  values → band → bucket-join): candidate generation is a self-join
+  on (band_id, band_hash) buckets, so cost is sum of bucket sizes
+  squared — tune (bands, rows) to the similarity threshold, salt
+  runaway buckets. Verification (exact Jaccard on candidates) touches
+  only candidate pairs.
+- The exact pairwise n-gram Jaccard here is the *oracle-checkable*
+  ground truth; its prune (pairs must share a shingle) is itself the
+  LSH idea with one band per shingle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+# MinHash parameters: 32 hash functions = 8 bands x 4 rows.
+# Threshold heuristic: t ~ (1/b)^(1/r) = (1/8)^(1/4) ~ 0.59.
+_MINHASH_K = 32
+_BANDS = 8
+_ROWS_PER_BAND = 4
+# Mersenne-31 modulus keeps every intermediate product < 2^62, so the
+# permutation arithmetic never overflows a long (Spark 4 runs ANSI
+# mode: overflow is an error, not a wrap).
+_MERSENNE = (1 << 31) - 1
+# Deterministic multipliers/offsets in [1, p), seeded.
+_AS = [(i * 0x9E3779B1 + 1) % _MERSENNE or 1 for i in range(1, _MINHASH_K + 1)]
+_BS = [(i * 0x85EBCA77 + 7) % _MERSENNE for i in range(1, _MINHASH_K + 1)]
+
+
+def _shingles(col, n: int = 3):
+    """Word n-gram shingles as an array column (deduplicated).
+
+    Guarded for docs shorter than n tokens — F.sequence(1, size-2)
+    with size<3 would produce a *descending* sequence, not empty.
+    """
+    toks = F.split(col, " ")
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(size >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+# ---------------------------------------------------------------------------
+# L1 — exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup with deterministic survivor (min doc_id per
+    text). dropDuplicates picks an arbitrary row — don't use it when
+    lineage matters."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    ).select("keep_doc_id", "n_copies")
+
+
+@query(
+    "dedup_exact_hash",
+    """
+    SELECT sha256(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 at scale: group on sha256(text) so the shuffle key is 32
+    bytes regardless of document size. Collision probability is
+    negligible (2^-128 scale); pipelines that can't accept it verify
+    within groups afterwards."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity join — exact, oracle-checked ground truth
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(list_zip(toks[1:-3], toks[2:-2], toks[3:-1]),
+                              p -> p[1] || ' ' || p[2] || ' ' || p[3]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join, threshold 0.4.
+
+    The prune — candidate pairs must share at least one shingle — is
+    an inverted-index join: explode shingles, self-join on shingle,
+    count intersections, compute |A∩B| / (|A|+|B|-|A∩B|). At 100 TB
+    the same plan works with a frequency cutoff on hot shingles
+    (stopword-shingles create quadratic buckets) — or graduate to
+    MinHash-LSH below, which bounds candidate count by design.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 — MinHash + LSH banding (the scale path; rows-only check)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>) — k minhash values per document.
+
+    Shingle hashing uses xxhash64 (JVM built-in); each of the k
+    permutations is (a*h + b) mod Mersenne61. All codegen — the only
+    shuffle is the final groupBy(doc_id).
+    """
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    mins = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)).alias(f"h{i}")
+        for i, (a, b) in enumerate(zip(_AS, _BS))
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(_MINHASH_K)]).alias("sig"))
+
+
+@query("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic by design
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash-LSH near-dup pairs, verified by exact Jaccard on
+    the candidates.
+
+    Pipeline: shingle → 32 minhashes → 8 bands of 4 → band-bucket
+    self-join → exact-Jaccard verify ≥ 0.4. Candidate generation cost
+    is bounded by bucket sizes (not corpus²); at 100 TB you salt hot
+    buckets and cap bucket width. Deterministic given the fixed hash
+    constants, but not SQL-expressible (xxhash64 is engine-specific)
+    → rows-only driver check; tests/test_llm_ops.py asserts recall
+    against dedup_ngram_jaccard's exact pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(band), *[F.element_at("sig", band * _ROWS_PER_BAND + r + 1) for r in range(_ROWS_PER_BAND)]
+                    )
+                    for band in range(_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # Exact-Jaccard verification on candidates only.
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (bitwise fingerprint; rows-only check)
+# ---------------------------------------------------------------------------
+
+@query("dedup_simhash")  # rows-only: xxhash64-based fingerprint is engine-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 64-bit fingerprint where bit i is the sign of the sum
+    over tokens of ±1 (from bit i of xxhash64(token)). Near-dups =
+    pairs within Hamming distance 3, found by exact match on 4
+    16-bit chunks (any pair at distance ≤3 shares ≥1 exact chunk —
+    the pigeonhole trick that makes SimHash joinable at scale).
+
+    Output: (doc_a, doc_b, hamming) candidate pairs, verified.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = per_doc.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0) for i in range(63)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,214 @@
+"""Similarity search over embeddings (SURVEY.md §2C L3-L4, L7 + the
+ANN scale path).
+
+The embedding column is plain ``array<float>`` (dim 64). All vector
+math is built-in higher-order functions (zip_with / aggregate) in
+double precision with strict left-to-right folds, so the DuckDB
+oracle — written as the identical fold via list_reduce — is
+bitwise-comparable (DuckDB's own list_cosine_similarity computes in
+float32 and would NOT match).
+
+Scale story:
+- Brute-force top-k against one query vector is a map + TakeOrdered:
+  embarrassingly parallel, no shuffle. At 100 TB it is bounded by
+  scan bandwidth — fine for one-off queries.
+- The pairwise threshold join is quadratic: only for bounded segments
+  (here: within label groups — the equi-key prunes the cross join).
+- The LSH path (random-hyperplane signs → bucket join) is the
+  sublinear ANN route: candidates share a bucket, cost is sum of
+  bucket sizes squared. IVF (k-means cells + probe lists) is the
+  alternative; same join shape with learned buckets.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+_DIM = 64
+
+
+def _dot(a, b):
+    """Double-precision dot product, strict L→R fold (codegen)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# DuckDB twin of the same fold: list_reduce over the zipped product,
+# in double, L→R — same IEEE op sequence as F.aggregate.
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+
+
+# ---------------------------------------------------------------------------
+# L3 — brute-force exact top-k cosine against a fixed query vector
+# ---------------------------------------------------------------------------
+
+@query(
+    "cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND({_sql_cosine("embedding", "qv")}, 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY {_sql_cosine("embedding", "qv")} DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 baseline: exact top-10 neighbours of vec_id 0. The query
+    vector is broadcast (one row); the scan side never shuffles —
+    TakeOrderedAndProject merges per-partition top-k at the driver."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sim = cosine(F.col("embedding"), F.col("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("raw_sim"))
+        .orderBy(F.col("raw_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("raw_sim", 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 — pairwise similarity join with threshold (within label segments)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cosine_similarity_join",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_sql_cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine("a.embedding", "b.embedding")} >= 0.8
+    """,
+)
+def cosine_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: threshold similarity join, pruned by the label equi-key (a
+    blocking key: same plan as any blocked entity-resolution join).
+    Without a blocking key this is corpus² — at scale you either block
+    (this), LSH-bucket (below), or pre-cluster (IVF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("raw_sim"),
+        )
+        .filter(F.col("raw_sim") >= 0.8)
+        .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: random-hyperplane LSH buckets (scale path; rows-only check)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+@query("ann_lsh_topk")  # rows-only: ANN recall is probabilistic by design
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH (8 planes → 256 buckets,
+    2 bucket probes per query via sign-flip of the weakest plane).
+
+    Plan shape: signature = 8 sign bits from fixed hyperplanes (pure
+    codegen arithmetic — the planes are literals, no model state);
+    candidates = equi-join on bucket id; exact cosine re-rank of
+    candidates; top-10 per query. Deterministic given the seed;
+    recall vs brute force is asserted in tests, not SQL-checkable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(8, _DIM)
+
+    def bucket_of(emb):
+        bits = []
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(v) for v in p])
+            bits.append(F.when(_dot(emb, plane) >= 0, 1 << i).otherwise(0))
+        return sum(bits[1:], bits[0])
+
+    sigs = e.select("vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket"))
+    # queries: the first 5 vectors; probe their own bucket only (1-probe)
+    queries = sigs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), F.col("bucket").alias("q_bucket")
+    )
+    cands = sigs.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    sim = cosine(F.col("embedding"), F.col("qv"))
+    from pyspark.sql import Window as W
+
+    ranked = cands.select(
+        "q_id", "vec_id", F.round(sim, 6).alias("cos_sim")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 10).select("q_id", "vec_id", "cos_sim", "rk")
+
+
+# ---------------------------------------------------------------------------
+# L7 — multimodal join: documents ⋈ embeddings (text + vector + metadata)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_join",
+    f"""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           ROUND({_sql_norm("e.embedding")}, 6) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.n_chars > 150
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: one row carrying text metadata + a vector + computed vector
+    stats — the canonical multimodal training-example assembly join
+    (text table ⋈ embedding table on id)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 150)
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "lang", "n_chars", "label", F.round(_norm(F.col("embedding")), 6).alias("emb_norm")
+    )

@@ -1,0 +1,371 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2C L5,
+L6, L8 + the training-data extensions: language-ID, quality scoring,
+token counting, document fingerprinting).
+
+Everything here is pure built-in-function DataFrame code — no Python
+in the hot path. The shapes that matter at 100 TB:
+
+- tokenize/explode multiplies rows: project to (doc_id, token) BEFORE
+  exploding so the expansion is two narrow columns, and aggregate
+  immediately after (map-side partial agg collapses the blowup).
+- The lexicon join broadcasts (lexicons are KBs).
+- TF-IDF is two hash aggregates + one broadcast of the (tiny) df table
+  per token — no per-document state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+# Shared stopword list (tiny, matches the synthetic vocabulary).
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+# ---------------------------------------------------------------------------
+# L5 — tokenize / stopword removal / n-grams / TF-IDF
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_tokenize",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> NOT list_contains({_STOP_SQL}, t))) AS INTEGER)
+             AS n_content_tokens
+    FROM documents
+    """,
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: tokenization + stopword removal, fully inside codegen
+    (split + higher-order filter — no UDF, no explode)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: ~F.array_contains(stop, t))).alias(
+            "n_content_tokens"
+        ),
+    )
+
+
+@query(
+    "text_bigrams",
+    """
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+      SELECT unnest(list_transform(list_zip(toks[1:-2], toks[2:-1]),
+                                   p -> p[1] || ' ' || p[2])) AS bigram
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+    )
+    GROUP BY bigram
+    HAVING COUNT(*) >= 5
+    """,
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 n-grams: bigram counts via zip_with over shifted slices —
+    the array never leaves the JVM; only (bigram, count) shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@query(
+    "text_tfidf",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           CAST(tf.tf AS BIGINT) AS tf,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 TF-IDF, pure DataFrame: two aggregates + a broadcast join on
+    the document-frequency table (vocabulary is tiny next to the
+    corpus at any scale; broadcast it, never shuffle the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; at scale keep as a literal the same way
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 — lexicon sentiment/keyword scoring (EDBT-2016 style)
+# ---------------------------------------------------------------------------
+
+_LEXICON = [
+    ("fast", 2.0),
+    ("small", 1.0),
+    ("fresh", 1.0),
+    ("new", 1.0),
+    ("slow", -2.0),
+    ("old", -1.0),
+    ("dup", -1.0),
+    ("error", -2.0),
+]
+
+_LEXICON_SQL = (
+    "(VALUES "
+    + ", ".join(f"('{w}', CAST({s} AS DOUBLE))" for w, s in _LEXICON)
+    + ") lex(word, score)"
+)
+
+
+@query(
+    "text_lexicon_score",
+    f"""
+    SELECT t.doc_id,
+           ROUND(SUM(lex.score), 2) AS sentiment,
+           CAST(COUNT(*) AS BIGINT) AS n_scored
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+    JOIN {_LEXICON_SQL} ON t.token = lex.word
+    GROUP BY t.doc_id
+    """,
+)
+def text_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: explode tokens, broadcast-join the lexicon, sum scores per
+    doc. The lexicon side is always broadcast — it is KBs."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        d.sparkSession.createDataFrame(_LEXICON, ["word", "score"])
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.join(lex, toks.token == lex.word)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("score"), 2).alias("sentiment"), F.count("*").alias("n_scored"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L8 — language/source histogram + quality filters
+# ---------------------------------------------------------------------------
+
+@query(
+    "lang_source_histogram",
+    """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def lang_source_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+@query(
+    "quality_filter",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 400
+      AND lang IN ('en', 'es', 'de', 'fr')
+      AND len(string_split(text, ' ')) >= 10
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: the standard pre-training quality gate — length bounds,
+    language whitelist, minimum token count. All pushdown-eligible
+    except the token count (computed post-scan, still codegen)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("n_chars").between(100, 400)
+        & F.col("lang").isin("en", "es", "de", "fr")
+        & (F.size(F.split("text", " ")) >= 10)
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           0.4 * least(n_chars / 300.0, 1.0)
+           + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                          / len(string_split(text, ' ')))
+           + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / len(string_split(text, ' '))) AS quality
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: weighted blend of length, stopword ratio, and
+    type-token ratio — the classic heuristic document-quality score,
+    computed entirely in codegen.
+
+    Left unrounded: the blend produces decimal-terminating values
+    (n/750 etc.) that land exactly on ROUND boundaries where engines
+    disagree; the unrounded doubles are bitwise-identical because both
+    engines evaluate the same IEEE expression tree."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tok = F.size(toks).cast("double")
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / n_tok
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    length_score = F.least(F.col("n_chars") / 300.0, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        (0.4 * length_score + 0.3 * (1.0 - stop_ratio) + 0.3 * ttr).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID (n-gram/marker heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "fast", "key"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def _marker_sql(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "lang_id_heuristic",
+    f"""
+    SELECT doc_id,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+             WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+             WHEN s_de > 0 THEN 'de'
+             ELSE 'unknown'
+           END AS lang_pred
+    FROM (
+      SELECT doc_id,
+             len(list_filter(toks, t -> list_contains({_marker_sql(_LANG_MARKERS["en"])}, t))) AS s_en,
+             len(list_filter(toks, t -> list_contains({_marker_sql(_LANG_MARKERS["es"])}, t))) AS s_es,
+             len(list_filter(toks, t -> list_contains({_marker_sql(_LANG_MARKERS["de"])}, t))) AS s_de
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via marker-word counting with a deterministic
+    priority order (en > es > de on ties). A real deployment swaps the
+    marker lists for char-n-gram profiles; the plan shape — per-row
+    array math, zero shuffles — is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def score(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    s_en, s_es, s_de = (score(_LANG_MARKERS[l]) for l in ("en", "es", "de"))
+    return d.select(
+        "doc_id",
+        F.when((s_en >= s_es) & (s_en >= s_de) & (s_en > 0), "en")
+        .when((s_es >= s_de) & (s_es > 0), "es")
+        .when(s_de > 0, "de")
+        .otherwise("unknown")
+        .alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting (BPE-ish regex) + document fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+
+@query(
+    "token_count_regex",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+             AS n_bpe_ish,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex over
+    letter-runs / digit-runs / punctuation — the standard cheap proxy
+    for tokenizer cost used in corpus budgeting."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").alias(
+            "n_bpe_ish"
+        ),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(text, ' '),
+                                         t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over the token
+    stream (order-sensitive, unlike a bag-of-words hash). Uses an
+    engine-neutral hash so the oracle can replicate it; a production
+    pipeline would use xxhash64(text) — same plan, different mixer."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_hash = F.transform(
+        F.split("text", " "),
+        lambda t: (F.ascii(t) * 131 + F.length(t)).cast("long"),
+    )
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            tok_hash,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % 1000000007,
+        ).alias("fingerprint"),
+    )

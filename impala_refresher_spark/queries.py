@@ -16,8 +16,13 @@ _OPERATOR_MODULES = [
     "impala_refresher_spark.operators.refresh",
     "impala_refresher_spark.operators.windows",
     "impala_refresher_spark.operators.udfs",
+    "impala_refresher_spark.operators.text",
+    "impala_refresher_spark.operators.dedup",
+    "impala_refresher_spark.operators.similarity",
+    "impala_refresher_spark.operators.multimodal",
     "impala_refresher_spark.functions.scalar",
     "impala_refresher_spark.sources.sinks",
+    "impala_refresher_spark.streaming.windows",
 ]
 
 

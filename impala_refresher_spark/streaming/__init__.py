@@ -1,0 +1,17 @@
+from impala_refresher_spark.streaming.windows import (
+    run_stream_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    stream_dedup,
+    tumbling_window_counts,
+    watermarked_counts,
+)
+
+__all__ = [
+    "run_stream_to_memory",
+    "session_window_agg",
+    "sliding_window_agg",
+    "stream_dedup",
+    "tumbling_window_counts",
+    "watermarked_counts",
+]

@@ -1,0 +1,235 @@
+"""Structured Streaming operators over the events stream (SURVEY.md
+§2C T1-T5): tumbling/sliding/session windows, watermark late-data
+handling, stateful dedup.
+
+Each operator is a pure DataFrame→DataFrame transform, so the SAME
+function body runs on a batch DataFrame (for the DuckDB oracle) and a
+streaming DataFrame (``spark.readStream``) — Structured Streaming's
+unified-API guarantee. The declared queries run the batch path;
+``run_stream_to_memory`` + tests exercise the streaming path with
+watermarks against a file source built from the same fixture.
+
+Scale notes: streaming state (window + session + dedup keys) lives in
+the state store, partitioned by group key across executors; the
+watermark bounds state size — without it session/dedup state grows
+unboundedly. At 100 TB/day the watermark delay is the knob trading
+completeness against state footprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# T1 — tumbling window (batch-checkable: window start == date_trunc-style
+# bucketing, so DuckDB can express the oracle exactly)
+# ---------------------------------------------------------------------------
+
+def tumbling_window_counts(events: DataFrame) -> DataFrame:
+    """10-minute tumbling window x event_type counts."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_tumbling_counts",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the tumbling-window transform applied to the batch view of
+    the stream — 10-minute buckets are epoch/600 arithmetic, which the
+    oracle reproduces exactly."""
+    return tumbling_window_counts(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# T2 — sliding window
+# ---------------------------------------------------------------------------
+
+def sliding_window_agg(events: DataFrame) -> DataFrame:
+    """10-minute window sliding every 5 minutes: each event lands in 2
+    windows; state is 2x tumbling."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
+    "stream_sliding_counts",
+    """
+    WITH offsets AS (SELECT unnest([0, 300]) AS off)
+    SELECT CAST(to_timestamp(floor((epoch(ts) - off) / 600) * 600 + off) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events, offsets
+    WHERE epoch(ts) >= floor((epoch(ts) - off) / 600) * 600 + off
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 on the batch view. Oracle: a 10-min/5-min sliding window is
+    the union of two phase-shifted tumbling windows (offsets 0s and
+    300s) — each event contributes to both."""
+    return sliding_window_agg(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# T3 — session window (gap-based)
+# ---------------------------------------------------------------------------
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions closed by a 30-minute inactivity gap."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       >= 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT MIN(ts) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 on the batch view. Oracle: classic gaps-and-islands — lag to
+    mark session starts, running sum for session ids. Spark's
+    session_window end = last event + gap, matching MAX(ts)+30min."""
+    return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# T4 — watermark + late-data drop  /  T5 — stateful dedup
+# (streaming semantics — exercised via run_stream_to_memory in tests;
+# the declared queries run the batch-equivalent transform)
+# ---------------------------------------------------------------------------
+
+def watermarked_counts(events: DataFrame, delay: str = "15 minutes") -> DataFrame:
+    """T4: tumbling counts with a watermark — in streaming mode,
+    events arriving more than ``delay`` behind the max seen ts are
+    dropped and windows finalize once the watermark passes them."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@query(
+    "stream_watermarked_counts",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_watermarked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4's transform on the batch view (batch mode ignores the
+    watermark — nothing is late when the whole input is present, so
+    the oracle is plain tumbling counts). The drop semantics are
+    asserted in tests/test_streaming.py with manufactured stragglers."""
+    return watermarked_counts(load_table(spark, sf_dir, "events"))
+
+
+def stream_dedup(events: DataFrame, delay: str = "15 minutes") -> DataFrame:
+    """T5: stateful dedup on event_id within the watermark horizon —
+    state holds one key per event_id seen in the last ``delay``."""
+    return events.withWatermark("ts", delay).dropDuplicates(["event_id"])
+
+
+@query(
+    "stream_dedup_counts",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT event_id, MIN(event_type) AS event_type
+          FROM events GROUP BY event_id)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5's transform on the batch view, reduced to a deterministic
+    projection (event_id is unique in the fixture, so dedup keeps all
+    rows; the oracle mirrors the keep-one-per-key semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    dedup = events.dropDuplicates(["event_id"])
+    return dedup.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming harness
+# ---------------------------------------------------------------------------
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    source_df_transform,
+    events_path: str,
+    schema,
+    query_name: str = "stream_out",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drive a streaming transform end-to-end: file source → transform
+    → memory sink, processing all available input synchronously.
+    Returns the sink contents as a DataFrame."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    out = source_df_transform(stream)
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,136 @@
+"""Streaming semantics tests (T1-T5): drive the SAME transforms used
+by the declared batch queries through a real streaming query (file
+source → memory sink), including manufactured late data for the
+watermark-drop assertion (T4) and duplicate events for stateful dedup
+(T5)."""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from impala_refresher_spark.sources.tables import load_table
+from impala_refresher_spark.streaming import (
+    run_stream_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    stream_dedup,
+    tumbling_window_counts,
+    watermarked_counts,
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SCRATCH = "/root/repo/_scratch/streaming"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir):
+    """Fixture events re-written as micro-precision parquet so the
+    file streaming source can read them (the raw fixture is nanos)."""
+    path = f"{SCRATCH}/events_src"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_t1_tumbling_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    got = run_stream_to_memory(
+        spark, tumbling_window_counts, events_stream_dir, EVENTS_SCHEMA,
+        query_name="t1_out", output_mode="complete",
+    )
+    want = tumbling_window_counts(load_table(spark, sf_dir, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_t2_sliding_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    got = run_stream_to_memory(
+        spark, sliding_window_agg, events_stream_dir, EVENTS_SCHEMA,
+        query_name="t2_out", output_mode="complete",
+    )
+    want = sliding_window_agg(load_table(spark, sf_dir, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_t3_session_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    got = run_stream_to_memory(
+        spark, session_window_agg, events_stream_dir, EVENTS_SCHEMA,
+        query_name="t3_out", output_mode="complete",
+    )
+    want = session_window_agg(load_table(spark, sf_dir, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def _write_batch(spark, rows, path, mode):
+    df = spark.createDataFrame(
+        [(i, ts, 1, "click", 1.0, "{}") for i, ts in rows], EVENTS_SCHEMA
+    )
+    df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def test_t4_watermark_drops_late_data(spark):
+    """Two micro-batches: batch 1 advances the watermark far past the
+    first window; batch 2 delivers a straggler inside that window.
+    The straggler must be DROPPED (its window's count stays as
+    finalized), and a fresh on-time event must still count."""
+    path = f"{SCRATCH}/late_src"
+    shutil.rmtree(path, ignore_errors=True)
+
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    # batch 1: 3 events in window 00:00, 1 event at 01:00 (advances watermark to 00:45)
+    _write_batch(spark, [(1, t(0)), (2, t(3)), (3, t(7)), (4, t(60))], path, "overwrite")
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    out = watermarked_counts(stream, delay="15 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t4_out")
+        .option("checkpointLocation", f"{SCRATCH}/late_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: straggler at 00:05 (watermark is 00:45 — must be dropped)
+        # plus an on-time event at 01:02
+        _write_batch(spark, [(5, t(5)), (6, t(62))], path, "append")
+        q.processAllAvailable()
+        # batch 3: advance watermark past 01:00 so that window finalizes
+        _write_batch(spark, [(7, t(90))], path, "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.window_start: r.n for r in spark.sql("SELECT * FROM t4_out").collect()}
+    shutil.rmtree(f"{SCRATCH}/late_ckpt", ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
+
+    assert got[datetime(2024, 1, 1, 0, 0)] == 3  # straggler NOT counted
+    assert got[datetime(2024, 1, 1, 1, 0)] == 2  # both on-time 01:0x events counted
+
+
+def test_t5_stateful_dedup_drops_duplicate_ids(spark):
+    path = f"{SCRATCH}/dedup_src"
+    shutil.rmtree(path, ignore_errors=True)
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    _write_batch(spark, [(1, t(0)), (2, t(1)), (1, t(2))], path, "overwrite")
+
+    got = run_stream_to_memory(
+        spark, stream_dedup, path, EVENTS_SCHEMA, query_name="t5_out"
+    )
+    ids = sorted(r.event_id for r in got.collect())
+    shutil.rmtree(path, ignore_errors=True)
+    assert ids == [1, 2]  # duplicate event_id=1 emitted exactly once
