@@ -26,6 +26,12 @@ def main() -> None:
         "topk_per_group",
         "filter_compound",
         "agg_count_distinct",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "cosine_topk",
+        "cosine_similarity_join",
+        "text_tfidf",
+        "stream_session_windows",
     ]
     headline = [q for q in headline if q in QUERIES]
     # plus everything else registered, so coverage regressions show up

@@ -127,14 +127,19 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity join, threshold 0.4.
+    """Exact 3-gram Jaccard similarity join, threshold 0.4, as a
+    count-based inverted-index self-join: explode shingles, join on
+    shingle, COUNT per pair = |A∩B|, then jaccard from set sizes.
 
-    The prune — candidate pairs must share at least one shingle — is
-    an inverted-index join: explode shingles, self-join on shingle,
-    count intersections, compute |A∩B| / (|A|+|B|-|A∩B|). At 100 TB
-    the same plan works with a frequency cutoff on hot shingles
-    (stopword-shingles create quadratic buckets) — or graduate to
-    MinHash-LSH below, which bounds candidate count by design.
+    Strategy note (measured at sf0.1, 5000 docs / 260k shingles):
+    this counting join beats a PPJoin-style prefix-filtered variant
+    3x here because the fixture's shingle frequencies are near-
+    uniform (max df 25) — there are no hot shingles for a prefix
+    filter to prune, and the intersection count falls out of the
+    join's partial aggregation for free. On a real corpus with
+    Zipfian shingles, add a document-frequency cutoff or prefix
+    filter before the self-join, or use MinHash-LSH below — that is
+    the 100 TB path.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))

