@@ -37,8 +37,19 @@ def main() -> None:
     # plus everything else registered, so coverage regressions show up
     rest = [q for q in sorted(QUERIES) if q not in headline]
 
-    # Warm the JVM/session on a trivial action so q1 doesn't pay startup.
+    # Warm the JVM/session on a trivial action so q1 doesn't pay startup,
+    # and spin up the Python worker pool + Arrow serialization path so the
+    # first pandas-UDF query measures steady-state throughput, not the
+    # one-time fork of ~cores workers (long-lived clusters reuse workers).
     spark.range(1).count()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(cores, numPartitions=cores).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name in headline + rest:

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from impala_refresher_spark.registry import query
-from impala_refresher_spark.sources.tables import load_table
+from impala_refresher_spark.sources.tables import fan_out, load_table
 
 
 def decode_image(data: bytes) -> "object":
@@ -46,7 +46,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture adapter: documents.text encoded to bytes stands in for
     media payloads; schema matches a real multimodal table —
     (id, media: binary, meta: struct<modality, n_bytes>)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     media = F.encode("text", "UTF-8")
     return d.select(
         F.col("doc_id").alias("media_id"),

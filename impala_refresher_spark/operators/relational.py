@@ -259,6 +259,29 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_right_outer",
+    """
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 right: preserved side is the right (customer) — customers
+    with no orders survive with n_orders=0. Catalyst plans right outer
+    as a mirrored left outer, so the same broadcast/shuffle choices
+    apply."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # J4 — semi / anti joins
 # ---------------------------------------------------------------------------
@@ -436,6 +459,30 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: explicit GROUPING SETS with sets rollup/cube can't express
+    — {(l_returnflag), (l_linestatus)}, no (a,b) and no grand total.
+    Catalyst expands to a single Expand + hash aggregate: one shuffle,
+    rows duplicated only #sets times on the map side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         F.count("*").alias("n"),
     )
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from impala_refresher_spark.registry import query
-from impala_refresher_spark.sources.tables import load_table
+from impala_refresher_spark.sources.tables import fan_out, load_table
 
 _DIM = 64
 
@@ -138,7 +138,7 @@ def cosine_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of n² (cosine of units = plain dot). The oracle performs
     the identical normalize-then-dot sequence so doubles still match.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     u = e.select("vec_id", "label", _unit(F.col("embedding")).alias("uv"))
     a = u.alias("a")
     b = u.alias("b")
@@ -175,7 +175,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates; top-10 per query. Deterministic given the seed;
     recall vs brute force is asserted in tests, not SQL-checkable.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
     planes = _hyperplanes(8, _DIM)
 
     def bucket_of(emb):
@@ -200,6 +200,82 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = cands.select(
         "q_id", "vec_id", F.round(sim, 6).alias("cos_sim")
     ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 10).select("q_id", "vec_id", "cos_sim", "rk")
+
+
+# ---------------------------------------------------------------------------
+# ANN: IVF (inverted-file) cells — the learned-bucket alternative to LSH
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16
+_IVF_PROBES = 2
+
+
+@query("ann_ivf_topk")  # rows-only: ANN recall is probabilistic by design
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF: partition vectors into cells around coarse
+    centroids; queries probe only the nearest _IVF_PROBES cells and
+    exact-rerank the candidates.
+
+    The centroid set is a deterministic data sample (every 61st
+    vector, first 16) standing in for a k-means coarse quantizer —
+    the index-build stage that at scale runs as its own job (sampled
+    kmeans over a fraction of the corpus) and broadcasts ~kB of
+    centroids. Cell assignment is argmax-dot against the broadcast
+    centroids: pure map-side codegen arithmetic, no shuffle. The
+    probe join is an equi-join on cell id, so candidate cost is the
+    probed cells' sizes — sublinear in the corpus, same shape as the
+    LSH plan above but with learned, data-shaped buckets (better
+    recall per candidate at equal probe budget)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.filter(F.col("vec_id") % 61 == 0)
+        .orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r.embedding] for r in cent_rows]
+
+    def cell_ranking(emb):
+        scored = F.array(
+            *[
+                F.struct(
+                    _dot(emb, F.array(*[F.lit(v) for v in c])).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        return F.transform(F.reverse(F.sort_array(scored)), lambda s: s["cell"])
+
+    ef = fan_out(e)
+    sigs = ef.select(
+        "vec_id", "embedding", cell_ranking(F.col("embedding"))[0].alias("cell")
+    )
+    queries = (
+        ef.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(
+                F.slice(cell_ranking(F.col("embedding")), 1, _IVF_PROBES)
+            ).alias("probe_cell"),
+        )
+    )
+    cands = sigs.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    from pyspark.sql import Window as W
+
+    sim = cosine(F.col("embedding"), F.col("qv"))
+    ranked = cands.select("q_id", "vec_id", F.round(sim, 6).alias("cos_sim")).withColumn(
         "rk",
         F.row_number().over(
             W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())

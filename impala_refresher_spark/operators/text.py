@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from impala_refresher_spark.registry import query
-from impala_refresher_spark.sources.tables import load_table
+from impala_refresher_spark.sources.tables import fan_out, load_table
 
 # Shared stopword list (tiny, matches the synthetic vocabulary).
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
@@ -73,7 +73,7 @@ def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 n-grams: bigram counts via zip_with over shifted slices —
     the array never leaves the JVM; only (bigram, count) shuffles."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -112,7 +112,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 TF-IDF, pure DataFrame: two aggregates + a broadcast join on
     the document-frequency table (vocabulary is tiny next to the
     corpus at any scale; broadcast it, never shuffle the corpus)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     n_docs = d.count()  # scalar; at scale keep as a literal the same way
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
@@ -161,7 +161,7 @@ _LEXICON_SQL = (
 def text_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: explode tokens, broadcast-join the lexicon, sum scores per
     doc. The lexicon side is always broadcast — it is KBs."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     lex = F.broadcast(
         d.sparkSession.createDataFrame(_LEXICON, ["word", "score"])
     )

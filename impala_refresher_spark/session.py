@@ -41,6 +41,12 @@ def get_spark(app_name: str = "impala_refresher_spark") -> SparkSession:
         # keep maxPartitionBytes at the 128m default so the 100 TB story
         # (one task per parquet row-group span) is unchanged.
         .config("spark.sql.files.openCostInBytes", "1048576")
+        # AQE coalescing floor. The 1m default collapses this fixture's
+        # byte-light but compute-dense shuffles (interpreted higher-order
+        # functions over text/vectors) to 1 partition = 1 core. 64k keeps
+        # ~cores-many partitions at test SFs; at 100 TB shuffle stages are
+        # far above either floor, so the setting only affects the tail.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

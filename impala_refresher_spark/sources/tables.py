@@ -50,6 +50,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan to full core count IF it arrived
+    in fewer splits — for CPU-heavy map stages (shingling, hashing,
+    vector math) whose input is byte-light but compute-dense.
+
+    At 100 TB inputs arrive in thousands of splits and this is a no-op
+    (the guard keeps the shuffle out of the plan). It pays off exactly
+    when split count < cores: small fixtures, or a cluster reading a
+    few unsplittable files — the standard repartition-after-skinny-scan
+    pattern. The shuffle it may add moves only the scanned bytes."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
