@@ -1,0 +1,106 @@
+"""As-of (point-in-time) join — a custom operator the reference's
+Impala-adjacent SQL surface lacks (SURVEY.md §2B: the reference has no
+joins at all; this extends §2C's join family with the time-series
+staple).
+
+Semantics: for each left row, attach the single most recent right row
+with the same key whose timestamp is <= the left row's timestamp
+(NULLs when no such row — left-join flavor).
+
+Scale design — the union trick, not a range join: a naive
+``l JOIN r ON key AND r.ts <= l.ts`` + max-per-group explodes to every
+(left, earlier-right) pair before pruning — quadratic per key. Instead
+tag both sides, union, and take a running ``last(right cols, ignore
+nulls)`` over (key ORDER BY ts, side): ONE shuffle on the key, linear
+state, no row multiplication. This is the same plan shape a dedicated
+as-of operator (e.g. a Flink temporal join or kdb aj) materializes
+internally; Catalyst runs it as Exchange + WindowExec.
+
+Demonstrated on the events stream: each ``purchase`` event picks up
+the same user's most recent preceding ``click`` (attribution join).
+Oracle: DuckDB's native ``ASOF LEFT JOIN``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: left rows keep all their columns and gain
+    ``right_value_cols`` from the latest right row at-or-before their
+    ``ts`` (same ``on`` key). Right side must be unique per (on, ts) —
+    pre-aggregate if not, or the pick is nondeterministic.
+    """
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.withColumn("_side", F.lit(0))
+    # Align schemas for the union: left lacks right's value columns,
+    # right lacks left's payload — fill with typed NULLs.
+    for c in right_value_cols:
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    for c in left.columns:
+        if c not in (on, ts) and c not in right_value_cols:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l_tag.select(*l_tag.columns).unionByName(r_tag.select(*l_tag.columns))
+
+    # Right rows sort before left rows at equal ts (_side 0 < 1), so a
+    # right row AT the left timestamp is visible to it ("<=", matching
+    # ASOF's p.ts >= c.ts).
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in right_value_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_value_cols],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+@query(
+    "asof_click_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS click_ts, CAST(MAX(event_id) AS BIGINT) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_event_id
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution: each purchase joined to the same user's most recent
+    click at-or-before it (NULLs when the user never clicked before).
+    Clicks are pre-aggregated to one per (user, ts) so the as-of pick
+    is deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+        .withColumn("ts", F.col("click_ts"))
+        .select("user_id", "ts", "click_ts", "click_event_id")
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        right_value_cols=["click_ts", "click_event_id"],
+    ).select("event_id", "user_id", "ts", "value", "click_ts", "click_event_id")

@@ -225,7 +225,13 @@ def recover_partitions_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = "/root/repo/_scratch/events_partitioned"
     events = load_table(spark, sf_dir, "events")
-    events.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    # Shuffle on the partition column before a partitionBy write: each
+    # task then writes whole partitions (one file per partition instead
+    # of tasks x partitions small files) and the write parallelizes
+    # across the partition values — the standard ingest-write pattern.
+    events.repartition("event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
 
     spark.sql("DROP TABLE IF EXISTS events_partitioned")
     spark.sql(

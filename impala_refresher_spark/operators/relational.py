@@ -27,7 +27,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from impala_refresher_spark.registry import query
-from impala_refresher_spark.sources.tables import load_table
+from impala_refresher_spark.sources.tables import fan_out, load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,7 +46,11 @@ def revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both huge), customer may shuffle, nation/region broadcast — the
     exact plan AQE produces from this declarative form.
     """
-    lineitem = _t(spark, sf_dir, "lineitem")
+    # The dims all broadcast, so without a shuffle anywhere the whole
+    # pipeline would run at the fact scan's parallelism — fan_out
+    # guarantees that's the core count when the input arrives in few
+    # splits (no-op at scale, where splits >> cores).
+    lineitem = fan_out(_t(spark, sf_dir, "lineitem"))
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
     )

@@ -116,3 +116,42 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# X3b — true Python UDTF (table function), lateral-joined per input row
+# ---------------------------------------------------------------------------
+
+@F.udtf(returnType="pos: int, token: string, tok_chars: int")
+class _TokenizeUdtf:
+    """One input string → one row per token with ordinal and length.
+
+    A real Python UDTF (not explode-shaped SQL): arbitrary Python may
+    run per row and yield a variable number of rows. Row-at-a-time by
+    nature, so the hot path elsewhere uses explode/posexplode; this
+    exists to cover the UDTF API surface with an oracle-checked query.
+    """
+
+    def eval(self, text: str):
+        for pos, tok in enumerate((text or "").split(" ")):
+            yield pos, tok, len(tok)
+
+
+@query(
+    "udtf_tokenize",
+    """
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+           unnest(toks) AS token,
+           CAST(length(unnest(toks)) AS INTEGER) AS tok_chars
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20)
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b: the UDTF applied laterally to each document row — same
+    shape as LATERAL VIEW / table-function joins in the Impala-family
+    SQL surface the reference ecosystem exposes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.lateralJoin(
+        _TokenizeUdtf(F.col("text").outer())
+    ).select("doc_id", "pos", "token", "tok_chars")

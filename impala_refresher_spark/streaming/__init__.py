@@ -2,6 +2,7 @@ from impala_refresher_spark.streaming.windows import (
     run_stream_to_memory,
     session_window_agg,
     sliding_window_agg,
+    stateful_user_totals,
     stream_dedup,
     tumbling_window_counts,
     watermarked_counts,
@@ -11,6 +12,7 @@ __all__ = [
     "run_stream_to_memory",
     "session_window_agg",
     "sliding_window_agg",
+    "stateful_user_totals",
     "stream_dedup",
     "tumbling_window_counts",
     "watermarked_counts",

@@ -18,6 +18,7 @@ completeness against state footprint.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -203,6 +204,82 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     dedup = events.dropDuplicates(["event_id"])
     return dedup.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator — applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+_TOTALS_OUT_SCHEMA = "user_id bigint, n_events bigint, value_cents bigint"
+_TOTALS_STATE_SCHEMA = "n bigint, cents bigint"
+
+
+def _user_totals_fn(key, pdfs, state):
+    """Per-user running totals in integer cents (floor(value*100)) —
+    integers keep the state exact and the output engine-comparable
+    (float accumulation order never enters).
+
+    State is one (n, cents) pair per user: O(distinct keys) total,
+    partitioned by key across executors' state stores."""
+    import pandas as pd
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(np.floor(pdf["value"].to_numpy() * 100).astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming aggregate: the operator Structured
+    Streaming doesn't ship (arbitrary per-key accumulators) built on
+    ``applyInPandasWithState`` — Arrow-batched, update-mode output,
+    state schema declared so the store can checkpoint it."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        _TOTALS_OUT_SCHEMA,
+        _TOTALS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_stateful_totals",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful operator driven through a REAL streaming query
+    (file source → applyInPandasWithState → memory sink), then checked
+    against the batch SQL oracle — a genuine end-to-end streaming
+    execution inside the correctness gate, not a batch stand-in.
+    (The fixture arrives in one micro-batch, so update-mode output is
+    exactly one final row per user.)"""
+    import shutil
+
+    events = load_table(spark, sf_dir, "events")
+    path = "/root/repo/_scratch/stateful_src"
+    shutil.rmtree(path, ignore_errors=True)
+    events.write.mode("overwrite").parquet(path)  # micros; raw fixture is nanos
+    return run_stream_to_memory(
+        spark,
+        stateful_user_totals,
+        path,
+        events.schema,
+        query_name="stateful_totals_out",
+        output_mode="update",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,42 @@ def test_t4_watermark_drops_late_data(spark):
     assert got[datetime(2024, 1, 1, 1, 0)] == 2  # both on-time 01:0x events counted
 
 
+def test_stateful_totals_accumulate_across_batches(spark):
+    """applyInPandasWithState must carry per-key state between
+    micro-batches: the same user appearing in two batches yields a
+    second emission with the RUNNING total, not a fresh count."""
+    from impala_refresher_spark.streaming import stateful_user_totals
+
+    path = f"{SCRATCH}/stateful_src"
+    ckpt = f"{SCRATCH}/stateful_ckpt"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+
+    _write_batch(spark, [(1, t(0)), (2, t(1))], path, "overwrite")  # user 1 x2
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_test_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, [(3, t(2))], path, "append")  # user 1 again
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM stateful_test_out").collect()
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    counts = sorted(r.n_events for r in rows if r.user_id == 1)
+    assert counts == [2, 3]  # batch-1 emission: 2 events; batch-2: running 3
+    assert all(r.value_cents == 100 * r.n_events for r in rows)  # value=1.0 each
+
+
 def test_t5_stateful_dedup_drops_duplicate_ids(spark):
     path = f"{SCRATCH}/dedup_src"
     shutil.rmtree(path, ignore_errors=True)
