@@ -197,8 +197,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sig: array<long>) — k minhash values per document.
 
     Shingle hashing uses xxhash64 (JVM built-in); each of the k
-    permutations is (a*h + b) mod Mersenne61. All codegen — the only
+    permutations is (a*h + b) mod Mersenne31. All codegen — the only
     shuffle is the final groupBy(doc_id).
+
+    Measured note: a shuffle-free alternative (array_min over
+    higher-order transforms of the shingle array) is 3x SLOWER here
+    despite the saved exchange — transform/aggregate lambdas are
+    interpreted per element, while explode + 32 min() aggregates run
+    fully inside whole-stage codegen. Prefer the codegen'd shuffle.
     """
     sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
     h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
@@ -239,15 +245,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_hash"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Bucket pair generation without a self-join (same posting-list
+    # trick as dedup_ngram_jaccard): one shuffle on the bucket key,
+    # pairs emitted in place, bucket width capped against hot buckets.
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_DF))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    candidates = (
+        buckets.select(pair.alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 

@@ -66,3 +66,29 @@ def test_whole_stage_codegen_active(spark):
     plan = plan_of(project_computed(spark, SF_SMOKE), "simple")
     # the "*(n)" prefix marks operators fused into a codegen stage
     assert "*(1) Project" in plan
+
+
+def test_asof_join_has_no_join_operator(spark):
+    """The as-of join must compile to union + window — any Join node
+    means the plan regressed to a (quadratic) range join."""
+    from impala_refresher_spark.operators.asof import asof_click_attribution
+
+    plan = plan_of(asof_click_attribution(spark, SF_SMOKE))
+    assert "Window" in plan and "Union" in plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan
+
+
+def test_dedup_pair_generation_has_no_self_join(spark):
+    """Jaccard + MinHash dedup must generate candidate pairs from
+    posting lists (single shuffle), never via an exploded self-join."""
+    from impala_refresher_spark.operators.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
+
+    plan = plan_of(dedup_ngram_jaccard(spark, SF_SMOKE))
+    # only the two broadcast size-lookup joins may appear
+    assert "SortMergeJoin" not in plan
+    # minhash: candidate generation itself is join-free; the verify
+    # stage joins shingle arrays back, which is expected
+    mh = plan_of(dedup_minhash_lsh(spark, SF_SMOKE))
+    assert "CartesianProduct" not in mh and "BroadcastNestedLoopJoin" not in mh
