@@ -353,6 +353,71 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed co-located join — shuffle-free by layout, not by luck
+# ---------------------------------------------------------------------------
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders + customer as bucketed/sorted tables (8
+    buckets on the join key) once per sf_dir; return the table names.
+
+    This is the ingest-time contract that makes repeated big joins
+    cheap: both sides hash-partitioned into the same bucket count on
+    the join key at WRITE time, so every later join on that key skips
+    the exchange entirely. At 100 TB this one-time layout cost
+    amortizes across every downstream join/aggregate on the key.
+    """
+    import shutil
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    t_orders, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    for name, src, key in ((t_orders, "orders", "o_custkey"), (t_cust, "customer", "c_custkey")):
+        if not spark.catalog.tableExists(name):
+            # the session catalog is in-memory: a fresh process may find
+            # the managed location on disk without the table — clear it
+            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+            (
+                _t(spark, sf_dir, src)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    return t_orders, t_cust
+
+
+@query(
+    "join_bucketed",
+    """
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on pre-bucketed tables: zero Exchange nodes in
+    the physical plan (asserted in tests/test_plans.py) — the sort-
+    merge join reads both sides' buckets directly, and even the
+    post-join aggregate on the same key stays exchange-free. The
+    merge hint pins SMJ so the demonstration doesn't degenerate to a
+    broadcast at small SF."""
+    t_orders, t_cust = _bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # G1 — hash aggregate battery (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
 
@@ -488,6 +553,30 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    = DuckDB ``quantile_cont``: same linear interpolation). Exact
+    percentile buffers each group's values — fine for bounded groups;
+    for unbounded ones the scale path is ``percentile_approx``
+    (t-digest sketch, mergeable map-side like any partial aggregate).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95"),
     )
 
 

@@ -68,6 +68,16 @@ def test_whole_stage_codegen_active(spark):
     assert "*(1) Project" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides pre-bucketed on the join key => the SMJ and the
+    following same-key aggregate must run with ZERO shuffles."""
+    from impala_refresher_spark.operators.relational import join_bucketed
+
+    plan = plan_of(join_bucketed(spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
 def test_asof_join_has_no_join_operator(spark):
     """The as-of join must compile to union + window — any Join node
     means the plan regressed to a (quadratic) range join."""
