@@ -418,6 +418,53 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Salted join — the manual skew remedy, correctness-identical to the
+# plain join (AQE skew-join is the automatic path; salting is the
+# explicit one for when a single key dwarfs everything)
+# ---------------------------------------------------------------------------
+
+_SALT_BUCKETS = 8
+
+
+@query(
+    "join_skew_salted",
+    """
+    SELECT o_orderpriority,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: the (hypothetically hot-keyed) fact side
+    gets a deterministic salt in [0, N); the other side is replicated
+    N ways with every salt value; the join key becomes (key, salt) so
+    one hot key spreads over N reducers instead of melting one.
+
+    Cost model: N-fold replication of the smaller side's rows through
+    the shuffle buys N-way spread of the hot key — worth it only when
+    skew dominates; first preference is AQE's skew-join split (on in
+    session.py), which rewrites only the oversized partitions. The
+    oracle is the PLAIN join: salting must not change a single row.
+    """
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT_BUCKETS))
+    )
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)]))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # G1 — hash aggregate battery (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
 
@@ -631,6 +678,29 @@ def order_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc())
         .limit(100)
+    )
+
+
+@query(
+    "order_global_sort",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM customer
+    ORDER BY c_mktsegment ASC NULLS FIRST, c_acctbal DESC NULLS LAST, c_custkey ASC
+    """,
+)
+def order_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 without a limit: a true global sort — Exchange
+    rangepartitioning (driver samples key ranges, partitions sort
+    independently, concatenation is totally ordered). The expensive
+    cousin of TakeOrdered; only for full ordered output (exports,
+    merge-ready files). Null placement pinned on both engines —
+    Spark and DuckDB default opposite ends."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_custkey", "c_acctbal").orderBy(
+        F.col("c_mktsegment").asc_nulls_first(),
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_custkey").asc(),
     )
 
 

@@ -61,3 +61,26 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema(df.schema).option("header", True).csv(out)
+
+
+@query(
+    "sink_json_roundtrip",
+    """
+    SELECT event_id, event_type, value, props
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S1 JSON: write JSON-lines, read back with an explicit schema
+    (schema inference on JSON is a full extra pass — never at scale).
+    The nested ``props`` JSON string survives as-is: the writer quotes
+    it as a string field, the reader restores it byte-identically."""
+    out = f"{SCRATCH}/events_purchases.json"
+    df = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select("event_id", "event_type", "value", "props")
+    )
+    df.write.mode("overwrite").json(out)
+    return spark.read.schema(df.schema).json(out)
