@@ -135,3 +135,64 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.explode(F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(50))).alias("frame_idx"),
     ).select("media_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
+# ---------------------------------------------------------------------------
+# Resize: binary -> binary transform (decode -> resample -> re-encode)
+# ---------------------------------------------------------------------------
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("out_bytes", T.IntegerType()),
+    ]
+)
+
+_TARGET_W = 32
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for resize. The codec is stubbed: the "image"
+    is its raw bytes and "resizing to width 32" keeps a deterministic
+    byte stride — real deployments replace the two marked lines with
+    decode + ``img.resize((w, h))`` + re-encode. Binary in, binary
+    out: the batch shape, schema, and output-size accounting are the
+    real plumbing that carries to production."""
+    for pdf in batches:
+        resized = pdf["media"].map(lambda b: bytes(b[:: max(1, len(b) // _TARGET_W)]))  # STUB: decode+resample
+        dims = pdf["media"].map(_fake_decode_meta)  # STUB: decode metadata
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "out_w": pd.Series([_TARGET_W] * len(pdf), dtype="int32"),
+                "out_h": dims.map(lambda d: min(d[1], _TARGET_W)).astype("int32"),
+                "resized": resized,
+                "out_bytes": resized.map(len).astype("int32"),
+            }
+        )
+
+
+@query(
+    "multimodal_resize",
+    f"""
+    SELECT doc_id AS media_id,
+           CAST({_TARGET_W} AS INTEGER) AS out_w,
+           CAST(LEAST(64 + ascii(substr(text, -1, 1)) % 64, {_TARGET_W}) AS INTEGER) AS out_h,
+           CAST((length(text) + greatest(1, length(text) // {_TARGET_W}) - 1)
+                // greatest(1, length(text) // {_TARGET_W}) AS INTEGER) AS out_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over the media table: binary in, binary out via
+    mapInPandas. The oracle recomputes the deterministic stub's output
+    DIMENSIONS and SIZE in SQL (the payload bytes themselves are
+    engine-opaque binary, so the checked projection drops them)."""
+    return (
+        media_table(spark, sf_dir)
+        .mapInPandas(_resize_batch, _RESIZE_SCHEMA)
+        .select("media_id", "out_w", "out_h", "out_bytes")
+    )
