@@ -321,20 +321,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
         ).alias("chunk_id", "chunk"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # Posting-list pair generation (cf. dedup_ngram_jaccard): group each
+    # chunk bucket once, emit pairs in place carrying BOTH fingerprints,
+    # so no self-join and no join-back for the hamming verify.
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
+        .filter((F.size("members") > 1) & (F.size("members") <= _MAX_DF))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("members"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["simhash"].alias("sh_a"),
+                        y["simhash"].alias("sh_b"),
+                    ),
+                ),
+            )
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        buckets.select(pair.alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
