@@ -1,0 +1,79 @@
+"""Edge-case unit tests on inline DataFrames (SURVEY.md §5.3): the
+corner semantics a fixture-scale DuckDB diff can miss by luck."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.operators.asof import asof_join
+from impala_refresher_spark.operators.dedup import _shingles
+from impala_refresher_spark.sources.tables import fan_out
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_no_earlier_match_yields_nulls(spark):
+    left = spark.createDataFrame([(1, _ts(5), "L1")], "k long, ts timestamp, payload string")
+    right = spark.createDataFrame([(1, _ts(9), 100)], "k long, ts timestamp, v int")
+    out = asof_join(left, right, on="k", ts="ts", right_value_cols=["v"]).collect()
+    assert len(out) == 1 and out[0].v is None  # right row is LATER: no match
+
+
+def test_asof_exact_timestamp_tie_is_matched(spark):
+    """A right row AT the left timestamp counts ('<=', ASOF semantics)."""
+    left = spark.createDataFrame([(1, _ts(5), "L1")], "k long, ts timestamp, payload string")
+    right = spark.createDataFrame([(1, _ts(5), 7)], "k long, ts timestamp, v int")
+    out = asof_join(left, right, on="k", ts="ts", right_value_cols=["v"]).collect()
+    assert out[0].v == 7
+
+
+def test_asof_picks_latest_not_first_and_isolates_keys(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (2, _ts(10), "b")], "k long, ts timestamp, payload string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1), 1), (1, _ts(9), 9), (2, _ts(3), 3)],
+        "k long, ts timestamp, v int",
+    )
+    got = {r.k: r.v for r in asof_join(left, right, on="k", ts="ts", right_value_cols=["v"]).collect()}
+    assert got == {1: 9, 2: 3}  # latest per key; key 2 never sees key 1's rows
+
+
+def test_shingles_short_doc_is_empty_not_descending(spark):
+    """Docs shorter than n tokens must give [], not a wrapped-around
+    F.sequence artifact (the bug the guard in _shingles exists for)."""
+    df = spark.createDataFrame([("a b",), ("a b c",), ("",)], "text string")
+    rows = df.select(F.size(_shingles(F.col("text"))).alias("n")).collect()
+    assert [r.n for r in rows] == [0, 1, 0]
+
+
+def test_fan_out_noop_when_already_parallel(spark):
+    """fan_out must NOT inject a shuffle when the input already has
+    >= cores partitions — the 100 TB no-op guarantee."""
+    want = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000, numPartitions=want + 4)
+    assert fan_out(wide.toDF("id")).rdd.getNumPartitions() == want + 4
+
+
+def test_topk_tiebreak_is_deterministic(spark):
+    """row_number top-k with a tie on the ranking key must break ties
+    by the declared secondary key, not partition luck."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [("g", 10, 3), ("g", 10, 1), ("g", 10, 2)], "grp string, score int, id int"
+    )
+    w = W.partitionBy("grp").orderBy(F.col("score").desc(), F.col("id").asc())
+    top2 = df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    assert sorted(r.id for r in top2.collect()) == [1, 2]
+
+
+def test_except_all_keeps_multiplicity(spark):
+    """exceptAll is bag semantics: {a,a,b} minus {a} = {a,b}."""
+    left = spark.createDataFrame([(1,), (1,), (2,)], "x int")
+    right = spark.createDataFrame([(1,)], "x int")
+    assert sorted(r.x for r in left.exceptAll(right).collect()) == [1, 2]
