@@ -92,6 +92,40 @@ query("star_join_revenue", _REVENUE_ORACLE)(revenue_by_region_year)
 
 
 # ---------------------------------------------------------------------------
+# SQL front-end: the same engine through spark.sql — an Impala user's
+# SQL pastes in unchanged (modulo dialect) and hits the same Catalyst
+# plan as the DataFrame form above.
+# ---------------------------------------------------------------------------
+
+@query("sql_star_revenue", _REVENUE_ORACLE)
+def sql_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship star query submitted as LITERAL SQL over registered
+    views — proving the full SQL surface (joins, date filter, group,
+    aggregate, order) works textually, not just via DataFrame calls.
+    Catalyst compiles both forms to the same optimized plan."""
+    from impala_refresher_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name AS region_name,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # S1 — parquet scan (trivial on its own; declared so the scan path is checked)
 # ---------------------------------------------------------------------------
 
