@@ -163,10 +163,12 @@ _FIXTURE_TABLES = (
 )
 
 
-def _register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
+def _register_fixture_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = _FIXTURE_TABLES
+) -> None:
     from impala_refresher_spark.sources.tables import load_table
 
-    for t in _FIXTURE_TABLES:
+    for t in tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
@@ -178,7 +180,7 @@ def _register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
 )
 def refresh_table_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 as a declared query: refresh the lineitem view, report status."""
-    _register_fixture_views(spark, sf_dir)
+    _register_fixture_views(spark, sf_dir, ("lineitem",))
     r = refresh_table(spark, "lineitem")
     return results_df(spark, [r]).select("target", "refreshed", "error")
 
@@ -193,7 +195,7 @@ def refresh_table_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def refresh_many_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 as a declared query: bounded-window concurrent refresh of five
     tables (window=2, the reference's --concurrency semantics)."""
-    _register_fixture_views(spark, sf_dir)
+    _register_fixture_views(spark, sf_dir, ("customer", "lineitem", "nation", "orders", "region"))
     results = refresh_many(
         spark,
         ["customer", "lineitem", "nation", "orders", "region"],
