@@ -57,6 +57,25 @@ def test_simhash_pairs_are_symmetric_free_and_bounded(spark, sf_dir):
         seen.add((r.doc_a, r.doc_b))
 
 
+def test_ann_ivf_shape_and_ranking(spark, sf_dir):
+    """IVF output: per query, ranks are 1..k contiguous and cos_sim is
+    non-increasing along the rank — the re-rank stage must order by
+    the EXACT similarity, whatever the probe set returned."""
+    from impala_refresher_spark.operators.similarity import ann_ivf_topk
+
+    rows = ann_ivf_topk(spark, sf_dir).collect()
+    assert rows, "IVF probe returned no candidates"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != q for r in rs)  # never returns the query itself
+
+
 def test_ann_lsh_subset_of_bruteforce_space(spark, sf_dir):
     """ANN results must be real vectors with correctly-computed cosine
     (spot-check against the brute-force top-k for query 0)."""
