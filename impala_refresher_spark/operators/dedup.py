@@ -156,7 +156,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # |doc| = size of its (distinct) shingle array — a pure map; the
+    # explode+count formulation would re-shuffle every shingle a second
+    # time just to count what the array already knows.
+    sizes = d.select("doc_id", F.size(_shingles(F.col("text"))).alias("n_sh")).filter(
+        F.col("n_sh") > 0
+    )
     posting = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

@@ -266,12 +266,13 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution inside the correctness gate, not a batch stand-in.
     (The fixture arrives in one micro-batch, so update-mode output is
     exactly one final row per user.)"""
-    import shutil
+    import os
 
     events = load_table(spark, sf_dir, "events")
-    path = "/root/repo/_scratch/stateful_src"
-    shutil.rmtree(path, ignore_errors=True)
-    events.write.mode("overwrite").parquet(path)  # micros; raw fixture is nanos
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/root/repo/_scratch/stateful_src_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):  # micros; raw fixture is nanos
+        events.write.mode("overwrite").parquet(path)
     return run_stream_to_memory(
         spark,
         stateful_user_totals,
