@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): the distributed plans must agree
+with brute-force reference implementations on arbitrary small inputs —
+catching semantics the fixture-scale differential can miss by luck.
+
+Example counts are kept small (each example runs Spark jobs); settings
+disable the deadline since JVM scheduling jitter is not a failure.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.operators.asof import asof_join
+from impala_refresher_spark.operators.dedup import _shingles
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_BASE = datetime(2024, 1, 1)
+
+
+@st.composite
+def asof_case(draw):
+    """Random left/right event sets over a handful of keys, minute
+    timestamps unique per (side, key) so the pick is deterministic."""
+    keys = draw(st.lists(st.integers(1, 3), min_size=1, max_size=3, unique=True))
+    left, right = [], []
+    for k in keys:
+        lmins = draw(st.lists(st.integers(0, 30), min_size=1, max_size=4, unique=True))
+        rmins = draw(st.lists(st.integers(0, 30), min_size=0, max_size=4, unique=True))
+        left += [(k, _BASE + timedelta(minutes=m)) for m in lmins]
+        right += [(k, _BASE + timedelta(minutes=m), m * 10) for m in rmins]
+    return left, right
+
+
+@given(asof_case())
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, case):
+    left_rows, right_rows = case
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, v int")
+    got = {
+        (r.k, r.ts): r.v
+        for r in asof_join(left, right, on="k", ts="ts", right_value_cols=["v"]).collect()
+    }
+    # brute force: latest right v with same k and ts <= left ts
+    want = {}
+    for k, lts in left_rows:
+        cands = [(rts, v) for (rk, rts, v) in right_rows if rk == k and rts <= lts]
+        want[(k, lts)] = max(cands)[1] if cands else None
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_shingles_match_python_reference(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r.doc_id: sorted(r.sh)
+        for r in df.select("doc_id", _shingles(F.col("text")).alias("sh")).collect()
+    }
+
+    def ref(t: str):
+        toks = t.split(" ")
+        return sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
+
+
+@given(
+    st.lists(st.integers(-5, 5), min_size=0, max_size=8),
+    st.lists(st.integers(-5, 5), min_size=0, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_exceptall_intersectall_bag_semantics(spark, xs, ys):
+    """U2 bag semantics vs collections.Counter ground truth."""
+    from collections import Counter
+
+    left = spark.createDataFrame([(x,) for x in xs], "x int") if xs else spark.range(0).toDF("x")
+    right = spark.createDataFrame([(y,) for y in ys], "x int") if ys else spark.range(0).toDF("x")
+    cx, cy = Counter(xs), Counter(ys)
+    want_except = sorted((cx - cy).elements())
+    want_intersect = sorted((cx & cy).elements())
+    assert sorted(r.x for r in left.exceptAll(right).collect()) == want_except
+    assert sorted(r.x for r in left.intersectAll(right).collect()) == want_intersect
