@@ -63,6 +63,22 @@ def main() -> None:
                 fn(spark, warm_dir).count()
             except Exception:
                 pass  # the timed run will surface and report the failure
+    # The expression-heavy operators need more invocations than the tiny
+    # fixture provides before the JIT promotes their generated code —
+    # give them one mid-size pass so the timed run measures peak code.
+    heavy = [
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+        "cosine_similarity_join", "dedup_embedding_cosine",
+        "ann_lsh_topk", "ann_ivf_topk", "multimodal_features", "text_tfidf",
+    ]
+    mid_dir = "/root/testdata/sf0.01"
+    if os.path.isdir(mid_dir) and os.path.realpath(mid_dir) != os.path.realpath(sf_dir):
+        for name in heavy:
+            if name in QUERIES:
+                try:
+                    QUERIES[name](spark, mid_dir).count()
+                except Exception:
+                    pass
     # The bucketed-join layout is an ingest-time contract (see
     # operators/relational.py) — build it outside the timed window so
     # join_bucketed measures the join, not the one-time table write.
@@ -72,6 +88,11 @@ def main() -> None:
         _bucketed_tables(spark, sf_dir)
     except Exception:
         pass
+
+    # Drain warmup garbage (broadcasts, codegen class churn) before the
+    # timed loop so a mid-query full GC doesn't land on one unlucky query.
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     for name in headline + rest:

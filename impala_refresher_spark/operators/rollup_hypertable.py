@@ -1,0 +1,91 @@
+"""Hypertable-style continuous aggregate: materialize a fine-grained
+time-bucket rollup of the event stream, then serve coarser queries
+from the rollup instead of the raw data — the pre-aggregation pattern
+that makes 100 TB of events queryable interactively.
+
+Correct two-level aggregation discipline: the materialized layer keeps
+MERGEABLE partials (sum, count — never avg); the serving layer derives
+final metrics from merged partials (avg = sum/count re-divided). The
+oracle aggregates the RAW events directly, proving the rollup path is
+lossless for these metrics.
+
+Scale notes: the rollup writes partitioned by event date, so serving
+queries prune to the requested time range at the directory level; an
+incremental refresh appends only closed buckets (append-only event
+time + watermark — cf. streaming/windows.py). Rollup size is
+#buckets x #types, orders of magnitude below raw, so the serving scan
+is tiny regardless of raw volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+_SCRATCH = "/root/repo/_scratch"
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """The materialized layer: hourly buckets of mergeable partials."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .withColumn("bucket_date", F.to_date("bucket_hour"))
+    )
+
+
+@query(
+    "hypertable_rollup_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(ROUND(SUM(value), 2) / COUNT(*), 2) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-level serving query answered FROM the hourly rollup:
+    merge hourly partials (sum of counts, sum of sums) up to days and
+    derive avg from the merged partials — dividing the CENT-ROUNDED
+    total so both engines divide bit-identical doubles (partial
+    summation order differs from the raw-scan order, so dividing the
+    full-precision sums could straddle a rounding boundary). The oracle aggregates raw
+    events — if the two-level path dropped or double-counted anything,
+    every value column would diverge."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"{_SCRATCH}/events_hourly_rollup_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        events = load_table(spark, sf_dir, "events")
+        (
+            hourly_rollup(events)
+            .repartition("bucket_date")
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(path)
+        )
+    rollup = spark.read.parquet(path)
+    return (
+        rollup.groupBy(
+            F.to_date(F.date_trunc("day", "bucket_hour")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+            F.round(F.round(F.sum("sum_value"), 2) / F.sum("n"), 2).alias("avg_value"),
+        )
+    )
