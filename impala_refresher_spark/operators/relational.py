@@ -690,6 +690,115 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_pivot",
+    """
+    SELECT o_orderpriority,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS f_total,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS o_total,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS p_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long -> wide on a bounded category column. With the pivot
+    values enumerated, Catalyst plans ONE pass with conditional
+    aggregates (same cost as the plain groupBy) — always list the
+    values at scale; value discovery otherwise costs an extra job.
+    Oracle: the equivalent FILTERed conditional aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F").alias("f_total"),
+        F.col("O").alias("o_total"),
+        F.col("P").alias("p_total"),
+    )
+
+
+@query(
+    "unpivot_metrics",
+    """
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide -> long without a shuffle — each input row
+    expands to one output row per value column, map-side. The metric
+    name column becomes the grouping key for downstream per-metric
+    aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", "c_acctbal", F.col("c_nationkey").cast("double").alias("c_nationkey")
+    ).unpivot(
+        ids=["c_custkey"],
+        values=["c_acctbal", "c_nationkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "c_acctbal", "acctbal").otherwise("nationkey"),
+    )
+
+
+@query(
+    "sample_hash_deterministic",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '14'
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~8% sample by key-hash prefix (md5 agrees across
+    engines byte-for-byte, unlike TABLESAMPLE's engine-specific RNG).
+    This is the reproducible-sampling idiom for pipeline debugging and
+    train/holdout splits: stable under reruns, partitioning, AND
+    engine changes — and it pushes down as an ordinary filter."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "14"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "fn_maps",
+    """
+    SELECT p_partkey,
+           CAST(2 AS INTEGER) AS n_keys,
+           p_brand AS brand_val,
+           CAST(p_size AS DOUBLE) AS size_val
+    FROM part
+    """,
+)
+def fn_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build map<string,string>/typed lookups and
+    extract back to scalars (the oracle checks the extracted values —
+    map internals are engine-opaque). At scale maps trade schema
+    evolution freedom for column pruning: extract hot keys to real
+    columns before heavy reuse."""
+    p = _t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("size"), F.col("p_size").cast("string"),
+    )
+    return p.select("p_partkey", m.alias("attrs")).select(
+        "p_partkey",
+        F.size(F.map_keys(F.col("attrs"))).alias("n_keys"),
+        F.col("attrs")["brand"].alias("brand_val"),
+        F.element_at(F.col("attrs"), "size").cast("double").alias("size_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # O1 — global multi-key sort with explicit null placement + limit
 # ---------------------------------------------------------------------------
