@@ -147,3 +147,33 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.count("*").over(w).alias("peers_within_500"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W1b — distribution functions: percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_distribution",
+    """
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cum_dist
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1b: relative-position analytics — percent_rank (rank-1)/(n-1)
+    and cume_dist (rows <= current)/n within each partition. Same
+    single-shuffle window plan as the ranking battery; both engines
+    compute the identical closed-form ratios."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
