@@ -51,34 +51,31 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
     spark.range(cores, numPartitions=cores).select(_warm("id")).count()
 
-    # Steady-state measurement: run each query once at the smallest SF
-    # first. Plans at a different SF generate byte-identical codegen
-    # sources (same schemas), so this fills the codegen class cache and
-    # JIT — the timed sf run then measures data-proportional execution,
-    # not one-time compilation. Skipped if the tiny fixture is absent.
+    # Steady-state measurement: each query is warmed at the smaller SFs
+    # IMMEDIATELY before its timed run (inside the timing loop below).
+    # Plans at a different SF generate byte-identical codegen sources
+    # (same schemas), so the warm pass fills the codegen class cache and
+    # JIT for exactly this query; the timed run then measures
+    # data-proportional execution, not one-time compilation. Warming all
+    # 90 queries up front and timing afterwards does NOT work: by the
+    # time a query is timed, the JIT state from its warmup has been
+    # deoptimized/evicted by the codegen churn of the other 89 (measured
+    # 2-7x inflation on the expression-heavy queries).
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
-        for name, fn in QUERIES.items():
-            try:
-                fn(spark, warm_dir).count()
-            except Exception:
-                pass  # the timed run will surface and report the failure
+    if not (os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir)):
+        warm_dir = None
     # The expression-heavy operators need more invocations than the tiny
     # fixture provides before the JIT promotes their generated code —
-    # give them one mid-size pass so the timed run measures peak code.
-    heavy = [
+    # give them an extra mid-size warm pass.
+    heavy = {
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
         "cosine_similarity_join", "dedup_embedding_cosine",
         "ann_lsh_topk", "ann_ivf_topk", "multimodal_features", "text_tfidf",
-    ]
+        "star_join_revenue", "stream_stateful_totals", "recover_partitions_status",
+    }
     mid_dir = "/root/testdata/sf0.01"
-    if os.path.isdir(mid_dir) and os.path.realpath(mid_dir) != os.path.realpath(sf_dir):
-        for name in heavy:
-            if name in QUERIES:
-                try:
-                    QUERIES[name](spark, mid_dir).count()
-                except Exception:
-                    pass
+    if not (os.path.isdir(mid_dir) and os.path.realpath(mid_dir) != os.path.realpath(sf_dir)):
+        mid_dir = None
     # The bucketed-join layout is an ingest-time contract (see
     # operators/relational.py) — build it outside the timed window so
     # join_bucketed measures the join, not the one-time table write.
@@ -89,14 +86,15 @@ def main() -> None:
     except Exception:
         pass
 
-    # Drain warmup garbage (broadcasts, codegen class churn) before the
-    # timed loop so a mid-query full GC doesn't land on one unlucky query.
-    spark.catalog.clearCache()
-    spark.sparkContext._jvm.System.gc()
-
     timings: dict[str, float] = {}
     for name in headline + rest:
         fn = QUERIES[name]
+        # Per-query warmup right before its timed run (see note above).
+        for wdir in ([warm_dir] if warm_dir else []) + ([mid_dir] if name in heavy and mid_dir else []):
+            try:
+                fn(spark, wdir).count()
+            except Exception:
+                pass  # the timed run will surface and report the failure
         t0 = time.monotonic()
         try:
             df = fn(spark, sf_dir)

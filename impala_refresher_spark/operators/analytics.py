@@ -1,0 +1,339 @@
+"""Analytic query surface beyond the core relational operators:
+statistical aggregates, histogram binning, scalar subqueries,
+sessionization (gaps-and-islands), rolling time-window aggregates, and
+arg-min/max attribution.
+
+The reference implements none of this (its only statement is
+``refresh <table>``, impala-refresher.go:49); these extend the engine
+the way SURVEY.md §2C directs — every operator a pure DataFrame
+pipeline Catalyst can optimize end-to-end.
+
+Scale notes:
+- Statistical aggregates (corr/covar/stddev) are single-pass
+  partial-aggregable — same shuffle shape as SUM at any scale.
+- Sessionization shuffles once on user_id; both window passes reuse
+  that partitioning (no second exchange — asserted in plan tests).
+- The rolling aggregate partitions by nothing at test scale (one
+  global time axis) — at 100 TB you'd partition by entity and apply
+  the same frame within entity; noted on the operator.
+- The scalar subquery materializes ONE row and broadcast-joins it:
+  never collect() the aggregate to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Statistical moment aggregates
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_stats_moments",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates: stddev/variance/correlation/covariance.
+
+    All four are algebraic (sum, sum-of-squares, sum-of-products
+    partials), so Spark computes them with map-side partial aggregation
+    — the shuffle carries one small state struct per group, identical
+    cost to a SUM at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        # covar of two LARGE-magnitude columns: compared at 6 significant
+        # digits, summation-order float drift (~1e-12 relative) can't flip
+        # it. A near-zero covariance (e.g. discount vs tax) rounds to ±0.0
+        # with an engine-dependent sign — avoid.
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning (fixed-width buckets)
+# ---------------------------------------------------------------------------
+
+_BUCKET_WIDTH = 25_000
+
+
+@query(
+    "histogram_totalprice",
+    f"""
+    SELECT CAST(FLOOR(o_totalprice / {_BUCKET_WIDTH}) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: floor-division binning.
+
+    The bucket expression is a pure projection, so the aggregate is an
+    ordinary hash agg on a dense int key — the cheapest possible
+    histogram at scale (no sort, no range lookup). Empty buckets are
+    absent by construction; densify driver-side if a chart needs it."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / _BUCKET_WIDTH).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery: rows above the global average
+# ---------------------------------------------------------------------------
+
+@query(
+    "above_avg_orders",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders priced >1.5x the global mean.
+
+    The one-row aggregate is cross-joined (Catalyst plans it as a
+    broadcast nested-loop of a single row — effectively free), keeping
+    the whole comparison distributed; collecting the average to the
+    driver would serialize the pipeline and is never needed. The 1.5x
+    margin keeps the predicate far from any float-rounding boundary, so
+    engine-order summation differences can't flip a row's membership."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_row = o.agg(F.avg("o_totalprice").alias("global_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("global_avg"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization — gaps-and-islands
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+
+@query(
+    "sessionize_user_activity",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= {_SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             epoch(MAX(ts)) - epoch(MIN(ts)) AS span_s
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           ROUND(MAX(span_s), 2) AS longest_span_s
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
+def sessionize_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization (30-min inactivity gap):
+    lag marks session starts, a running sum numbers the islands, then
+    two aggregates summarize per user.
+
+    Shuffle analysis: both window passes AND the first groupBy use the
+    user_id partitioning established by the first exchange — Catalyst
+    reuses it (one shuffle total until the final per-user agg, which is
+    already co-partitioned). This is the batch twin of
+    ``stream_session_windows`` (session_window in streaming mode);
+    identical islands, different machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.col("ts").cast("double")
+    prev = F.lag("ts").over(w)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            prev.isNull() | (epoch - prev.cast("double") >= _SESSION_GAP_S), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts").cast("double") - F.min("ts").cast("double")).alias("span_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.max("span_s"), 2).alias("longest_span_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-window aggregate (7-day trailing average of daily revenue)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rolling_7day_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dayn,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT day, revenue,
+           ROUND(AVG(revenue) OVER (ORDER BY dayn
+                                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+             AS avg_7day
+    FROM daily
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day average of daily revenue: aggregate to day grain,
+    then a RANGE frame over the day number — a range frame (not ROWS)
+    so calendar gaps shorten the window instead of silently widening it.
+
+    The day-grain aggregate shrinks the window input to ~one row per
+    day BEFORE the unpartitioned sort — the windowed relation is tiny
+    no matter the raw scale. At 100 TB with per-entity series, add the
+    entity to partitionBy and the plan is fully parallel."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("dayn"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("dayn").rangeBetween(-6, 0)
+    return daily.select(
+        "day", "revenue", F.round(F.avg("revenue").over(w), 2).alias("avg_7day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# arg-min/arg-max attribution (min_by / max_by)
+# ---------------------------------------------------------------------------
+
+@query(
+    "first_touch_attribution",
+    """
+    SELECT user_id,
+           min_by(event_type, ts) AS first_event_type,
+           MIN(ts) AS first_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: the event type of each user's earliest
+    event, via ``min_by`` — one hash aggregate, no window sort. The
+    fixture's (user_id, ts) pairs are unique, so the arg-min is
+    deterministic; with tied timestamps add a tiebreak column to the
+    ordering value in BOTH engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_event_type"),
+        F.min("ts").alias("first_ts"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "top_account_by_nation",
+    """
+    SELECT c_nationkey,
+           max_by(c_name, c_acctbal) AS top_customer,
+           ROUND(MAX(c_acctbal), 2) AS top_acctbal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def top_account_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max per group without a window: the customer holding each
+    nation's largest balance. ``max_by`` folds (name, balance) pairs in
+    one partial-aggregable pass — the top-1-per-group shortcut when k=1
+    (``topk_per_group`` is the general-k window form). Balances are
+    unique per nation in the fixture, so the arg-max is deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_acctbal").alias("top_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("top_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token repetition ratio (quality signal)
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_repetition_ratio",
+    """
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 4) AS rep_ratio,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+    FROM documents
+    WHERE 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.5
+    """,
+)
+def quality_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal: share of tokens that are
+    repeats (1 - distinct/total). High ratios flag boilerplate or
+    degenerate generations — a standard pre-training corpus filter.
+    Pure per-row array math: map-only, no shuffle, fully pushdown- and
+    codegen-friendly at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return (
+        d.select(
+            "doc_id",
+            F.round(ratio, 4).alias("rep_ratio"),
+            F.size(toks).alias("n_tokens"),
+        )
+        .filter(F.col("rep_ratio") > 0.5)
+    )
