@@ -934,6 +934,24 @@ def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "intersect_all_keys",
+    """
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: INTERSECT ALL keeps min-multiplicity bag semantics —
+    Catalyst plans it as a counted semi-join shape, one shuffle per
+    side on the compared columns (same scale behavior as a groupBy)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ck"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("ck"))
+    return a.intersectAll(b)
+
+
+@query(
     "except_all_keys",
     """
     SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'
