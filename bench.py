@@ -107,17 +107,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "declared-query wall-clock (sum)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "declared-query wall-clock (sum)",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # The JSON line must be the FINAL stdout line: stop Spark first so
+    # no JVM shutdown noise can interleave, then flush around the print.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

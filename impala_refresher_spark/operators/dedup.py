@@ -395,18 +395,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar id) survivor. The deduped corpus is then an anti-join of
     the table against this drop list.
 
-    Plan: unit-normalize once (n, not n²), label-blocked pair join,
-    threshold filter, MIN(keep_id) aggregate — identical shuffle
-    shape to cosine_similarity_join, plus one #drops-sized aggregate.
+    Plan: unit-normalize once (n, not n²), label-blocked pair join
+    through blocked_pair_join's triangle partitioning (hot-block
+    guard: bounded per-task width, identical pairs), threshold
+    filter, MIN(keep_id) aggregate — identical shuffle shape to
+    cosine_similarity_join, plus one #drops-sized aggregate.
     At 100 TB the blocking key comes from LSH buckets or IVF cells
     instead of a label column; the keep-first fold is unchanged."""
-    from impala_refresher_spark.operators.similarity import _dot, _unit
+    from impala_refresher_spark.operators.similarity import _dot, _unit, blocked_pair_join
 
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
     u = e.select("vec_id", "label", _unit(F.col("embedding")).alias("uv"))
-    a, b = u.alias("a"), u.alias("b")
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        blocked_pair_join(u, "label", "vec_id")
         .filter(_dot(F.col("a.uv"), F.col("b.uv")) >= 0.35)
         .groupBy(F.col("b.vec_id").alias("drop_id"))
         .agg(F.min(F.col("a.vec_id")).alias("canonical_id"))

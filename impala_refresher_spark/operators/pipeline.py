@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from impala_refresher_spark.operators.similarity import _SQL_UNIT, _dot, _sql_dot, _unit
+from impala_refresher_spark.operators.similarity import (
+    _SQL_UNIT,
+    _dot,
+    _sql_dot,
+    _unit,
+    blocked_pair_join,
+)
 from impala_refresher_spark.registry import query
 from impala_refresher_spark.sources.tables import fan_out, load_table
 
@@ -72,9 +78,8 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = load_table(spark, sf_dir, "embeddings")
     u = fan_out(e).select("vec_id", "label", _unit(F.col("embedding")).alias("uv"))
-    a, b = u.alias("a"), u.alias("b")
     near_dups = (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        blocked_pair_join(u, "label", "vec_id")
         .filter(_dot(F.col("a.uv"), F.col("b.uv")) >= 0.35)
         .select(F.col("b.vec_id").alias("drop_id"))
         .distinct()

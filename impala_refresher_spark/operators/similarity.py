@@ -120,6 +120,50 @@ _SQL_UNIT = (
     lambda a: f"list_transform({a}, x -> CAST(x AS DOUBLE) / {_sql_norm(a)})"
 )
 
+# Triangle-partition width for blocked all-pairs self-joins. Each block
+# is cut into S salt cells; a block of width w becomes S*(S+1)/2 join
+# cells of ~2w/S rows each, so no single task ever materializes a whole
+# hot block. At 100 TB size S to the expected hot-block width
+# (S ≈ w / rows-per-task); total pair work is unchanged (it is the
+# operator's output), only its distribution and peak memory.
+_PAIR_SALTS = 4
+
+
+def blocked_pair_join(u: DataFrame, block_col: str, id_col: str) -> DataFrame:
+    """All unordered within-block pairs (``a.id < b.id``) as a join of
+    aliases ``a``/``b`` — the scale-safe form of
+    ``a JOIN b ON a.block = b.block AND a.id < b.id``.
+
+    Grid ("triangle") self-join: row with salt s replicates into the S
+    cells {(min(s,t), max(s,t)) : t < S}; a pair with salts (sa, sb)
+    is kept only in its canonical cell (min(sa,sb), max(sa,sb)) — a
+    residual predicate on the hash join — so each pair is emitted
+    exactly once and results are identical to the unguarded join. The
+    equi key (block, pair_cell) bounds per-task width structurally —
+    the equivalent of `_MAX_DF` for pair joins, without dropping pairs.
+    """
+    s_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_PAIR_SALTS)).cast("int")
+    cells = F.array(
+        *[
+            F.least(F.col("_salt"), F.lit(t)) * _PAIR_SALTS
+            + F.greatest(F.col("_salt"), F.lit(t))
+            for t in range(_PAIR_SALTS)
+        ]
+    )
+    rep = u.withColumn("_salt", s_col).withColumn("pair_cell", F.explode(cells))
+    a, b = rep.alias("a"), rep.alias("b")
+    canonical = (
+        F.least(F.col("a._salt"), F.col("b._salt")) * _PAIR_SALTS
+        + F.greatest(F.col("a._salt"), F.col("b._salt"))
+    )
+    return a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col("a.pair_cell") == F.col("b.pair_cell"))
+        & (F.col("a.pair_cell") == canonical)
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+
 
 @query(
     "cosine_similarity_join",
@@ -141,14 +185,16 @@ def cosine_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vectors are unit-normalized BEFORE the join: n norm computations
     instead of n² (cosine of units = plain dot). The oracle performs
     the identical normalize-then-dot sequence so doubles still match.
+
+    Hot-block guard: the pair join goes through blocked_pair_join's
+    triangle partitioning, so one hot label can never pin a single
+    task to a near-cartesian — identical output, bounded task width.
     """
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
     u = e.select("vec_id", "label", _unit(F.col("embedding")).alias("uv"))
-    a = u.alias("a")
-    b = u.alias("b")
     sim = _dot(F.col("a.uv"), F.col("b.uv"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        blocked_pair_join(u, "label", "vec_id")
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

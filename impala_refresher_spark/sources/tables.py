@@ -43,11 +43,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to a microsecond timestamp here — truncation matches how
     DuckDB coerces nanos to its micro-precision TIMESTAMP, so oracle
     comparisons agree.
+
+    Self-sufficient under ANY session: ``nanosAsLong`` is a runtime
+    SQL conf, so set it here (not only at session build time) before
+    reading events — a vanilla ``SparkSession.builder.getOrCreate()``
+    otherwise fails with PARQUET_TYPE_ILLEGAL.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked down (never in practice) — fall through to read
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+_SIZE_UNITS = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf string ("134217728", "128m", "128MB")."""
+    s = str(v).strip().lower()
+    if s.endswith("b") and not s[:-1].isdigit():
+        s = s[:-1]
+    unit = ""
+    if s and s[-1] in _SIZE_UNITS:
+        unit, s = s[-1], s[:-1]
+    return int(float(s)) * _SIZE_UNITS[unit]
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -59,9 +84,42 @@ def fan_out(df: DataFrame) -> DataFrame:
     (the guard keeps the shuffle out of the plan). It pays off exactly
     when split count < cores: small fixtures, or a cluster reading a
     few unsplittable files — the standard repartition-after-skinny-scan
-    pattern. The shuffle it may add moves only the scanned bytes."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    pattern. The shuffle it may add moves only the scanned bytes.
+
+    The split-count guard is PLAN-SIDE: it mirrors Spark's file
+    bin-packing formula over ``df.inputFiles()`` sizes instead of
+    probing ``df.rdd`` (which forces an analysis pass and pins the
+    pre-AQE partitioning). Non-scan or non-local inputs (no listable
+    files) skip the repartition — exactly the no-op we want at scale.
+    """
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("", "file"):
+            return df  # remote store: arrives in real splits already
+        try:
+            total += os.path.getsize(p.path or uri)
+        except OSError:
+            return df
+    max_split = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _size_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4m"))
+    # Spark packs splits toward targetSize = min(maxPartitionBytes,
+    # max(openCost, totalPadded / defaultParallelism)).
+    padded = total + len(files) * open_cost
+    target = min(max_split, max(open_cost, padded // max(want, 1)))
+    est_splits = max(1, -(-padded // max(target, 1)))
+    if est_splits < want:
         return df.repartition(want)
     return df
 
@@ -70,7 +128,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql use."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> None:
+    """Register fixture tables as temp views for spark.sql use.
+
+    ``tables`` narrows registration to just the tables a query needs,
+    so one unreadable fixture can't fail an unrelated SQL query.
+    """
+    for name in tables if tables is not None else TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

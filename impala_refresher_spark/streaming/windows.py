@@ -213,39 +213,70 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOTALS_OUT_SCHEMA = "user_id bigint, n_events bigint, value_cents bigint"
 _TOTALS_STATE_SCHEMA = "n bigint, cents bigint"
 
+# State TTL past the event-time watermark: a user idle this long after
+# the watermark passes is evicted from the state store. Bounds state to
+# O(active keys within horizon) instead of O(all keys ever) — the
+# difference between a stable job and an OOM at 100 TB/day.
+_TOTALS_STATE_TTL_MS = 30 * 60 * 1000
+
 
 def _user_totals_fn(key, pdfs, state):
     """Per-user running totals in integer cents (floor(value*100)) —
     integers keep the state exact and the output engine-comparable
     (float accumulation order never enters).
 
-    State is one (n, cents) pair per user: O(distinct keys) total,
-    partitioned by key across executors' state stores."""
+    State is one (n, cents) pair per user, partitioned by key across
+    executors' state stores, and EVICTED once the event-time watermark
+    passes the user's last event by ``_TOTALS_STATE_TTL_MS`` (the
+    timeout branch below) — so totals reset for long-idle users rather
+    than holding every key forever.
+
+    The timeout anchors on the key's own max EVENT time (+TTL), not on
+    the current watermark: the first micro-batch's watermark is epoch 0,
+    which would expire every key immediately. TTL must exceed the
+    watermark delay so the timestamp always lands above the watermark
+    (rows older than watermark−delay never reach this function)."""
     import pandas as pd
 
+    if state.hasTimedOut:
+        state.remove()
+        return
     n, cents = state.get if state.exists else (0, 0)
+    last_ms = 0
     for pdf in pdfs:
         n += len(pdf)
         cents += int(np.floor(pdf["value"].to_numpy() * 100).astype("int64").sum())
+        if len(pdf):
+            batch_max = pdf["ts"].max()
+            last_ms = max(last_ms, int(batch_max.timestamp() * 1000))
     state.update((n, cents))
+    state.setTimeoutTimestamp(last_ms + _TOTALS_STATE_TTL_MS)
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
     )
 
 
-def stateful_user_totals(events: DataFrame) -> DataFrame:
+def stateful_user_totals(events: DataFrame, watermark_delay: str = "15 minutes") -> DataFrame:
     """Custom stateful streaming aggregate: the operator Structured
     Streaming doesn't ship (arbitrary per-key accumulators) built on
     ``applyInPandasWithState`` — Arrow-batched, update-mode output,
-    state schema declared so the store can checkpoint it."""
+    state schema declared so the store can checkpoint it.
+
+    Event-time timeout + watermark bound the state store (see
+    ``_user_totals_fn``); ``GroupStateTimeout.NoTimeout`` here would
+    grow state with every distinct user_id forever."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        _user_totals_fn,
-        _TOTALS_OUT_SCHEMA,
-        _TOTALS_STATE_SCHEMA,
-        "update",
-        GroupStateTimeout.NoTimeout,
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_totals_fn,
+            _TOTALS_OUT_SCHEMA,
+            _TOTALS_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -59,6 +59,31 @@ def test_fan_out_noop_when_already_parallel(spark):
     assert fan_out(wide.toDF("id")).rdd.getNumPartitions() == want + 4
 
 
+def test_fan_out_parallelizes_small_scan(spark, sf_dir):
+    """A single tiny parquet file scans as ~1 split; fan_out must widen
+    it to cores via the plan-side (inputFiles) estimate, no RDD probe."""
+    from impala_refresher_spark.sources.tables import load_table
+
+    want = spark.sparkContext.defaultParallelism
+    df = fan_out(load_table(spark, sf_dir, "region"))
+    assert df.rdd.getNumPartitions() == want
+
+
+def test_events_reads_under_vanilla_session_conf(spark, sf_dir):
+    """The driver checks queries under ITS OWN SparkSession, which does
+    not set spark.sql.legacy.parquet.nanosAsLong — load_table must be
+    self-sufficient. Simulate by unsetting the runtime conf first."""
+    from impala_refresher_spark.sources.tables import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, sf_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert df.limit(1).count() == 1
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def test_topk_tiebreak_is_deterministic(spark):
     """row_number top-k with a tie on the ranking key must break ties
     by the declared secondary key, not partition luck."""

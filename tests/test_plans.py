@@ -90,6 +90,42 @@ def test_asof_join_has_no_join_operator(spark):
         assert join_op not in plan
 
 
+def test_blocked_pair_joins_are_triangle_partitioned(spark):
+    """The embedding pair joins must key on (block, pair_cell) — the
+    triangle-salt guard that stops one hot label from pinning a single
+    task to a near-cartesian. A plan whose join keys lack pair_cell
+    has regressed to the unguarded block² join."""
+    from impala_refresher_spark.operators.dedup import dedup_embedding_cosine
+    from impala_refresher_spark.operators.pipeline import pipeline_training_corpus
+    from impala_refresher_spark.operators.similarity import cosine_similarity_join
+
+    for fn in (cosine_similarity_join, dedup_embedding_cosine, pipeline_training_corpus):
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert "pair_cell" in plan, fn.__name__
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_blocked_pair_join_emits_each_pair_once(spark):
+    """Triangle partitioning must reproduce the unguarded join's output
+    exactly: every within-block pair once, regardless of salt cell."""
+    from pyspark.sql import functions as F
+
+    from impala_refresher_spark.operators.similarity import blocked_pair_join
+
+    rows = [(i, "blk" if i < 20 else "other") for i in range(25)]
+    u = spark.createDataFrame(rows, "vec_id long, label string")
+    got = (
+        blocked_pair_join(u, "label", "vec_id")
+        .select(F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"))
+        .collect()
+    )
+    pairs = [(r.x, r.y) for r in got]
+    want = [(x, y) for x in range(20) for y in range(20) if x < y]
+    want += [(x, y) for x in range(20, 25) for y in range(20, 25) if x < y]
+    assert sorted(pairs) == sorted(want)
+    assert len(pairs) == len(set(pairs))  # no duplicate emissions
+
+
 def test_dedup_pair_generation_has_no_self_join(spark):
     """Jaccard + MinHash dedup must generate candidate pairs from
     posting lists (single shuffle), never via an exploded self-join."""

@@ -158,6 +158,53 @@ def test_stateful_totals_accumulate_across_batches(spark):
     assert all(r.value_cents == 100 * r.n_events for r in rows)  # value=1.0 each
 
 
+def test_stateful_totals_state_is_evicted_after_ttl(spark):
+    """State must be BOUNDED: once the event-time watermark passes a
+    user's TTL, their state is evicted — a later event for that user
+    restarts the total from zero instead of resuming. (With
+    GroupStateTimeout.NoTimeout the third emission would be 3.)"""
+    from impala_refresher_spark.streaming import stateful_user_totals
+
+    path = f"{SCRATCH}/evict_src"
+    ckpt = f"{SCRATCH}/evict_ckpt"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def write(rows, mode):
+        df = spark.createDataFrame(
+            [(i, ts, uid, "click", 1.0, "{}") for i, ts, uid in rows], EVENTS_SCHEMA
+        )
+        df.coalesce(1).write.mode(mode).parquet(path)
+
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    write([(1, t(0), 1), (2, t(1), 1)], "overwrite")  # user 1: 2 events
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("evict_test_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # user 2 far in the future: advances the watermark way past
+        # user 1's TTL, so user 1's state times out and is removed.
+        write([(3, t(600), 2)], "append")
+        q.processAllAvailable()
+        # user 1 returns: must start FRESH (n_events=1), proving eviction.
+        write([(4, t(720), 1)], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM evict_test_out").collect()
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    user1 = sorted(r.n_events for r in rows if r.user_id == 1)
+    assert user1 == [1, 2]  # batch-1 total 2; post-eviction restart at 1
+
+
 def test_t5_stateful_dedup_drops_duplicate_ids(spark):
     path = f"{SCRATCH}/dedup_src"
     shutil.rmtree(path, ignore_errors=True)
