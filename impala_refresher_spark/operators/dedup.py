@@ -307,6 +307,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit chunks (any pair at distance ≤3 shares ≥1 exact chunk —
     the pigeonhole trick that makes SimHash joinable at scale).
 
+    All 64 bits are real: bit 63 is set by adding the min-long weight
+    (two's complement — addition of disjoint bit weights == OR), since
+    a ``1 << 63`` literal overflows LongType.
+
     Output: (doc_a, doc_b, hamming) candidate pairs, verified.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
@@ -317,12 +321,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(64)
     ]
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    bit_weights = [
+        F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0)
+        for i in range(63)
+    ] + [F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(0)]
     fp = per_doc.select(
         "doc_id",
-        sum(
-            [F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0) for i in range(63)],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+        sum(bit_weights, F.lit(0).cast("long")).alias("simhash"),
     )
     chunks = fp.select(
         "doc_id",

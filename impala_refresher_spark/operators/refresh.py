@@ -90,30 +90,82 @@ def refresh_many(
 
     ``refresh_fn`` is an injection point for tests (slow/failing
     targets) — defaults to the real catalog call.
+
+    Timeout fidelity (two upgrades over the round-1 shape):
+
+    - The clock starts at each target's ACTUAL start (recorded by the
+      worker), not at reap time — a target can never be flagged before
+      it has had ``timeout`` seconds of its own, and a still-queued
+      target (bounded window) is never reported timed out unrun.
+    - A timed-out target is really CANCELLED: each worker runs inside
+      its own Spark job group (thread-local in pinned-thread mode) and
+      the reaper calls ``cancelJobGroup``, interrupting any running
+      Spark jobs — matching the reference's process kill
+      (``impala-refresher.go:81-86``) without its goroutine leak.
     """
     fn = refresh_fn or refresh_table
+    sc = spark.sparkContext
     max_workers = concurrency if concurrency > 0 else max(len(tables), 1)
+    starts: dict[str, float] = {}
+    groups = {t: f"refresh-{i}-{t}" for i, t in enumerate(tables)}
+
+    def run_target(target: str) -> RefreshResult:
+        starts[target] = time.monotonic()
+        try:
+            sc.setJobGroup(groups[target], f"refresh {target}", interruptOnCancel=True)
+        except Exception:
+            pass  # job-group bookkeeping must never fail the refresh
+        try:
+            return fn(spark, target)
+        finally:
+            try:
+                sc.setJobGroup("", "")
+            except Exception:
+                pass
+
     results: list[RefreshResult] = []
     pool = ThreadPoolExecutor(max_workers=max_workers)
     try:
-        futures = {pool.submit(fn, spark, t): t for t in tables}
+        futures = {pool.submit(run_target, t): t for t in tables}
         for fut, target in futures.items():
-            try:
-                results.append(fut.result(timeout=timeout))
-            except FutureTimeout:
-                fut.cancel()  # unlike the reference, nothing leaks if it already runs
-                results.append(
-                    RefreshResult(
-                        target,
-                        False,
-                        f"{target}'s catalog did not refresh (timeout after {timeout}s)",
-                        int(timeout * 1000),
+            while True:
+                started_at = starts.get(target)
+                if started_at is None:
+                    # queued behind the concurrency window: its clock
+                    # has not started — poll until a worker picks it up
+                    try:
+                        results.append(fut.result(timeout=0.05))
+                        break
+                    except FutureTimeout:
+                        continue
+                remaining = timeout - (time.monotonic() - started_at)
+                if remaining <= 0:
+                    fut.cancel()
+                    try:  # stop the target's running Spark jobs for real
+                        sc.cancelJobGroup(groups[target])
+                    except Exception:
+                        pass
+                    results.append(
+                        RefreshResult(
+                            target,
+                            False,
+                            f"{target}'s catalog did not refresh (timeout after {timeout}s)",
+                            int(timeout * 1000),
+                        )
                     )
-                )
-            except Exception as exc:
-                results.append(
-                    RefreshResult(target, False, f"{target}'s catalog did not refresh: {exc}", 0)
-                )
+                    break
+                try:
+                    results.append(fut.result(timeout=remaining))
+                    break
+                except FutureTimeout:
+                    continue  # re-check: another target may have started meanwhile
+                except Exception as exc:
+                    results.append(
+                        RefreshResult(
+                            target, False, f"{target}'s catalog did not refresh: {exc}", 0
+                        )
+                    )
+                    break
     finally:
         # Do NOT wait for abandoned (timed-out) workers — the reference
         # leaks a blocked goroutine here; we just let the worker finish

@@ -402,7 +402,12 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """
     import shutil
 
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    from impala_refresher_spark.sources.tables import scratch_tag
+
+    # freshness-keyed: an in-place fixture update changes the tag, so a
+    # stale bucketed copy is never reused (it would diverge from the
+    # oracle, which always reads the raw files)
+    tag = scratch_tag(sf_dir, "orders", "customer")
     t_orders, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
     for name, src, key in ((t_orders, "orders", "o_custkey"), (t_cust, "customer", "c_custkey")):

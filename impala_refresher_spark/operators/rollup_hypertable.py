@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from impala_refresher_spark.registry import query
-from impala_refresher_spark.sources.tables import load_table
+from impala_refresher_spark.sources.tables import load_table, scratch_tag
 
 _SCRATCH = "/root/repo/_scratch"
 
@@ -66,8 +66,7 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-precision sums could straddle a rounding boundary). The oracle aggregates raw
     events — if the two-level path dropped or double-counted anything,
     every value column would diverge."""
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    path = f"{_SCRATCH}/events_hourly_rollup_{tag}"
+    path = f"{_SCRATCH}/events_hourly_rollup_{scratch_tag(sf_dir, 'events')}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         events = load_table(spark, sf_dir, "events")
         (

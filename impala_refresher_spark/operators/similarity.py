@@ -221,24 +221,51 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: signature = 8 sign bits from fixed hyperplanes (pure
     codegen arithmetic — the planes are literals, no model state);
-    candidates = equi-join on bucket id; exact cosine re-rank of
+    candidates = equi-join on bucket id, with each query probing TWO
+    buckets — its own, plus the bucket reached by flipping its weakest
+    plane (the plane with the smallest |margin|, i.e. the sign most
+    likely to disagree for a true neighbour); exact cosine re-rank of
     candidates; top-10 per query. Deterministic given the seed;
     recall vs brute force is asserted in tests, not SQL-checkable.
     """
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
     planes = _hyperplanes(8, _DIM)
 
-    def bucket_of(emb):
-        bits = []
-        for i, p in enumerate(planes):
-            plane = F.array(*[F.lit(v) for v in p])
-            bits.append(F.when(_dot(emb, plane) >= 0, 1 << i).otherwise(0))
+    def margins_of(emb):
+        return F.array(
+            *[_dot(emb, F.array(*[F.lit(v) for v in p])) for p in planes]
+        )
+
+    def bucket_of(margins):
+        bits = [
+            F.when(margins[i] >= 0, 1 << i).otherwise(0) for i in range(len(planes))
+        ]
         return sum(bits[1:], bits[0])
 
-    sigs = e.select("vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket"))
-    # queries: the first 5 vectors; probe their own bucket only (1-probe)
-    queries = sigs.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), F.col("bucket").alias("q_bucket")
+    sigs = e.select(
+        "vec_id", "embedding", bucket_of(margins_of(F.col("embedding"))).alias("bucket")
+    )
+    # queries: the first 5 vectors; multi-probe = own bucket + the
+    # weakest plane's sign flip (bucket XOR (1 << argmin |margin|))
+    abs_margins = F.transform(F.col("margins"), lambda m: F.abs(m))
+    # 1-based position of the weakest plane; flip masks indexed 1-based
+    weakest_pos = F.array_position(abs_margins, F.array_min(abs_margins))
+    flip_mask = F.array(*[F.lit(1 << i) for i in range(len(planes))])[
+        (weakest_pos - 1).cast("int")
+    ]
+    queries = (
+        e.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding", margins_of(F.col("embedding")).alias("margins"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(
+                F.array(
+                    bucket_of(F.col("margins")),
+                    bucket_of(F.col("margins")).bitwiseXOR(flip_mask),
+                )
+            ).alias("q_bucket"),
+        )
     )
     cands = sigs.join(
         F.broadcast(queries),

@@ -124,6 +124,24 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def scratch_tag(sf_dir: str, *names: str) -> str:
+    """Cache key for scratch materializations derived from fixture
+    tables: sf-dir basename + each source's mtime/size. An in-place
+    fixture update changes the tag, so a stale materialization is
+    simply never reused (the oracle always reads the raw files —
+    without this, cached scratch data silently diverges from it)."""
+    import os
+
+    parts = [os.path.basename(sf_dir.rstrip("/")).replace(".", "_")]
+    for n in names:
+        try:
+            st = os.stat(f"{sf_dir}/{n}.parquet")
+            parts.append(f"{st.st_mtime_ns:x}{st.st_size:x}")
+        except OSError:
+            parts.append("na")
+    return "_".join(parts)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -104,6 +104,61 @@ def test_refresh_many_unlimited_concurrency(spark):
     assert all_refreshed(results)
 
 
+def test_refresh_timeout_clock_starts_at_target_start(spark):
+    """With a bounded window, a queued target's timeout clock must not
+    start until a worker actually picks it up: 4 targets × 0.3 s behind
+    a 1-wide window take ~1.2 s wall total, but each is well under the
+    0.6 s per-target timeout — all must succeed."""
+
+    def slowish(s, name):
+        time.sleep(0.3)
+        return _ok(s, name)
+
+    results = refresh_many(
+        spark, [f"t{i}" for i in range(4)], timeout=0.6, concurrency=1, refresh_fn=slowish
+    )
+    assert all_refreshed(results), [r.error for r in results]
+
+
+def test_refresh_timeout_only_flags_the_slow_target(spark):
+    """One genuinely slow target times out ~timeout after ITS start;
+    the targets before and after it stay green."""
+
+    def mixed(s, name):
+        time.sleep(3 if name == "slow" else 0.05)
+        return _ok(s, name)
+
+    results = refresh_many(
+        spark, ["fast1", "slow", "fast2"], timeout=0.4, concurrency=1, refresh_fn=mixed
+    )
+    by_name = {r.target: r for r in results}
+    assert by_name["fast1"].refreshed and by_name["fast2"].refreshed
+    assert not by_name["slow"].refreshed
+    assert "timeout" in by_name["slow"].error
+
+
+def test_refresh_timeout_cancels_running_spark_job(spark):
+    """A timed-out target's underlying Spark job must actually STOP
+    (cancelJobGroup), matching the reference's process kill
+    (impala-refresher.go:81-86) — not keep burning executors."""
+    interrupted = threading.Event()
+
+    def runs_long_spark_job(s, name):
+        try:
+            # single-partition job that would run ~30 s uncancelled
+            s.range(300, numPartitions=1).foreach(lambda _: time.sleep(0.1))
+            return _ok(s, name)
+        except Exception:
+            interrupted.set()  # cancellation surfaced inside the job
+            return RefreshResult(name, False, "cancelled", 0)
+
+    results = refresh_many(
+        spark, ["longjob"], timeout=1.0, refresh_fn=runs_long_spark_job
+    )
+    assert not all_refreshed(results)
+    assert interrupted.wait(timeout=10), "Spark job was not cancelled on timeout"
+
+
 def test_recover_partitions_discovers_all(spark, sf_dir, tmp_path_factory):
     from impala_refresher_spark.sources.tables import load_table
 
