@@ -337,3 +337,51 @@ def quality_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rep_ratio") > 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test corpus split
+# ---------------------------------------------------------------------------
+
+@query(
+    "train_val_test_split",
+    """
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/5/5 train/val/test split by key-hash prefix
+    (md5 agrees across engines byte-for-byte — cf.
+    sample_hash_deterministic): every engine, rerun, and repartition
+    assigns each doc_id to the same split, which is the property a
+    training pipeline needs (no leakage drift between runs).
+
+    The assignment is a pure projection (map-only at 100 TB — writers
+    typically partitionBy(split) on the way out); the summary
+    aggregate here makes the differential check cover every row's
+    assignment without hashing 100 TB of text."""
+    from impala_refresher_spark.sources.tables import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "0d", "test").when(prefix < "1a", "val").otherwise("train")
+    )
+    return (
+        d.select(F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -392,6 +392,40 @@ def _embedding_dedup_oracle() -> str:
     """
 
 
+@query(
+    "window_dedup_keep_first",
+    """
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def window_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup over an event log: one surviving row per
+    (user_id, event_type), the earliest by event time (event_id
+    tie-break makes survival deterministic, not partition luck).
+
+    Plan: one shuffle on the dedup key, per-group sort, row_number —
+    the window frame never materializes a group in memory beyond the
+    sort spill machinery, so a hot key degrades to disk, not OOM.
+    (dropDuplicates has keep-SOME semantics; ordered survival needs
+    the window form.)"""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
 @query("dedup_embedding_cosine", _embedding_dedup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup with keep-first policy: any vector

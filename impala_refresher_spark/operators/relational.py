@@ -971,3 +971,42 @@ def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ck"))
     b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("ck"))
     return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries through the SQL front-end
+# ---------------------------------------------------------------------------
+
+@query(
+    "sql_exists_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice > 400000)
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS via ``spark.sql`` — Catalyst
+    decorrelates both into a left-semi and a left-anti join on
+    o_custkey (no per-row re-execution), with the totalprice filters
+    pushed below the joins into the orders scan. The identical SQL
+    text runs on the oracle, so this checks the SQL front-end path,
+    not just the DataFrame builders."""
+    from impala_refresher_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice > 400000)
+        """
+    )

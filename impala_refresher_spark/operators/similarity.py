@@ -360,6 +360,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed vector aggregation: per-label centroids (the IVF/k-means
+# training step as a first-class operator)
+# ---------------------------------------------------------------------------
+
+@query(
+    "label_centroids",
+    """
+    SELECT label,
+           CAST(pos AS INTEGER) AS dim,
+           ROUND(AVG(val), 6) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM (
+      SELECT label,
+             UNNEST(range(1, len(embedding) + 1)) AS pos,
+             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean of the embedding vectors — the
+    distributed centroid computation behind k-means/IVF index training
+    and class-prototype analysis.
+
+    Plan: posexplode to (label, dim, val) rows, then ONE partial-
+    aggregable hash aggregate on (label, dim). The explode widens rows
+    64× but every value is needed exactly once and the aggregate
+    combines map-side, so the shuffle carries only
+    #labels × dim partials — at 100 TB this is the shape that works,
+    vs. collecting vectors per label (OOM) or driver-side averaging.
+    DuckDB's UNNEST WITH ORDINALITY is 1-based; posexplode +1 aligns.
+    """
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # L7 — multimodal join: documents ⋈ embeddings (text + vector + metadata)
 # ---------------------------------------------------------------------------
 

@@ -369,3 +369,49 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: (acc * 31 + x) % 1000000007,
         ).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / denylist redaction — regex scrub over the corpus
+# ---------------------------------------------------------------------------
+
+# One alternation, applied identically in Spark (Java regex) and the
+# DuckDB oracle (RE2): emails, URLs, long digit runs (ID/phone-like),
+# plus a denylist of terms (the entity-scrub path; the fixture corpus
+# contains denylist hits, so the differential is non-degenerate).
+_PII_PATTERN = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    r"|https?://\S+"
+    r"|\b\d{4,}\b"
+    r"|\bcustomer\b|\bsupplier\b"
+)
+
+
+@query(
+    "text_redact_pii",
+    f"""
+    SELECT doc_id,
+           regexp_replace(text, '{_PII_PATTERN}', '[REDACTED]', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERN}')) AS INTEGER) AS n_redactions
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{_PII_PATTERN}')) > 0
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / denylist scrub: replace emails, URLs, long digit runs and
+    denylisted terms with a redaction token, reporting per-doc hit
+    counts — the compliance pass every training corpus goes through.
+
+    Pure codegen: regexp_replace + regexp_count on the scan, filter on
+    the count — fully parallel, no shuffle at all (the 100 TB shape:
+    a map-only job). Patterns live in one shared alternation so Spark
+    and the oracle scrub byte-identically."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_replace("text", _PII_PATTERN, "[REDACTED]").alias("clean_text"),
+            F.regexp_count("text", F.lit(_PII_PATTERN)).cast("int").alias("n_redactions"),
+        )
+        .filter(F.col("n_redactions") > 0)
+    )

@@ -126,6 +126,28 @@ def test_blocked_pair_join_emits_each_pair_once(spark):
     assert len(pairs) == len(set(pairs))  # no duplicate emissions
 
 
+def test_exists_subqueries_decorrelate_to_semi_anti_joins(spark):
+    """Correlated EXISTS / NOT EXISTS must compile to one semi and one
+    anti join — never per-row subquery re-execution or a cartesian."""
+    from impala_refresher_spark.operators.relational import sql_exists_subquery
+
+    plan = plan_of(sql_exists_subquery(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_redact_pii_is_map_only(spark):
+    """The redaction pass is a pure projection+filter: any Exchange in
+    the plan means a shuffle crept into what must be a map-only job."""
+    from impala_refresher_spark.operators.text import text_redact_pii
+
+    plan = plan_of(text_redact_pii(spark, SF_SMOKE))
+    # fan_out's round-robin widening is allowed; keyed shuffles are not
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_dedup_pair_generation_has_no_self_join(spark):
     """Jaccard + MinHash dedup must generate candidate pairs from
     posting lists (single shuffle), never via an exploded self-join."""
