@@ -5,6 +5,7 @@ from impala_refresher_spark.streaming.windows import (
     stateful_user_totals,
     stream_dedup,
     tumbling_window_counts,
+    view_purchase_join,
     watermarked_counts,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "stateful_user_totals",
     "stream_dedup",
     "tumbling_window_counts",
+    "view_purchase_join",
     "watermarked_counts",
 ]

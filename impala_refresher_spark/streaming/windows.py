@@ -207,6 +207,79 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T6 — stream-stream interval join (view → purchase attribution)
+# ---------------------------------------------------------------------------
+
+def view_purchase_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Equi-join on user_id with an event-time interval bound: each
+    view matches the purchases that follow it within ``horizon``.
+
+    In streaming mode pass ``watermark`` — both sides are watermarked
+    and the time bound lets Spark evict join state once the watermark
+    passes a row's match window (without the bound, stream-stream join
+    state grows forever). The batch path is the same join minus the
+    watermarks, so the DuckDB oracle checks the join semantics exactly.
+
+    Scale shape: one shuffle per side on user_id, range condition as
+    join residual — the standard interval-join plan; state (streaming)
+    is bounded by watermark + horizon per user.
+    """
+    if watermark is not None:
+        views = views.withWatermark("ts", watermark)
+        purchases = purchases.withWatermark("ts", watermark)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"interval {horizon}")),
+        )
+        .select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    )
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6's transform on the batch view of the stream; the genuinely
+    streaming execution (two readStreams, watermarks both sides,
+    state-evicting interval join) runs in tests/test_streaming.py."""
+    events = load_table(spark, sf_dir, "events")
+    return view_purchase_join(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful operator — applyInPandasWithState
 # ---------------------------------------------------------------------------
 

@@ -122,6 +122,30 @@ def test_t4_watermark_drops_late_data(spark):
     assert got[datetime(2024, 1, 1, 1, 0)] == 2  # both on-time 01:0x events counted
 
 
+def test_t6_stream_stream_join_equals_batch(spark, sf_dir, events_stream_dir):
+    """Stream-stream interval join (watermarks both sides, time-bound
+    state eviction) must produce the same matches as the batch join."""
+    from impala_refresher_spark.streaming import view_purchase_join
+
+    def make(df_stream):
+        return view_purchase_join(
+            df_stream.filter(F.col("event_type") == "view"),
+            df_stream.filter(F.col("event_type") == "purchase"),
+            watermark="10 minutes",
+        )
+
+    got = run_stream_to_memory(
+        spark, make, events_stream_dir, EVENTS_SCHEMA,
+        query_name="t6_out", output_mode="append",
+    )
+    batch = load_table(spark, sf_dir, "events")
+    want = view_purchase_join(
+        batch.filter(F.col("event_type") == "view"),
+        batch.filter(F.col("event_type") == "purchase"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_stateful_totals_accumulate_across_batches(spark):
     """applyInPandasWithState must carry per-key state between
     micro-batches: the same user appearing in two batches yields a
