@@ -126,6 +126,27 @@ def test_blocked_pair_join_emits_each_pair_once(spark):
     assert len(pairs) == len(set(pairs))  # no duplicate emissions
 
 
+def test_tpch_q6_predicates_all_push_to_scan(spark):
+    """Q6 must be scan-bound: every predicate in PushedFilters, no join
+    anywhere — the one-pass partial-aggregate shape."""
+    from impala_refresher_spark.operators.tpch import tpch_q6_forecast_revenue
+
+    plan = plan_of(tpch_q6_forecast_revenue(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"):
+        assert frag in plan, frag
+    assert "Join" not in plan
+
+
+def test_tpch_q10_broadcasts_nation(spark):
+    from impala_refresher_spark.operators.tpch import tpch_q10_returned_items
+
+    plan = plan_of(tpch_q10_returned_items(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 without a global sort
+
+
 def test_exists_subqueries_decorrelate_to_semi_anti_joins(spark):
     """Correlated EXISTS / NOT EXISTS must compile to one semi and one
     anti join — never per-row subquery re-execution or a cartesian."""
