@@ -77,6 +77,10 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
     rollup = spark.read.parquet(path)
+    return _serve_daily(rollup)
+
+
+def _serve_daily(rollup: DataFrame) -> DataFrame:
     return (
         rollup.groupBy(
             F.to_date(F.date_trunc("day", "bucket_hour")).alias("day"),
@@ -87,4 +91,72 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sum_value"), 2).alias("total_value"),
             F.round(F.round(F.sum("sum_value"), 2) / F.sum("n"), 2).alias("avg_value"),
         )
+    )
+
+
+def refresh_rollup_incremental(
+    spark: SparkSession, events: DataFrame, path: str, days
+) -> None:
+    """Append/overwrite ONLY the given days' partitions of the hourly
+    rollup at ``path`` — the continuous-aggregate maintenance step.
+
+    Dynamic partition overwrite makes the refresh idempotent per day
+    (re-running a day replaces exactly that day's files, never the
+    whole table), and the day filter prunes the source scan — at
+    100 TB the refresh reads one day of events and writes one
+    partition directory, regardless of table history size."""
+    day_list = [str(d) for d in days]
+    if not day_list:
+        return
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            hourly_rollup(events.filter(F.to_date("ts").isin(day_list)))
+            .repartition("bucket_date")
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+@query(
+    "hypertable_rollup_incremental",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance correctness, end to end: build the
+    rollup WITHOUT the last day, refresh that day through the
+    incremental path (dynamic partition overwrite), and serve the
+    daily aggregate from the result. The oracle aggregates ALL raw
+    events — if the incremental append dropped, duplicated, or
+    double-merged anything, the last day's rows diverge.
+    """
+    from impala_refresher_spark.sources.tables import scratch_tag
+
+    events = load_table(spark, sf_dir, "events")
+    path = f"{_SCRATCH}/events_rollup_incr_{scratch_tag(sf_dir, 'events')}"
+    last_day = events.agg(F.max(F.to_date("ts")).alias("d")).collect()[0].d
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            hourly_rollup(events.filter(F.to_date("ts") < F.lit(str(last_day))))
+            .repartition("bucket_date")
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(path)
+        )
+    # the maintenance step under test: bring the last day in incrementally
+    # (idempotent: re-runs replace exactly that day's partition)
+    refresh_rollup_incremental(spark, events, path, [last_day])
+    return _serve_daily(spark.read.parquet(path)).select(
+        "day", "event_type", "n", "total_value"
     )

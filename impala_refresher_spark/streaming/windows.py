@@ -392,6 +392,41 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming harness
 # ---------------------------------------------------------------------------
 
+def run_stream_foreach_batch_parquet(
+    spark: SparkSession,
+    source_df_transform,
+    events_path: str,
+    schema,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """Production sink pattern: stream → foreachBatch → parquet.
+
+    foreachBatch hands each micro-batch to ordinary batch-writer code;
+    with append output mode only watermark-finalized rows reach the
+    sink, so the parquet directory accumulates exactly-once results
+    (the checkpoint replays an epoch only if its write never
+    committed). This is how a 100 TB/day pipeline lands streaming
+    aggregates in a lake table — same writer API as the batch sinks,
+    partitionBy/bucketBy included."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(out_path)
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    q = (
+        source_df_transform(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_df_transform,

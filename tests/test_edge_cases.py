@@ -97,6 +97,19 @@ def test_topk_tiebreak_is_deterministic(spark):
     assert sorted(r.id for r in top2.collect()) == [1, 2]
 
 
+def test_incremental_rollup_refresh_is_idempotent(spark, sf_dir):
+    """Re-running the incremental maintenance step must replace the
+    refreshed day's partition, not duplicate it (dynamic partition
+    overwrite) — same served rows on every run."""
+    from impala_refresher_spark.operators.rollup_hypertable import (
+        hypertable_rollup_incremental,
+    )
+
+    a = sorted(map(tuple, hypertable_rollup_incremental(spark, sf_dir).collect()))
+    b = sorted(map(tuple, hypertable_rollup_incremental(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_except_all_keeps_multiplicity(spark):
     """exceptAll is bag semantics: {a,a,b} minus {a} = {a,b}."""
     left = spark.createDataFrame([(1,), (1,), (2,)], "x int")

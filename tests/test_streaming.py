@@ -229,6 +229,35 @@ def test_stateful_totals_state_is_evicted_after_ttl(spark):
     assert user1 == [1, 2]  # batch-1 total 2; post-eviction restart at 1
 
 
+def test_foreach_batch_parquet_sink_lands_finalized_windows(spark):
+    """foreachBatch → parquet must land exactly the watermark-finalized
+    windows (append mode): late-closed windows appear once the
+    watermark passes them; open windows never reach the sink."""
+    from impala_refresher_spark.streaming.windows import (
+        run_stream_foreach_batch_parquet,
+    )
+
+    src = f"{SCRATCH}/fb_src"
+    out = f"{SCRATCH}/fb_out"
+    ckpt = f"{SCRATCH}/fb_ckpt"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    # window 00:00 gets 3 events; the event at 01:00 advances the
+    # watermark (15 min delay) past 00:10, closing window 00:00.
+    _write_batch(spark, [(1, t(0)), (2, t(3)), (3, t(7)), (4, t(60))], src, "overwrite")
+    run_stream_foreach_batch_parquet(
+        spark,
+        lambda s: watermarked_counts(s, delay="15 minutes"),
+        src, EVENTS_SCHEMA, out, ckpt,
+    )
+    got = {r.window_start: r.n for r in spark.read.parquet(out).collect()}
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert got == {datetime(2024, 1, 1, 0, 0): 3}  # closed window only
+
+
 def test_t5_stateful_dedup_drops_duplicate_ids(spark):
     path = f"{SCRATCH}/dedup_src"
     shutil.rmtree(path, ignore_errors=True)
