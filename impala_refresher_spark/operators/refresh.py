@@ -258,6 +258,62 @@ def refresh_many_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_list_tables",
+    """
+    SELECT t AS table_name, TRUE AS is_temporary
+    FROM (VALUES ('lineitem'), ('nation'), ('orders'), ('region')) v(t)
+    """,
+)
+def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog introspection (the SHOW TABLES an Impala user runs
+    constantly): register four fixture views, list the catalog,
+    project the deterministic columns. ``spark.catalog.listTables``
+    is the programmatic twin of ``SHOW TABLES``."""
+    wanted = ("lineitem", "nation", "orders", "region")
+    _register_fixture_views(spark, sf_dir, wanted)
+    rows = [
+        (t.name, t.isTemporary)
+        for t in spark.catalog.listTables()
+        if t.name in wanted
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        T.StructType(
+            [
+                T.StructField("table_name", T.StringType(), False),
+                T.StructField("is_temporary", T.BooleanType(), False),
+            ]
+        ),
+    )
+
+
+@query(
+    "catalog_describe_table",
+    """
+    SELECT c AS col_name, dt AS data_type
+    FROM (VALUES ('o_orderkey', 'bigint'), ('o_custkey', 'bigint'),
+                 ('o_orderstatus', 'string'), ('o_totalprice', 'double'),
+                 ('o_orderdate', 'timestamp_ntz'), ('o_orderpriority', 'string')) v(c, dt)
+    """,
+)
+def catalog_describe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE <table> via the catalog API: column names + Spark SQL
+    type strings for the orders view — schema introspection as a
+    result set, matching Impala's DESCRIBE workflow."""
+    _register_fixture_views(spark, sf_dir, ("orders",))
+    cols = [(c.name, c.dataType) for c in spark.catalog.listColumns("orders")]
+    return spark.createDataFrame(
+        cols,
+        T.StructType(
+            [
+                T.StructField("col_name", T.StringType(), False),
+                T.StructField("data_type", T.StringType(), False),
+            ]
+        ),
+    )
+
+
+@query(
     "recover_partitions_status",
     """
     SELECT 'events_partitioned' AS table_name,

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from impala_refresher_spark.registry import query
-from impala_refresher_spark.sources.tables import load_table, scratch_tag
+from impala_refresher_spark.sources.tables import load_table, scratch_path
 
 _SCRATCH = "/root/repo/_scratch"
 
@@ -66,7 +66,7 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-precision sums could straddle a rounding boundary). The oracle aggregates raw
     events — if the two-level path dropped or double-counted anything,
     every value column would diverge."""
-    path = f"{_SCRATCH}/events_hourly_rollup_{scratch_tag(sf_dir, 'events')}"
+    path = scratch_path(_SCRATCH, "events_hourly_rollup", sf_dir, "events")
     if not os.path.exists(f"{path}/_SUCCESS"):
         events = load_table(spark, sf_dir, "events")
         (
@@ -141,10 +141,8 @@ def hypertable_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     events — if the incremental append dropped, duplicated, or
     double-merged anything, the last day's rows diverge.
     """
-    from impala_refresher_spark.sources.tables import scratch_tag
-
     events = load_table(spark, sf_dir, "events")
-    path = f"{_SCRATCH}/events_rollup_incr_{scratch_tag(sf_dir, 'events')}"
+    path = scratch_path(_SCRATCH, "events_rollup_incr", sf_dir, "events")
     last_day = events.agg(F.max(F.to_date("ts")).alias("d")).collect()[0].d
     if not os.path.exists(f"{path}/_SUCCESS"):
         (

@@ -142,6 +142,35 @@ def scratch_tag(sf_dir: str, *names: str) -> str:
     return "_".join(parts)
 
 
+def scratch_path(base: str, prefix: str, sf_dir: str, *names: str) -> str:
+    """Freshness-keyed scratch dir ``{base}/{prefix}_{sf}_{content-hex}``.
+
+    Deletes stale siblings of the SAME (prefix, sf) group — earlier
+    fixture versions' dead copies — while other scale factors' caches
+    (different sf component) are untouched, so multi-SF runs (warm at
+    sf0.001, timed at sf0.1) never churn each other's materializations."""
+    import os
+    import shutil
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    hexes = []
+    for n in names:
+        try:
+            st = os.stat(f"{sf_dir}/{n}.parquet")
+            hexes.append(f"{st.st_mtime_ns:x}{st.st_size:x}")
+        except OSError:
+            hexes.append("na")
+    group = f"{prefix}_{sf}"
+    want = f"{group}_{'_'.join(hexes)}"
+    try:
+        for entry in os.listdir(base):
+            if entry.startswith(f"{group}_") and entry != want:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    except OSError:
+        pass
+    return os.path.join(base, want)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -372,10 +372,10 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one final row per user.)"""
     import os
 
-    from impala_refresher_spark.sources.tables import scratch_tag
+    from impala_refresher_spark.sources.tables import scratch_path
 
     events = load_table(spark, sf_dir, "events")
-    path = f"/root/repo/_scratch/stateful_src_{scratch_tag(sf_dir, 'events')}"
+    path = scratch_path("/root/repo/_scratch", "stateful_src", sf_dir, "events")
     if not os.path.exists(f"{path}/_SUCCESS"):  # micros; raw fixture is nanos
         events.write.mode("overwrite").parquet(path)
     return run_stream_to_memory(

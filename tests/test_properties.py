@@ -96,3 +96,34 @@ def test_exceptall_intersectall_bag_semantics(spark, xs, ys):
     want_intersect = sorted((cx & cy).elements())
     assert sorted(r.x for r in left.exceptAll(right).collect()) == want_except
     assert sorted(r.x for r in left.intersectAll(right).collect()) == want_intersect
+
+
+@st.composite
+def pair_block_case(draw):
+    """Random id sets across up to 3 blocks (ids unique globally)."""
+    ids = draw(st.lists(st.integers(0, 200), min_size=2, max_size=24, unique=True))
+    labels = [draw(st.sampled_from(["x", "y", "z"])) for _ in ids]
+    return list(zip(ids, labels))
+
+
+@given(pair_block_case())
+@settings(**_SETTINGS)
+def test_blocked_pair_join_matches_bruteforce(spark, case):
+    """Triangle partitioning must emit exactly the within-block ordered
+    pairs, for arbitrary block compositions and salt collisions."""
+    from impala_refresher_spark.operators.similarity import blocked_pair_join
+
+    u = spark.createDataFrame(case, "vec_id long, label string")
+    got = sorted(
+        (r.x, r.y)
+        for r in blocked_pair_join(u, "label", "vec_id")
+        .select(F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"))
+        .collect()
+    )
+    want = sorted(
+        (min(a, b), max(a, b))
+        for i, (a, la) in enumerate(case)
+        for b, lb in case[i + 1:]
+        if la == lb
+    )
+    assert got == want
