@@ -451,3 +451,94 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b.vec_id").alias("drop_id"))
         .agg(F.min(F.col("a.vec_id")).alias("canonical_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the similarity pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list → (node,
+    component) where component = the smallest node id reachable.
+
+    This is the iterative dataflow shape (cf. large-star/small-star):
+    each round every node takes the min label over itself and its
+    neighbours; rounds needed = graph diameter. Each round is one
+    shuffle (join on node + groupBy); ``localCheckpoint`` truncates the
+    growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    The per-round convergence count is a legitimate driver-side scalar
+    (one long), not a data collect."""
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _cluster_components_oracle() -> str:
+    from impala_refresher_spark.operators.similarity import _SQL_UNIT, _sql_dot
+
+    return f"""
+    WITH RECURSIVE u AS (SELECT vec_id, label, {_SQL_UNIT("embedding")} AS uv FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_sql_dot("a.uv", "b.uv")} >= 0.35
+    ),
+    edges AS (SELECT pa AS src, pb AS dst FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    walk(node, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.node
+    )
+    SELECT node AS vec_id, CAST(MIN(reach) AS BIGINT) AS component_id
+    FROM walk GROUP BY node
+    """
+
+
+@query("dedup_cluster_components", _cluster_components_oracle())
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    embedding-cosine similarity graph — every vector in a component
+    shares its component_id (the smallest member id), which is the
+    survivor-selection structure corpus dedup actually needs (A~B~C
+    must collapse to ONE survivor even when A,C were never directly
+    compared). Oracle: recursive-CTE transitive closure in DuckDB."""
+    from impala_refresher_spark.operators.similarity import _dot, _unit, blocked_pair_join
+
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    u = e.select("vec_id", "label", _unit(F.col("embedding")).alias("uv"))
+    pairs = (
+        blocked_pair_join(u, "label", "vec_id")
+        .filter(_dot(F.col("a.uv"), F.col("b.uv")) >= 0.35)
+        .select(F.col("a.vec_id").alias("pa"), F.col("b.vec_id").alias("pb"))
+    )
+    return connected_components(pairs, "pa", "pb").select(
+        F.col("node").alias("vec_id"), F.col("label").alias("component_id")
+    )

@@ -103,3 +103,13 @@ def test_media_table_schema_and_batching(spark, sf_dir):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, D~E must yield components {A,B,C} and {D,E} — the
+    transitive collapse pairwise dedup alone cannot express."""
+    from impala_refresher_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
