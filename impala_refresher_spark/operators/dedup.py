@@ -542,3 +542,47 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "pa", "pb").select(
         F.col("node").alias("vec_id"), F.col("label").alias("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup — new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_incremental_batch",
+    """
+    WITH corpus AS (
+      SELECT DISTINCT sha256(text) AS text_hash FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, sha256(text) AS text_hash
+      FROM documents WHERE doc_id % 10 = 0
+      GROUP BY sha256(text)
+    )
+    SELECT b.doc_id, b.text_hash
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text_hash = b.text_hash)
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: admit only new-batch documents whose
+    content hash is absent from the already-ingested corpus, keeping
+    one survivor (min doc_id) per hash within the batch itself.
+
+    This is the daily-crawl shape at 100 TB: the corpus side is ONLY
+    its 32-byte hash column (pruned at scan), the batch dedups
+    map-side before the anti-join, and the anti-join shuffles hashes,
+    never documents. The corpus hash set can be a bucketed table so
+    repeated daily runs skip its shuffle entirely. Fixture split:
+    doc_id % 10 == 0 plays the new batch, the rest the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select(
+        F.sha2("text", 256).alias("text_hash")
+    ).distinct()
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch.join(corpus, "text_hash", "left_anti").select("doc_id", "text_hash")

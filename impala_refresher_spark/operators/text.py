@@ -415,3 +415,75 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_redactions") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus heavy hitters — global top-k frequent tokens
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_top_tokens",
+    """
+    SELECT token, n FROM (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    )
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global heavy hitters: top-50 tokens by corpus frequency with a
+    deterministic tie-break (count desc, token asc).
+
+    Scale shape: explode → map-side partial count collapses the token
+    blowup before the shuffle, and orderBy+limit compiles to
+    TakeOrderedAndProject — each partition keeps only its own top 50,
+    so the driver merges k*partitions rows, never the full vocabulary."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_char_entropy",
+    """
+    WITH c AS (SELECT doc_id, string_split(text, '') AS chars FROM documents)
+    SELECT doc_id,
+           ROUND(list_sum(list_transform(list_distinct(chars), ch ->
+             - (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))
+               * log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))
+           )), 2) AS char_entropy
+    FROM c
+    """,
+)
+def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document character distribution — a
+    cheap perplexity proxy: boilerplate/repeated-char spam scores low,
+    natural prose sits near the language's typical 4-4.5 bits.
+
+    Entirely higher-order-function codegen (split → distinct →
+    per-char filter counts → -Σ p·log2 p): no explode, no shuffle, no
+    Python — a pure narrow map over documents, embarrassingly parallel
+    at any scale."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    chars = F.split("text", "")
+    n = F.size(chars)
+    ent = F.aggregate(
+        F.array_distinct(chars),
+        F.lit(0.0),
+        lambda acc, ch: acc
+        - (F.size(F.filter(chars, lambda x: x == ch)) / n)
+        * F.log2(F.size(F.filter(chars, lambda x: x == ch)) / n),
+    )
+    return d.select("doc_id", F.round(ent, 2).alias("char_entropy"))

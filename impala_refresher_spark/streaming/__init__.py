@@ -1,4 +1,5 @@
 from impala_refresher_spark.streaming.windows import (
+    enrich_with_customer,
     run_stream_to_memory,
     session_window_agg,
     sliding_window_agg,
@@ -10,6 +11,7 @@ from impala_refresher_spark.streaming.windows import (
 )
 
 __all__ = [
+    "enrich_with_customer",
     "run_stream_to_memory",
     "session_window_agg",
     "sliding_window_agg",

@@ -389,6 +389,57 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T7 — stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch of events joins the static
+    customer dimension, then aggregates purchases per market segment.
+
+    The static side of a stream-static join is re-planned per
+    micro-batch (picking up dimension updates) and broadcast when
+    small — no streaming state at all, unlike stream-stream joins.
+    This is the standard streaming-enrichment shape: keep dimensions
+    as lake tables, join them into the stream, aggregate after."""
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+        )
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(dim, "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "stream_static_enrich",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7's transform on the batch view of the stream (identical join
+    plan — the static dim broadcasts either way); the genuinely
+    streaming execution (readStream → stream-static join → complete-
+    mode memory sink) runs in tests/test_streaming.py."""
+    return enrich_with_customer(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming harness
 # ---------------------------------------------------------------------------
 

@@ -270,3 +270,18 @@ def test_t5_stateful_dedup_drops_duplicate_ids(spark):
     ids = sorted(r.event_id for r in got.collect())
     shutil.rmtree(path, ignore_errors=True)
     assert ids == [1, 2]  # duplicate event_id=1 emitted exactly once
+
+
+def test_t7_stream_static_enrich_equals_batch(spark, sf_dir, events_stream_dir):
+    """Stream-static join: the static customer dim joins each
+    micro-batch; complete-mode aggregate must equal the batch plan."""
+    from impala_refresher_spark.streaming import enrich_with_customer
+
+    customer = load_table(spark, sf_dir, "customer")
+    got = run_stream_to_memory(
+        spark, lambda ev: enrich_with_customer(ev, customer),
+        events_stream_dir, EVENTS_SCHEMA,
+        query_name="t7_out", output_mode="complete",
+    )
+    want = enrich_with_customer(load_table(spark, sf_dir, "events"), customer)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
