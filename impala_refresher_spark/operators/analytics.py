@@ -385,3 +385,45 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiling — the diagnostic that decides salt/broadcast
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_key_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT o_custkey AS join_key, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+           CAST(floor(quantile_cont(n_rows, 0.5)) AS BIGINT) AS p50_rows,
+           CAST(floor(quantile_cont(n_rows, 0.99)) AS BIGINT) AS p99_rows,
+           ROUND(CAST(MAX(n_rows) AS DOUBLE) / AVG(n_rows), 2) AS skew_factor
+    FROM per_key
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight diagnostic for every big join: per-key row-count
+    distribution (p50/p99/max + max/mean skew factor) over the
+    prospective join key. skew_factor >> p99/p50 says "one hot key" —
+    salt it (join_skew_salted) or route it through AQE's skew split;
+    a flat profile says plain shuffle join is fine.
+
+    Two partial-aggregable passes (count per key, then moments over
+    the counts) — profiling a 100 TB fact table costs one column scan,
+    which is why you run it BEFORE burning a day on a skewed join."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("join_key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+        F.floor(F.expr("percentile(n_rows, 0.5)")).cast("bigint").alias("p50_rows"),
+        F.floor(F.expr("percentile(n_rows, 0.99)")).cast("bigint").alias("p99_rows"),
+        F.round(F.max("n_rows") / F.avg("n_rows"), 2).alias("skew_factor"),
+    )

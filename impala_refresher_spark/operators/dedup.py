@@ -468,8 +468,13 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iter:
     growing lineage so round N's plan doesn't replay rounds 1..N-1.
     The per-round convergence count is a legitimate driver-side scalar
     (one long), not a data collect."""
-    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
-        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    # Checkpoint the (symmetrized) edge list ONCE: it feeds the join in
+    # every round, and without the cut each round would re-execute the
+    # upstream pair-generation plan (the expensive similarity join).
+    sym = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -480,22 +485,27 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iter:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Carry the convergence flag in-row: the checkpointed result
+        # answers "did anything change?" with a cheap filter-count over
+        # materialized partitions instead of a third join per round.
         new_labels = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+            .select(
+                "node",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("old_label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "label")
+        if new_labels.filter("chg").count() == 0:
             break
     return labels
 

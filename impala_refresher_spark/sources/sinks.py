@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
 
 SCRATCH = "/root/repo/_scratch"
 
@@ -78,9 +79,75 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     it as a string field, the reader restores it byte-identically."""
     out = f"{SCRATCH}/events_purchases.json"
     df = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load_table(spark, sf_dir, "events")  # nanos-safe under any session
         .filter(F.col("event_type").isin("purchase", "signup"))
         .select("event_id", "event_type", "value", "props")
     )
     df.write.mode("overwrite").json(out)
     return spark.read.schema(df.schema).json(out)
+
+
+@query(
+    "sink_orc_roundtrip",
+    """
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part
+    WHERE p_retailprice > 950
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 ORC: the other JVM-native columnar format (stripe-level
+    statistics and predicate pushdown, like parquet row groups) —
+    write a filtered projection, read it back. Interop surface for
+    Hive-era lakes; parquet stays the default."""
+    out = f"{SCRATCH}/part_premium.orc"
+    df = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_retailprice") > 950)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
+    df.write.mode("overwrite").orc(out)
+    return spark.read.schema(df.schema).orc(out)
+
+
+@query(
+    "compact_small_files",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance compaction: rewrite a fragmented table into
+    few size-targeted, time-clustered files, then serve from the
+    compacted copy (returned re-read must match the source exactly —
+    compaction may never change data).
+
+    The fragmented input is manufactured once (a 64-way unclustered
+    write — the classic streaming-ingest debris). The compaction pass
+    is ``repartitionByRange(ts)`` + in-file sort: range partitioning
+    sets the output file COUNT (at 100 TB: total_bytes / target_size
+    instead of a constant), and time-clustering gives every file a
+    tight ts min/max so row-group pruning works for time-range scans —
+    compaction is exactly where that ordering is cheapest to buy."""
+    import os
+
+    from impala_refresher_spark.sources.tables import scratch_path
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    frag = scratch_path(SCRATCH, "frag_events", sf_dir, "events")
+    if not os.path.exists(f"{frag}/_SUCCESS"):
+        events.repartition(64).write.mode("overwrite").parquet(frag)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = f"{SCRATCH}/compacted_events_{sf}.parquet"
+    (
+        spark.read.parquet(frag)
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select("event_id", "user_id", "event_type", "value")

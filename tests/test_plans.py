@@ -181,3 +181,28 @@ def test_dedup_pair_generation_has_no_self_join(spark):
     # stage joins shingle arrays back, which is expected
     mh = plan_of(dedup_minhash_lsh(spark, SF_SMOKE))
     assert "CartesianProduct" not in mh and "BroadcastNestedLoopJoin" not in mh
+
+
+def test_top_tokens_avoids_global_sort(spark):
+    """Global heavy hitters must compile to TakeOrderedAndProject
+    (per-partition top-k + driver merge), never a full Exchange
+    rangepartitioning + Sort of the whole vocabulary."""
+    from impala_refresher_spark.operators.text import text_top_tokens
+
+    plan = plan_of(text_top_tokens(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_incremental_dedup_prunes_corpus_scan(spark):
+    """The corpus side of the incremental anti-join must read ONLY the
+    text column (hash input) — scanning full documents for a hash-set
+    membership check would move documents, not hashes, at 100 TB."""
+    from impala_refresher_spark.operators.dedup import dedup_incremental_batch
+
+    plan = plan_of(dedup_incremental_batch(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    # every documents scan in this plan reads at most doc_id + text
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "lang" not in line and "source" not in line and "n_chars" not in line
