@@ -89,3 +89,91 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e.select("vec_id", "label"), quality.doc_id == F.col("vec_id"))
         .select("doc_id", "lang", "source", "n_chars", "n_tokens", "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition: stratified sampling + deterministic training order
+# ---------------------------------------------------------------------------
+
+# Per-language sampling thresholds on the first md5 byte (hex): en is
+# downsampled to ~16% (0x28/0xff), every other language kept at ~80%
+# (0xcc/0xff) — the standard rebalance-the-dominant-language shape.
+_LANG_KEEP_HEX = {"en": "28"}
+_DEFAULT_KEEP_HEX = "cc"
+
+
+@query(
+    "sample_stratified_by_source",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          <= CASE lang WHEN 'en' THEN '{_LANG_KEEP_HEX["en"]}' ELSE '{_DEFAULT_KEEP_HEX}' END
+    """,
+)
+def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling with a per-stratum rate (rebalance
+    languages: keep ~16% of dominant en, ~80% of the rest), driven by
+    a key-hash threshold instead of an RNG — reproducible across
+    reruns, partitionings, and engines, and it pushes down as a plain
+    filter (no shuffle, no sort, no sampling operator).
+
+    At 100 TB this is THE way to cut balanced subcorpora: rates are a
+    tiny CASE lookup (broadcast semantics for free), and because the
+    hash is on the stable document key, re-running after new ingests
+    keeps previously-selected documents selected (append-only sample
+    stability, which RNG sampling cannot give)."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = F.when(F.col("lang") == "en", F.lit(_LANG_KEEP_HEX["en"])).otherwise(
+        F.lit(_DEFAULT_KEEP_HEX)
+    )
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= keep
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "corpus_shuffle_interleave",
+    """
+    WITH t AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents
+    ),
+    s AS (
+      SELECT doc_id, skey,
+             CAST(instr('0123456789abcdef', substr(skey, 1, 1)) - 1 AS BIGINT) AS shard
+      FROM t
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT)
+             AS shard_pos
+    FROM s
+    """,
+)
+def corpus_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle WITHOUT a global sort:
+    documents are hashed into 16 shards (first md5 hex digit) and
+    given a deterministic position inside their shard (rank by md5
+    key). The training loader reads shard-by-shard (or round-robins
+    shards for interleaving) — the same pseudo-random order every
+    epoch, every run, every engine.
+
+    Scale shape: a global ROW_NUMBER over 100 TB is a single-partition
+    window (one executor sorts everything — never do it); per-shard
+    windows run all shards in parallel, and shard count scales with
+    the cluster. md5 gives engine-portable determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    skey = F.md5(F.col("doc_id").cast("string"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        d.select("doc_id", skey.alias("skey"))
+        .withColumn(
+            "shard",
+            (F.instr(F.lit("0123456789abcdef"), F.substring("skey", 1, 1)) - 1).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "shard_pos")
+    )
