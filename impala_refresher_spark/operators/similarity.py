@@ -428,3 +428,120 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(e, d.doc_id == e.vec_id).select(
         "doc_id", "lang", "n_chars", "label", F.round(_norm(F.col("embedding")), 6).alias("emb_norm")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN: product quantization (PQ) — compressed-domain scan + ADC
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8          # subspaces (64-dim -> 8 sub-vectors of 8 dims)
+_PQ_K = 16         # centroids per subspace codebook
+_PQ_CAND = 32      # ADC candidates kept per query before exact rerank
+
+
+@query("ann_pq_topk")  # rows-only: ANN recall is probabilistic by design
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via product quantization: each vector is compressed
+    to _PQ_M codebook indices (8 bytes vs 256 — 32x), queries scan the
+    CODES with an asymmetric-distance lookup table, and only the ADC
+    top-_PQ_CAND candidates get an exact rerank.
+
+    The piece PQ adds over LSH/IVF above is the compressed-domain
+    scan: at 100 TB the float corpus doesn't fit hot storage, but the
+    8-byte codes (3 TB) do — the ADC pass reads ONLY codes, and the
+    full vectors are fetched for rerank candidates alone (a semi-join
+    against the corpus, thousands of rows not billions). Compose with
+    IVF cells (IVF-PQ) to also prune which codes are scanned.
+
+    Stages, each the at-scale shape:
+    - train: per-subspace codebooks from a deterministic corpus sample
+      (stand-in for sampled k-means, like IVF's centroid build) —
+      broadcast-sized model state (_PQ_M x _PQ_K x 8 floats).
+    - encode: one Arrow-batched argmax matmul per subspace — map-only.
+    - ADC: lut[m][k] = <q_sub m, codebook[m][k]> per query; the
+      approximate dot is a pure JVM fold over the code array
+      (zip_with + element_at into the broadcast LUT) — no Python, no
+      shuffle, scan-bound on 8-byte rows.
+    - rerank: exact cosine on candidates only; top-10 per query.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d_sub = _DIM // _PQ_M
+    # Codebooks from a deterministic pseudo-random sample of exactly
+    # _PQ_K vectors (hash-ordered limit, corpus-size independent — a
+    # stride sample would collapse to <K centroids on small corpora).
+    sample = (
+        e.orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(97)), "vec_id")
+        .limit(_PQ_K)
+        .select("embedding")
+        .collect()
+    )
+    books = np.array(
+        [[float(x) for x in r.embedding] for r in sample]
+    ).reshape(_PQ_K, _PQ_M, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).reshape(-1, _PQ_M, d_sub)  # (n, m, d)
+        # argmin squared distance per subspace: ||x-c||² ~ -2<x,c>+||c||²
+        codes = np.empty((mat.shape[0], _PQ_M), dtype="int32")
+        for m in range(_PQ_M):
+            d2 = -2.0 * (mat[:, m, :] @ books[m].T) + (books[m] ** 2).sum(axis=1)
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    ef = fan_out(e)
+    codes = ef.select("vec_id", encode(F.col("embedding")).alias("codes"))
+
+    # Queries (first 5 vectors) with their ADC lookup tables as literal
+    # nested arrays: lut[m][k] = <q_sub m, codebook[m][k]>.
+    q_rows = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    q_luts = []
+    for r in q_rows:
+        q = np.array([float(x) for x in r.embedding]).reshape(_PQ_M, d_sub)
+        lut = np.einsum("md,mkd->mk", q, books)  # (m, k)
+        q_luts.append((r.vec_id, [[float(v) for v in row] for row in lut]))
+    queries = spark.createDataFrame(
+        q_luts, "q_id long, lut array<array<double>>"
+    )
+
+    # ADC score = sum over subspaces of lut[m][code[m]] — a JVM-side
+    # fold over the zipped (code, lut-row) pairs; codes never leave
+    # compressed form.
+    adc = F.aggregate(
+        F.zip_with("codes", "lut", lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window as W
+
+    cand = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.alias("adc_score"))
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(
+                    F.col("adc_score").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("crk") <= _PQ_CAND)
+        .select("q_id", "vec_id")
+    )
+    # Exact rerank: fetch full vectors for candidates only.
+    qv = queries.select("q_id", F.lit(None).alias("drop")).drop("drop").join(
+        e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")), "q_id"
+    )
+    ranked = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= 10).select("q_id", "vec_id", "cos_sim", "rk")

@@ -113,3 +113,26 @@ def test_connected_components_transitive_chain(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
     got = {r.node: r.label for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_ann_pq_recall_and_ranking(spark, sf_dir):
+    """PQ: ranks contiguous, exact-reranked sims non-increasing, and
+    recall@10 vs brute force for query 0 is well above chance — the
+    ADC candidate stage must surface most true neighbours."""
+    from impala_refresher_spark.operators.similarity import ann_pq_topk
+
+    rows = ann_pq_topk(spark, sf_dir).collect()
+    assert rows, "PQ scan returned no candidates"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != q for r in rs)
+    brute = {r.vec_id for r in cosine_topk(spark, sf_dir).collect()}
+    got0 = {r.vec_id for r in by_q[0]}
+    assert len(got0 & brute) >= 4  # recall@10 >= 0.4 for the checked query
