@@ -487,3 +487,80 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.log2(F.size(F.filter(chars, lambda x: x == ch)) / n),
     )
     return d.select("doc_id", F.round(ent, 2).alias("char_entropy"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus trigram LM — conditional-probability quality scoring
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_lm_trigram",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(list_zip(t[1:-3], t[2:-2], t[3:-1]),
+                                   p -> p[1] || ' ' || p[2] || ' ' || p[3])) AS tg
+      FROM toks
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(list_zip(t[1:-2], t[2:-1]),
+                                   p -> p[1] || ' ' || p[2])) AS bg
+      FROM toks
+    ),
+    tri_c AS (SELECT tg, CAST(COUNT(*) AS BIGINT) AS c3 FROM tri GROUP BY tg),
+    bi_c AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY bg),
+    scored AS (
+      SELECT t.doc_id,
+             -log2(CAST(tc.c3 AS DOUBLE) / bc.c2) AS nll
+      FROM tri t
+      JOIN tri_c tc ON t.tg = tc.tg
+      JOIN bi_c bc ON bc.bg = substr(t.tg, 1, length(t.tg) - strpos(reverse(t.tg), ' '))
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(AVG(nll), 2) AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def quality_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained trigram LM score: P(w3 | w1 w2) estimated from
+    the corpus's own trigram/bigram counts; each document scores its
+    average negative log2 conditional probability (pseudo-perplexity).
+    Low = boilerplate repeated across the corpus; high = tokens in
+    contexts the corpus has barely seen — both tails are what quality
+    filters cut.
+
+    Scale shape: two hash aggregates over exploded n-grams (map-side
+    partial combine collapses the blowup), then one join per n-gram
+    order to attach counts — all shuffles carry (hash, count) pairs,
+    never documents. At 100 TB the count tables are Zipf-shaped; a df
+    cutoff on rare n-grams (OOV floor) bounds them like _MAX_DF does
+    for shingles."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = F.split("text", " ")
+    n = F.size(t)
+    cw = lambda x, y: F.concat_ws(" ", x, y)
+    tri_arr = F.zip_with(
+        F.slice(t, 1, n - 2),
+        F.zip_with(F.slice(t, 2, n - 2), F.slice(t, 3, n - 2), cw),
+        cw,
+    )
+    bi_arr = F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1), cw)
+    tri = d.select("doc_id", F.explode(tri_arr).alias("tg"))
+    bi = d.select("doc_id", F.explode(bi_arr).alias("bg"))
+    tri_c = tri.groupBy("tg").agg(F.count("*").alias("c3"))
+    bi_c = bi.groupBy("bg").agg(F.count("*").alias("c2"))
+    # context = the trigram minus its last token
+    ctx = F.expr("substr(tg, 1, length(tg) - instr(reverse(tg), ' '))")
+    scored = (
+        tri.join(tri_c, "tg")
+        .withColumn("bg", ctx)
+        .join(bi_c, "bg")
+        .select("doc_id", (-F.log2(F.col("c3").cast("double") / F.col("c2"))).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"), F.round(F.avg("nll"), 2).alias("avg_nll")
+    )
