@@ -89,7 +89,7 @@ def main() -> None:
         _bucketed_tables(spark, sf_dir)
     except Exception:
         pass
-    for pre in ("hypertable_rollup_daily", "stream_stateful_totals"):
+    for pre in ("hypertable_rollup_daily", "stream_stateful_totals", "compact_small_files"):
         try:
             QUERIES[pre](spark, sf_dir).count()
         except Exception:
