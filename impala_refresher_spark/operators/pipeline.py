@@ -177,3 +177,39 @@ def corpus_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "shard_pos")
     )
+
+
+@query(
+    "corpus_source_quota",
+    """
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 15
+    """,
+)
+def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota enforcement: keep at most N documents per
+    source, chosen by the stable md5 order — caps any one crawl/dump
+    from dominating the corpus, and (same argument as the stratified
+    sampler) re-runs after new ingests keep the same winners.
+
+    One partitioned window, sources process in parallel; no global
+    sort, no driver state. At 100 TB quotas come from a broadcast
+    policy table instead of a constant — same plan."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("doc_id", "source")
+    )

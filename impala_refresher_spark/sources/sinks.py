@@ -151,3 +151,45 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "multi_format_union",
+    """
+    SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 1
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 2
+    """,
+)
+def multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-zone unification: one logical table arriving in three
+    physical formats (parquet from the warehouse, CSV from a legacy
+    export, JSON-lines from an API feed), read each with the SAME
+    explicit schema and unioned into one DataFrame — the real-world
+    first step before any cleaning pipeline.
+
+    Scale notes: the union is plan-level (no shuffle — partitions
+    concatenate); each branch keeps its own pushdown capability
+    (parquet prunes columns/rows, CSV/JSON read whole rows, which is
+    exactly why the pipeline's next step is rewriting them to
+    parquet/ORC via the compaction op above)."""
+    import os
+
+    from impala_refresher_spark.sources.tables import load_table, scratch_path
+
+    base = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    land = scratch_path(SCRATCH, "landing", sf_dir, "events")
+    if not os.path.exists(f"{land}/_done"):
+        base.filter(F.col("event_id") % 3 == 0).write.mode("overwrite").parquet(f"{land}/pq")
+        base.filter(F.col("event_id") % 3 == 1).write.mode("overwrite").option(
+            "header", True
+        ).csv(f"{land}/csv")
+        base.filter(F.col("event_id") % 3 == 2).write.mode("overwrite").json(f"{land}/js")
+        open(f"{land}/_done", "w").close()
+    schema = base.schema
+    pq = spark.read.schema(schema).parquet(f"{land}/pq")
+    cs = spark.read.schema(schema).option("header", True).csv(f"{land}/csv")
+    js = spark.read.schema(schema).json(f"{land}/js")
+    return pq.unionByName(cs).unionByName(js)

@@ -440,6 +440,53 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T8 — windowed top-k (trending event types per window)
+# ---------------------------------------------------------------------------
+
+def windowed_topk(counts: DataFrame, k: int = 2) -> DataFrame:
+    """Rank event types within each window, keep the top k. Ranking
+    is not an incremental streaming operator (a late row can demote a
+    current leader), so the streaming deployment applies this to the
+    windowed-counts aggregate at serving time: complete-mode sink or
+    foreachBatch — aggregate incrementally, rank on read."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("window_start", "event_type", "n", "rk")
+    )
+
+
+@query(
+    "stream_windowed_topk",
+    """
+    SELECT window_start, event_type, n, rk FROM (
+      SELECT window_start, event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY n DESC, event_type) AS INTEGER) AS rk
+      FROM (
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rk <= 2
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: trending-per-window — the tumbling-count aggregate (T1's
+    incremental operator) topped with a per-window rank. Scale: the
+    rank's window key is the time bucket, so parallelism = number of
+    windows; state stays in the T1 aggregate where streaming can
+    maintain it incrementally."""
+    counts = tumbling_window_counts(load_table(spark, sf_dir, "events")).select(
+        "window_start", "event_type", "n"
+    )
+    return windowed_topk(counts)
+
+
+# ---------------------------------------------------------------------------
 # Streaming harness
 # ---------------------------------------------------------------------------
 
