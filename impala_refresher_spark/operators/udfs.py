@@ -155,3 +155,74 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.lateralJoin(
         _TokenizeUdtf(F.col("text").outer())
     ).select("doc_id", "pos", "token", "tok_chars")
+
+
+# ---------------------------------------------------------------------------
+# X4 — cogrouped-map: applyInPandas over a cogroup (two-sided custom merge)
+# ---------------------------------------------------------------------------
+
+_RECONCILE_SCHEMA = (
+    "custkey bigint, n_orders bigint, n_events bigint, "
+    "total_spend double, total_event_value double"
+)
+
+
+def _reconcile(key, orders_pdf, events_pdf):
+    """Per-key two-sided merge in pandas: the cogroup API hands BOTH
+    groups for one key to Python together — the shape for custom
+    reconciliation logic (ledger matching, entity resolution) that a
+    join + aggregate can't express row-algebraically. Here the logic
+    IS re-expressible (so the oracle can check it exactly); the value
+    under test is the API path: one shuffle per side, Arrow both ways."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "custkey": [key[0]],
+            "n_orders": [len(orders_pdf)],
+            "n_events": [len(events_pdf)],
+            "total_spend": [round(float(orders_pdf["o_totalprice"].sum()), 2)],
+            "total_event_value": [round(float(events_pdf["value"].sum()), 2)],
+        }
+    )
+
+
+@query(
+    "cogroup_reconcile",
+    """
+    WITH o AS (
+      SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+      SELECT user_id AS custkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 2) AS total_event_value
+      FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(o.custkey, e.custkey) AS custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(o.total_spend, 0.0) AS total_spend,
+           COALESCE(e.total_event_value, 0.0) AS total_event_value
+    FROM o FULL OUTER JOIN e ON o.custkey = e.custkey
+    """,
+)
+def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: ``groupby().cogroup().applyInPandas`` — Spark's two-sided
+    grouped-map. Each key's order rows AND event rows arrive in one
+    Python call as two Arrow-backed DataFrames.
+
+    Scale shape: one hash shuffle per side on the key (same cost as
+    the equivalent join), then map-side Python over co-located pairs;
+    state is one key's data, never the whole relation. Use it when the
+    merge logic needs imperative code over both sides at once —
+    otherwise prefer the pure join+aggregate plan (which the oracle
+    uses to check this one exactly)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    return (
+        o.groupby("o_custkey")
+        .cogroup(e.groupby("user_id"))
+        .applyInPandas(_reconcile, _RECONCILE_SCHEMA)
+    )
