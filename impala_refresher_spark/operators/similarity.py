@@ -545,3 +545,125 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ranked.filter(F.col("rk") <= 10).select("q_id", "vec_id", "cos_sim", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Iterative ML on DataFrames: k-means refinement (2 Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _km_assign_sql(vec_tbl: str, cent_tbl: str) -> str:
+    """DuckDB: argmin squared-distance assignment (ties → smallest cid)."""
+    return f"""
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_reduce(list_prepend(0.0,
+                           list_transform(list_zip(v.emb, c.cent),
+                             p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))),
+                           (acc, x) -> acc + x) ASC,
+                          c.cid ASC) AS rn
+        FROM {vec_tbl} v CROSS JOIN {cent_tbl} c
+      ) WHERE rn = 1
+    """
+
+
+def _km_means_sql(assign_tbl: str, vec_tbl: str) -> str:
+    """DuckDB: per-cluster elementwise mean, rounded to 6dp (the same
+    stabilization the Spark side applies between iterations)."""
+    return f"""
+      SELECT cid, list(rv ORDER BY pos) AS cent FROM (
+        SELECT a.cid, pos, ROUND(AVG(val), 6) AS rv FROM {assign_tbl} a
+        JOIN (SELECT vec_id,
+                     UNNEST(range(1, len(emb) + 1)) AS pos,
+                     UNNEST(list_transform(emb, x -> CAST(x AS DOUBLE))) AS val
+              FROM {vec_tbl}) u ON a.vec_id = u.vec_id
+        GROUP BY a.cid, pos
+      ) GROUP BY cid
+    """
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS cid,
+             list_transform(emb, x -> CAST(x AS DOUBLE)) AS cent
+      FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_KM_K}
+    ),
+    a1 AS ({_km_assign_sql("v", "c0")}),
+    c1 AS ({_km_means_sql("a1", "v")}),
+    a2 AS ({_km_assign_sql("v", "c1")})
+    SELECT vec_id, cid AS cluster FROM a2
+    """
+
+
+@query("kmeans_refine_assignments", _kmeans_oracle())
+def kmeans_refine_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative ML as a dataflow: {_KM_ITERS} Lloyd iterations of
+    k-means over the embeddings — broadcast the K centroids, argmin-
+    assign every vector (map-only), recompute centroids as a partial-
+    aggregable per-(cluster, dim) mean, repeat. The oracle unrolls the
+    SAME two iterations in SQL, so assignments are checked exactly.
+
+    Determinism across engines: init is an md5-ordered sample;
+    distance is the identical L→R double fold both sides; recomputed
+    centroids are rounded to 6dp before the next assignment pass
+    (kills accumulation-order ulp noise); argmin ties break on cid.
+
+    Scale shape per iteration: centroids are ~KB (collect+broadcast is
+    the legitimate IVF-style index exchange, like similarity.py's IVF
+    build); assignment is scan+argmin with NO shuffle; the mean is one
+    hash aggregate of (cluster, dim) partials. 100 TB k-means runs
+    exactly this loop — sampled init, a few iterations, rounds
+    bounded, every stage linear."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+    init = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_KM_K)
+        .select("emb")
+        .collect()
+    )
+    cents = [[float(x) for x in r.emb] for r in init]
+
+    def assign(cent_lists):
+        """argmin ||x-c||² over broadcast literal centroids (ties → cid)."""
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    "emb",
+                    F.array(*[F.lit(c) for c in cent]),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cent in cent_lists
+        ]
+        best = F.array_position(
+            F.array(*dists), F.array_min(F.array(*dists))
+        ) - 1  # first match = smallest cid on ties
+        return v.select("vec_id", "emb", best.cast("bigint").alias("cid"))
+
+    assigned = assign(cents)
+    for _ in range(_KM_ITERS - 1):
+        means = (
+            assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("rv"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "rv"))).alias("pr"))
+            .select("cid", F.transform("pr", lambda s: s["rv"]).alias("cent"))
+            .orderBy("cid")
+            .collect()
+        )
+        cents = [[float(x) for x in r.cent] for r in means]
+        assigned = assign(cents)
+    return assigned.select("vec_id", F.col("cid").alias("cluster"))
