@@ -427,3 +427,53 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.expr("percentile(n_rows, 0.99)")).cast("bigint").alias("p99_rows"),
         F.round(F.max("n_rows") / F.avg("n_rows"), 2).alias("skew_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-relative outlier flagging (windowed standardization)
+# ---------------------------------------------------------------------------
+
+@query(
+    "outlier_orders_zscore",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROUND((o_totalprice - seg_avg) / seg_std, 3) AS zscore
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+             AVG(o.o_totalprice) OVER (PARTITION BY c.c_mktsegment) AS seg_avg,
+             STDDEV_SAMP(o.o_totalprice) OVER (PARTITION BY c.c_mktsegment) AS seg_std
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    WHERE abs((o_totalprice - seg_avg) / seg_std) > 1.5
+    """,
+)
+def outlier_orders_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative outliers: standardize each order's total against
+    its customer segment's mean/stddev (unbounded window = two-pass
+    partial-aggregable stats broadcast back over the partition) and
+    flag |z| > 1.5 (fixture totals are near-uniform, so the tail is
+    thin) — the anomaly-triage query shape (fraud review,
+    data-quality quarantine).
+
+    One shuffle on the segment key serves BOTH window aggregates and
+    the standardization; stddev/avg are partial-aggregable so the
+    window's state per partition is O(1). At 100 TB with few segments,
+    compute the (segment, avg, std) table with a groupBy and broadcast
+    it instead — same math, narrower exchange; the windowed form here
+    generalizes to high-cardinality grouping keys."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    w = Window.partitionBy("c_mktsegment")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
+        "o_totalprice"
+    ).over(w)
+    return (
+        o.join(F.broadcast(c), "o_custkey")
+        .withColumn("zscore", z)
+        .filter(F.abs("zscore") > 1.5)
+        .select("o_orderkey", "o_custkey", "o_totalprice", F.round("zscore", 3).alias("zscore"))
+    )

@@ -597,3 +597,59 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
     )
     return batch.join(corpus, "text_hash", "left_anti").select("doc_id", "text_hash")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — drop training docs overlapping the eval set
+# ---------------------------------------------------------------------------
+
+@query(
+    "decontaminate_train_set",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(list_zip(toks[1:-3], toks[2:-2], toks[3:-1]),
+                              p -> p[1] || ' ' || p[2] || ' ' || p[3]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+      WHERE s.doc_id % 50 <> 0
+    )
+    SELECT d.doc_id,
+           CASE WHEN c.doc_id IS NOT NULL THEN true ELSE false END AS contaminated
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def decontaminate_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares ANY 3-gram shingle with the held-out eval set (fixture:
+    doc_id % 50 == 0 plays the benchmark). This is the leakage gate
+    every serious pretraining corpus runs before training.
+
+    Scale shape: the eval side reduces to a DISTINCT shingle-hash set
+    — benchmarks are tiny relative to the corpus, so it broadcasts;
+    the train side streams its shingles through a map-side semi-join
+    (no shuffle of the corpus at all when the eval set broadcasts).
+    The flag join keys on doc_id — 8 bytes, not documents.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    is_eval = F.col("doc_id") % 50 == 0
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("shingle")
+    )
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    contaminated = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        d.filter(~is_eval)
+        .join(contaminated, "doc_id", "left")
+        .select("doc_id", F.coalesce("hit", F.lit(False)).alias("contaminated"))
+    )
