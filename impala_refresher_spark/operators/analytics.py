@@ -477,3 +477,118 @@ def outlier_orders_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs("zscore") > 1.5)
         .select("o_orderkey", "o_custkey", "o_totalprice", F.round("zscore", 3).alias("zscore"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-fold aggregates: EWMA and funnel state machines
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_ewma_per_user",
+    """
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list_prepend(0.0, vs),
+                             (acc, v) -> 0.5 * v + 0.5 * acc), 4) AS ewma_value
+    FROM (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    """,
+)
+def agg_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-fold aggregate: per-user exponentially weighted moving
+    average of event values in event-time order (α = 0.5 — exact
+    powers of two, so the fold is bitwise-stable). Plain SUM/AVG are
+    order-free; an EWMA is the canonical ORDER-SENSITIVE aggregate —
+    the engine capability behind decayed engagement scores and
+    anomaly baselines.
+
+    Shape: one shuffle (groupBy user), events sorted inside the
+    per-key array, then a strict L→R fold in codegen — the identical
+    IEEE sequence DuckDB's list_reduce performs, so the oracle matches
+    without rounding tricks. Per-key state is that key's events: at
+    100 TB you window the fold (EWMA over the last N days) so arrays
+    stay bounded."""
+    e = load_table(spark, sf_dir, "events")
+    vs = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    fold = F.aggregate(
+        F.col("vs"), F.lit(0.0), lambda acc, v: F.lit(0.5) * v + F.lit(0.5) * acc
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(vs.alias("vs"))
+        .select(
+            "user_id",
+            F.size("vs").cast("bigint").alias("n_events"),
+            F.round(fold, 4).alias("ewma_value"),
+        )
+    )
+
+
+@query(
+    "funnel_conversion",
+    """
+    SELECT user_id,
+           CAST(stage AS INTEGER) AS stage,
+           stage >= 3 AS converted
+    FROM (
+      SELECT user_id,
+             list_reduce(list_prepend(0, seq), (acc, t) ->
+               CASE
+                 WHEN acc = 0 AND t = 1 THEN 1
+                 WHEN acc = 1 AND t = 2 THEN 2
+                 WHEN acc = 2 AND t = 3 THEN 3
+                 ELSE acc
+               END) AS stage
+      FROM (
+        SELECT user_id,
+               list(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'purchase' THEN 3 ELSE 0 END ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+      )
+    )
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis as an ordered state machine: how far along
+    view → click → purchase each user progressed, requiring the steps
+    IN ORDER (a purchase before any view doesn't count). The fold
+    carries the furthest stage reached; `converted` = completed all 3.
+
+    Same ordered-fold machinery as the EWMA above (one shuffle,
+    per-key time-sorted array, codegen'd L→R fold), which is exactly
+    how sequence/funnel operators work at scale — per-entity state
+    machines over time-ordered events, never a cross-event self-join
+    (the 3-way self-join formulation is cubic in events-per-user and
+    unwritable at 100 TB)."""
+    e = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", code.alias("code")))),
+        lambda s: s["code"],
+    )
+    step = lambda acc, t: (
+        F.when((acc == 0) & (t == 1), 1)
+        .when((acc == 1) & (t == 2), 2)
+        .when((acc == 2) & (t == 3), 3)
+        .otherwise(acc)
+    )
+    fold = F.aggregate(F.col("seq"), F.lit(0), step)
+    return (
+        e.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            fold.cast("int").alias("stage"),
+            (fold >= 3).alias("converted"),
+        )
+    )
