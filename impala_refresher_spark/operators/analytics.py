@@ -592,3 +592,97 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (fold >= 3).alias("converted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — the activation/stickiness matrix
+# ---------------------------------------------------------------------------
+
+@query(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('week', f.cohort_week, a.active_week) AS INTEGER) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week,
+    counted distinct in each subsequent week offset — the
+    activation/stickiness analysis every event pipeline serves.
+
+    Three partial-aggregable passes over (user, week) pairs: first-seen
+    (MIN per user), distinct activity (user, week), then the cohort ×
+    offset distinct count. All shuffles carry user/week keys — at
+    100 TB the distinct-user count per cell is the only memory-heavy
+    stage; swap COUNT(DISTINCT) for approx_count_distinct when cells
+    hold billions."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts").cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = e.select("user_id", week.alias("active_week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "revenue_share_by_nation",
+    """
+    SELECT n_name,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev / SUM(rev) OVER (), 4) AS share
+    FROM (
+      SELECT n.n_name, SUM(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    """,
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's revenue share
+    of the global total via an empty-partition window over the
+    aggregate. The window runs over #nations rows (the aggregate
+    output), never the fact table — the two-level shape that makes
+    global ratios cheap at any scale; the single-partition window is
+    fine because its input is dimension-sized."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    agg = (
+        o.join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 4).alias("share"),
+    )
