@@ -686,3 +686,62 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).alias("revenue"),
         F.round(F.col("rev") / F.sum("rev").over(w), 4).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine zero-filling — gap-free time series for serving
+# ---------------------------------------------------------------------------
+
+@query(
+    "daily_events_zero_filled",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS lo,
+             CAST(MAX(date_trunc('day', ts)) AS DATE) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 2) AS total_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.total_value, 0.0) AS total_value
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def daily_events_zero_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily series: aggregate purchases per day, then LEFT
+    JOIN a generated date spine so days with zero activity appear as
+    explicit zero rows — dashboards and forecasting models need the
+    gaps filled, and a groupBy alone silently drops empty days.
+
+    The spine is `sequence(min_day, max_day)` exploded from ONE row
+    (the bounds aggregate) — generated data, no table scan — and the
+    fill join is spine-sized (days, not events), so broadcast. At
+    100 TB the daily aggregate is the only fact-table pass."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    bounds = e.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return spine.join(F.broadcast(daily), "day", "left").select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
