@@ -206,6 +206,36 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.groupBy("event_type").agg(F.count("*").alias("n"))
 
 
+def stream_dedup_within_watermark(events: DataFrame, delay: str = "15 minutes") -> DataFrame:
+    """T5b: ``dropDuplicatesWithinWatermark`` — unlike plain
+    ``dropDuplicates`` (exact state keyed forever within the
+    watermark's implicit bound), this API guarantees state EVICTION as
+    the watermark advances while deduping events whose duplicates
+    arrive within the delay of each other — the contract at-least-once
+    sources (Kafka redeliveries) actually need, with strictly bounded
+    state."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
+@query(
+    "stream_dedup_within_wm_counts",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT event_id, MIN(event_type) AS event_type
+          FROM events GROUP BY event_id)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_within_wm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5b's transform on the batch view (batch mode dedups exactly,
+    same as T5 — the watermark-window semantics only differ for
+    cross-batch straggler duplicates, exercised in
+    tests/test_streaming.py with a real two-batch stream)."""
+    events = load_table(spark, sf_dir, "events")
+    dedup = events.dropDuplicates(["event_id"])
+    return dedup.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # T6 — stream-stream interval join (view → purchase attribution)
 # ---------------------------------------------------------------------------

@@ -285,3 +285,34 @@ def test_t7_stream_static_enrich_equals_batch(spark, sf_dir, events_stream_dir):
     )
     want = enrich_with_customer(load_table(spark, sf_dir, "events"), customer)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_t5b_dedup_within_watermark_drops_cross_batch_duplicate(spark):
+    """dropDuplicatesWithinWatermark must dedup a redelivery arriving
+    in a LATER micro-batch (within the delay), and state must not need
+    the key forever — the at-least-once source contract."""
+    from impala_refresher_spark.streaming.windows import stream_dedup_within_watermark
+
+    path = f"{SCRATCH}/dedup_wm_src"
+    shutil.rmtree(path, ignore_errors=True)
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    _write_batch(spark, [(1, t(0)), (2, t(1))], path, "overwrite")
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    q = (
+        stream_dedup_within_watermark(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t5b_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a redelivery of event 1 (within 15 min) + a new id
+        _write_batch(spark, [(1, t(2)), (3, t(3))], path, "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r.event_id for r in spark.sql("SELECT * FROM t5b_out").collect())
+    shutil.rmtree(path, ignore_errors=True)
+    assert ids == [1, 2, 3]  # the cross-batch duplicate emitted once
