@@ -745,3 +745,91 @@ def daily_events_zero_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — windowed quartile scoring
+# ---------------------------------------------------------------------------
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER) AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_score
+    FROM per_cust
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for recency / frequency /
+    monetary per customer — the standard marketing-segmentation
+    operator. NTILE order carries the customer key as tie-break, so
+    bucket assignment is total-order deterministic (and the oracle can
+    check it exactly).
+
+    The windows run over the per-customer AGGREGATE (|customers|
+    rows), not orders; the unpartitioned NTILE is a global sort of
+    dimension-sized data. At 100 TB with billions of customers,
+    replace NTILE with percent_rank over a range-partitioned sort or
+    approx-quantile bucket edges — same scores, no single-task sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    nt = lambda col: F.ntile(4).over(
+        Window.orderBy(F.desc(col), "o_custkey")
+    ).cast("int")
+    return per_cust.select(
+        "o_custkey",
+        nt("last_order").alias("r_score"),
+        nt("frequency").alias("f_score"),
+        nt("monetary").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational division — the FOR-ALL query
+# ---------------------------------------------------------------------------
+
+@query(
+    "nations_covering_all_segments",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    ),
+    seg_count AS (SELECT COUNT(DISTINCT c_mktsegment) AS n_seg FROM customer)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey
+    FROM pairs, seg_count
+    GROUP BY c_nationkey, n_seg
+    HAVING COUNT(*) = n_seg
+    """,
+)
+def nations_covering_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (FOR ALL): nations whose customers span
+    EVERY market segment — the 'suppliers who supply all parts' query
+    shape, expressed as count-matching instead of nested NOT EXISTS
+    (one distinct + one aggregate + a broadcast scalar; the double
+    anti-join formulation re-shuffles the relation twice and
+    decorrelates worse)."""
+    c = load_table(spark, sf_dir, "customer")
+    pairs = c.select("c_nationkey", "c_mktsegment").distinct()
+    n_seg = c.select(F.count_distinct("c_mktsegment").alias("n_seg"))
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(n_seg))
+        .filter(F.col("n") == F.col("n_seg"))
+        .select(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+    )

@@ -564,3 +564,48 @@ def quality_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_trigrams"), F.round(F.avg("nll"), 2).alias("avg_nll")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword-in-context (KWIC) — concordance extraction
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_keyword_in_context",
+    """
+    SELECT doc_id,
+           CAST(pos - 1 AS INTEGER) AS pos,
+           COALESCE(array_to_string(toks[greatest(1, pos - 2):pos - 1], ' '), '') AS left_ctx,
+           COALESCE(array_to_string(toks[pos + 1:least(len(toks), pos + 2)], ' '), '') AS right_ctx
+    FROM (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    WHERE toks[pos] = 'customer'
+    """,
+)
+def text_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC concordance: every occurrence of a keyword with ±2 tokens
+    of context — the corpus-inspection tool behind lexicography,
+    red-teaming sweeps, and prompt-leak audits.
+
+    Map-only: positions come from posexplode of the token array,
+    context from slices of the SAME array (no joins, no shuffle);
+    the keyword filter collapses the explode blowup immediately, and
+    at scale the keyword predicate pushes into a bloom/inverted-index
+    pre-filter when one exists."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    ex = d.select("doc_id", toks.alias("toks"), F.posexplode(toks).alias("pos", "tok"))
+    # pos is 0-based; slice() is 1-based
+    p1 = F.col("pos") + 1
+    left = F.concat_ws(
+        " ", F.slice("toks", F.greatest(F.lit(1), p1 - 2), F.least(F.lit(2), p1 - 1))
+    )
+    right_len = F.greatest(F.lit(0), F.least(F.lit(2), F.size("toks") - p1))
+    right = F.concat_ws(" ", F.slice("toks", p1 + 1, right_len))
+    return (
+        ex.filter(F.col("tok") == "customer")
+        .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                left.alias("left_ctx"), right.alias("right_ctx"))
+    )
