@@ -517,6 +517,103 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom stateful operator #2 — per-user streaming EWMA
+# ---------------------------------------------------------------------------
+
+_EWMA_OUT_SCHEMA = "user_id bigint, n_events bigint, ewma_value double"
+_EWMA_STATE_SCHEMA = "n bigint, ewma double"
+
+
+def _user_ewma_fn(key, pdfs, state):
+    """Per-user EWMA (α=0.5) folded in event-time order — the decayed
+    engagement score as STREAMING state: one (n, ewma) pair per user,
+    updated per micro-batch, evicted via event-time TTL like the
+    totals operator. Within a batch rows are sorted by (ts, event_id)
+    so the fold matches the batch/oracle order exactly; α=0.5 keeps
+    every step an exact power-of-two product (bitwise-stable across
+    engines)."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, ewma = state.get if state.exists else (0, 0.0)
+    last_ms = 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"].to_numpy():
+            ewma = 0.5 * float(v) + 0.5 * ewma
+        n += len(pdf)
+        if len(pdf):
+            last_ms = max(last_ms, int(pdf["ts"].max().timestamp() * 1000))
+    state.update((n, ewma))
+    state.setTimeoutTimestamp(last_ms + _TOTALS_STATE_TTL_MS)
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma_value": [ewma]})
+
+
+def stateful_user_ewma(events: DataFrame, watermark_delay: str = "15 minutes") -> DataFrame:
+    """Custom stateful streaming EWMA on applyInPandasWithState —
+    same bounded-state scaffolding as ``stateful_user_totals`` (see
+    its docstring for the watermark/TTL contract), different
+    accumulator: an order-sensitive decayed average instead of a
+    commutative sum — the shape built-in streaming aggregates can't
+    express at all."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_ewma_fn,
+            _EWMA_OUT_SCHEMA,
+            _EWMA_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+@query(
+    "stream_stateful_ewma",
+    """
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list_prepend(0.0, vs),
+                             (acc, v) -> 0.5 * v + 0.5 * acc), 4) AS ewma_value
+    FROM (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    """,
+)
+def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming EWMA driven through a REAL streaming query (file
+    source → applyInPandasWithState → memory sink) and checked against
+    the batch ordered-fold oracle — the fixture arrives in one
+    micro-batch, so update mode emits one final row per user and the
+    fold order matches the oracle's exactly."""
+    import os
+
+    from impala_refresher_spark.sources.tables import scratch_path
+
+    events = load_table(spark, sf_dir, "events")
+    path = scratch_path("/root/repo/_scratch", "stateful_src", sf_dir, "events")
+    if not os.path.exists(f"{path}/_SUCCESS"):  # micros; raw fixture is nanos
+        events.write.mode("overwrite").parquet(path)
+    out = run_stream_to_memory(
+        spark,
+        stateful_user_ewma,
+        path,
+        events.schema,
+        query_name="stateful_ewma_out",
+        output_mode="update",
+    )
+    return out.select(
+        "user_id", "n_events", F.round("ewma_value", 4).alias("ewma_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming harness
 # ---------------------------------------------------------------------------
 

@@ -316,3 +316,38 @@ def test_t5b_dedup_within_watermark_drops_cross_batch_duplicate(spark):
     ids = sorted(r.event_id for r in spark.sql("SELECT * FROM t5b_out").collect())
     shutil.rmtree(path, ignore_errors=True)
     assert ids == [1, 2, 3]  # the cross-batch duplicate emitted once
+
+
+def test_stateful_ewma_decays_across_batches(spark):
+    """The streaming EWMA must fold batch-2 values onto the DECAYED
+    state from batch 1 (α=0.5): v=[1,1] then [1] for one user gives
+    0.75 then 0.875 — fresh-state re-computation would give 0.5."""
+    from impala_refresher_spark.streaming.windows import stateful_user_ewma
+
+    path = f"{SCRATCH}/ewma_src"
+    ckpt = f"{SCRATCH}/ewma_ckpt"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+
+    _write_batch(spark, [(1, t(0)), (2, t(1))], path, "overwrite")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    q = (
+        stateful_user_ewma(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_test_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, [(3, t(2))], path, "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ewma_test_out").collect()
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    got = sorted(round(r.ewma_value, 6) for r in rows if r.user_id == 1)
+    assert got == [0.75, 0.875]  # decayed continuation, not a reset
