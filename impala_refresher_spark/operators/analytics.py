@@ -833,3 +833,50 @@ def nations_covering_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("n") == F.col("n_seg"))
         .select(F.col("c_nationkey").cast("bigint").alias("nationkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality rules engine — declarative per-rule violation audit
+# ---------------------------------------------------------------------------
+
+# Rule set: (name, SQL predicate that flags a VIOLATION). One scan
+# evaluates every rule as a 0/1 column; the aggregate sums them — at
+# 100 TB this audit costs one pass regardless of rule count.
+_DQ_RULES = [
+    ("null_or_empty_text", "text IS NULL OR length(text) = 0"),
+    ("n_chars_mismatch", "n_chars <> length(text)"),
+    ("unknown_lang", "lang NOT IN ('en', 'de', 'es', 'fr', 'zh')"),
+    ("bad_source_format", "source NOT LIKE 'src%'"),
+    ("negative_doc_id", "doc_id < 0"),
+]
+
+
+def _dq_oracle() -> str:
+    cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, pred in _DQ_RULES
+    )
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {cols}
+    FROM documents
+    """
+
+
+@query("dq_rule_violations", _dq_oracle())
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit: a rule table of named SQL
+    predicates evaluated in ONE scan — each rule becomes a conditional
+    sum, so 5 rules or 500 cost the same single pass (columnar scan +
+    partial-aggregable sums). This is the nightly-contract check in
+    front of every ingest: alert when any violation count moves.
+
+    Rules live in data (`_DQ_RULES`), not code — the production
+    version reads them from a governance table and builds the same
+    plan; both sides here share the predicate strings verbatim."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(name)
+        for name, pred in _DQ_RULES
+    ]
+    return d.agg(*aggs)

@@ -213,3 +213,62 @@ def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 15)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "pack_sequences_greedy",
+    """
+    SELECT doc_id, shard,
+           CAST(floor(CAST(cum_before AS DOUBLE) / 2048) AS BIGINT) AS bin_id
+    FROM (
+      SELECT doc_id, shard,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS skey,
+               CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                    AS BIGINT) AS shard
+        FROM documents
+      )
+    )
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign each document to
+    a ~2048-token bin by contiguous fill along a deterministic
+    pseudo-random order — documents with the same bin_id concatenate
+    into one training sequence (padding only at bin boundaries, the
+    throughput win packing exists for).
+
+    Distributed shape: a global greedy packer is inherently
+    sequential, so the corpus is split into 16 md5 shards and each
+    shard packs independently (running token sum via one window per
+    shard, bin = cum_tokens // budget) — the standard parallel
+    approximation; bins never cross shards so shards never
+    coordinate. One shuffle, parallelism = shard count."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    skey = F.md5(F.col("doc_id").cast("string"))
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        skey.alias("skey"),
+        (F.instr(F.lit("0123456789abcdef"), F.substring(skey, 1, 1)) - 1)
+        .cast("bigint")
+        .alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "shard",
+        F.floor(cum_before.cast("double") / 2048).cast("bigint").alias("bin_id"),
+    )
