@@ -272,3 +272,57 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.floor(cum_before.cast("double") / 2048).cast("bigint").alias("bin_id"),
     )
+
+
+@query(
+    "select_corpus_token_budget",
+    """
+    SELECT doc_id, n_tok, quality
+    FROM (
+      SELECT doc_id, n_tok, quality,
+             COALESCE(SUM(n_tok) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS quality
+        FROM documents
+      )
+    )
+    WHERE cum_before < 10000
+    """,
+)
+def select_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped corpus selection: rank documents by a quality
+    score (here type/token ratio — any scorer plugs in) and keep the
+    best until a token budget fills — how a fixed-compute training run
+    decides WHAT to train on, not just what to drop.
+
+    The global ordered cumulative sum is dimension-thin (doc_id,
+    n_tok, score) — at 100 TB you pre-aggregate quality-score
+    histogram bins to find the admission threshold in one pass, then
+    admit with a plain filter; the windowed form here is exact and
+    right up to corpora of billions of rows of 24-byte triples."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("quality"),
+    )
+    w = (
+        Window.orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        base.withColumn("cum_before", cum_before)
+        .filter(F.col("cum_before") < 10000)
+        .select("doc_id", "n_tok", "quality")
+    )

@@ -667,3 +667,56 @@ def kmeans_refine_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = [[float(x) for x in r.cent] for r in means]
         assigned = assign(cents)
     return assigned.select("vec_id", F.col("cid").alias("cluster"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding storage quantization — per-vector int8 with scale factor
+# ---------------------------------------------------------------------------
+
+@query(
+    "embed_int8_quantize",
+    """
+    WITH scaled AS (
+      SELECT vec_id,
+             list_reduce(list_prepend(0.0, list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), (acc, v) -> CASE WHEN v > acc THEN v ELSE acc END)
+               AS max_abs
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           ROUND(s.max_abs, 6) AS scale_factor,
+           list_transform(e.embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) / s.max_abs * 127) AS INTEGER)) AS q
+    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+    WHERE s.max_abs > 0
+    """,
+)
+def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: store q[i] =
+    round(x[i] / max|x| * 127) plus the one scale factor — 4× smaller
+    than float32 (the storage/bandwidth lever between full floats and
+    PQ codes; dequantize = q * scale / 127 with ~0.4% max error).
+
+    Map-only: the max-|x| fold and the transform run per row inside
+    codegen, no shuffle, no Python. DuckDB's round() and Spark's
+    round() both do half-up on positives / half-away overall for
+    .5 ties at integer grain, so the codes compare exactly."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    absmax = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.when(v > acc, v).otherwise(acc),
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") / F.col("max_abs") * 127).cast("int"),
+    )
+    return (
+        e.withColumn("max_abs", absmax)
+        .filter(F.col("max_abs") > 0)
+        .select(
+            "vec_id",
+            F.round("max_abs", 6).alias("scale_factor"),
+            q.alias("q"),
+        )
+    )
