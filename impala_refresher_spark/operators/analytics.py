@@ -880,3 +880,79 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, pred in _DQ_RULES
     ]
     return d.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Join pre-flight: output-cardinality estimation
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_cardinality_estimate",
+    """
+    WITH a AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS ca FROM orders GROUP BY o_custkey),
+         b AS (SELECT user_id   AS k, CAST(COUNT(*) AS BIGINT) AS cb FROM events GROUP BY user_id)
+    SELECT CAST(SUM(ca * cb) AS BIGINT) AS est_join_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_keys,
+           CAST(MAX(ca * cb) AS BIGINT) AS max_key_output
+    FROM a JOIN b ON a.k = b.k
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join sizing: the EXACT output cardinality of
+    orders ⋈ events on the key is Σ_k ca(k)·cb(k) — computed from two
+    per-key count aggregates joined on the key, plus the worst single
+    key's contribution (the row that tells you whether one key will
+    dominate the output). Companion to join_key_skew_profile: that one
+    profiles a side, this one sizes the join itself.
+
+    Cost: two count aggregates + a counts-only join — thousands of
+    times smaller than running the join. At 100 TB run it on a hash
+    sample of keys (same two-aggregate shape) for an estimate."""
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    a = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("ca"))
+    b = e.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("cb"))
+    per_key = F.col("ca") * F.col("cb")
+    return (
+        a.join(b, "k")
+        .agg(
+            F.sum(per_key).alias("est_join_rows"),
+            F.count("*").alias("n_shared_keys"),
+            F.max(per_key).alias("max_key_output"),
+        )
+    )
+
+
+@query(
+    "histogram_equidepth",
+    """
+    SELECT CAST(i AS INTEGER) AS decile, ROUND(e, 2) AS edge
+    FROM (
+      SELECT unnest(quantile_cont(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS e,
+             unnest(generate_series(1, 9)) AS i
+      FROM orders
+    )
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: the 9 interior decile edges of the
+    order-total distribution — each bucket holds ~10% of rows, the
+    boundary statistic planners and monitoring use where equi-width
+    buckets (histogram_totalprice) would collapse under skew.
+
+    Exact interpolated percentiles in one aggregate (both engines
+    interpolate linearly over the sorted values). At 100 TB swap in
+    approx_percentile — same output shape, sketch-mergeable."""
+    o = load_table(spark, sf_dir, "orders")
+    edges = F.expr(
+        "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+    )
+    return (
+        o.agg(edges.alias("edges"))
+        .select(F.posexplode("edges").alias("pos", "edge"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("decile"),
+            F.round("edge", 2).alias("edge"),
+        )
+    )
