@@ -116,12 +116,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Full per-query timings go to stderr; the stdout JSON line carries
+    # only the headline subset so the line stays well under the driver's
+    # stdout-tail capture (~4 KB) — r01's all-query line overflowed it
+    # and the driver recorded parsed:null despite rc=0.
+    print("bench-all: " + json.dumps(timings), file=sys.stderr)
     line = json.dumps(
         {
             "metric": "declared-query wall-clock (sum)",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": {k: timings[k] for k in headline if k in timings},
+            "n_queries": len(timings),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

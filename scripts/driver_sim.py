@@ -1,0 +1,65 @@
+"""Simulate the driver's correctness pass under a VANILLA SparkSession.
+
+The r01 driver ran queries under its own plain ``SparkSession.builder
+.getOrCreate()`` (none of our session.py confs), so anything that relies
+on a session-build-time conf fails there even if our tests are green.
+This script reproduces that environment: default confs, first N registry
+entries, DuckDB oracle comparison at sf0.01.
+
+Usage: python scripts/driver_sim.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 55
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+
+    from impala_refresher_spark.queries import ORACLES, QUERIES
+
+    sys.path.insert(0, "tests")
+    from oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    names = list(QUERIES)[:n]
+    ok, rows_only, failed = [], [], []
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            if name in ORACLES:
+                compare(df, con, ORACLES[name])
+                ok.append(name)
+                tag = "ok"
+            else:
+                cnt = df.count()
+                rows_only.append(name)
+                tag = f"rows_only({cnt})"
+        except Exception as e:
+            failed.append(name)
+            tag = f"FAIL: {type(e).__name__}: {e}"
+            traceback.print_exc(limit=3)
+        print(f"{name}: {tag} [{time.monotonic() - t0:.1f}s]", flush=True)
+
+    print(f"\nchecked={len(names)} ok={len(ok)} rows_only={len(rows_only)} failed={len(failed)}")
+    if failed:
+        print("FAILED:", failed)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
