@@ -38,26 +38,35 @@ ALWAYS_BROADCAST = ("region", "nation")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain parquet scan: pushdown-friendly.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    reads only as a long (``spark.sql.legacy.parquet.nanosAsLong``);
-    convert to a microsecond timestamp here — truncation matches how
-    DuckDB coerces nanos to its micro-precision TIMESTAMP, so oracle
-    comparisons agree.
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS). Spark builds
+    differ in how they surface that type, so normalize ALL observed
+    behaviors to a plain microsecond ``timestamp`` (matching how DuckDB
+    coerces nanos to its micro-precision TIMESTAMP, so oracle
+    comparisons agree on both values and schema):
 
-    Self-sufficient under ANY session: ``nanosAsLong`` is a runtime
-    SQL conf, so set it here (not only at session build time) before
-    reading events — a vanilla ``SparkSession.builder.getOrCreate()``
-    otherwise fails with PARQUET_TYPE_ILLEGAL.
+    - read errors (PARQUET_TYPE_ILLEGAL on builds that refuse nanos):
+      set ``spark.sql.legacy.parquet.nanosAsLong`` (a runtime SQL conf)
+      and retry — self-sufficient under a vanilla driver session;
+    - ``bigint`` (nanosAsLong in effect): ``timestamp_micros(ns/1000)``;
+    - ``timestamp_ntz`` (builds that read nanos natively as NTZ): cast
+      to ``timestamp`` — both this session and the driver's run with a
+      UTC session timezone, so the wall-clock reinterpretation is the
+      identity and values equal DuckDB's naive micros.
     """
     path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        if name != "events":
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if name == "events":
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass  # conf locked down (never in practice) — fall through to read
-    df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -241,3 +241,52 @@ def test_q18_aggregates_fact_before_join(spark):
     # the aggregate must exist under the join subtree; cheap proxy:
     # lineitem's scan appears after the aggregate marker
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q19_disjunctive_predicates_push_to_both_scans(spark):
+    """The OR-of-ANDs spans both join sides; Catalyst must DERIVE the
+    single-side disjunctions and push them into each parquet scan —
+    part rows filter on (brand AND size-range) disjuncts, lineitem rows
+    on the quantity-range disjuncts — instead of filtering after the
+    join."""
+    from impala_refresher_spark.operators.tpch import tpch_q19_discounted_revenue
+
+    plan = plan_of(tpch_q19_discounted_revenue(spark, SF_SMOKE))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    part_pushed = [l for l in pushed if "p_brand" in l]
+    line_pushed = [l for l in pushed if "l_quantity" in l]
+    assert part_pushed and "Or(" in part_pushed[0] and "Brand#12" in part_pushed[0]
+    assert line_pushed and "Or(" in line_pushed[0]
+
+
+def test_tpch_q21_decorrelates_to_two_lineitem_scans(spark):
+    """The literal EXISTS / NOT EXISTS SQL implies THREE lineitem
+    scans (l1, l2, l3). The implementation decorrelates both
+    subqueries into one per-order aggregate, so the physical plan must
+    read lineitem exactly twice (once for late lines, once for the
+    per-order supplier counts) — the property that keeps the query at
+    two fact shuffles at 100 TB."""
+    from impala_refresher_spark.operators.tpch import (
+        tpch_q21_suppliers_who_kept_waiting,
+    )
+
+    plan = plan_of(tpch_q21_suppliers_who_kept_waiting(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 2
+
+
+def test_tpch_q22_anti_join_prunes_orders_scan(spark):
+    """NOT EXISTS compiles to a left-anti join whose build side reads
+    only the correlation + filter columns of orders — scanning more
+    would ship the whole fact table to every executor at scale."""
+    from impala_refresher_spark.operators.tpch import (
+        tpch_q22_global_sales_opportunity,
+    )
+
+    plan = plan_of(tpch_q22_global_sales_opportunity(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    orders_reads = [
+        l.strip()
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "o_custkey" in l
+    ]
+    assert orders_reads == ["ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>"]
