@@ -906,7 +906,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
       FROM costs GROUP BY c_partkey
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
-           ROUND(unit_cost, 4) AS unit_cost
+           unit_cost
     FROM part
     JOIN costs ON p_partkey = c_partkey
     JOIN best  ON p_partkey = b_partkey AND unit_cost = best_cost
@@ -923,9 +923,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier's observed min(l_extendedprice / l_quantity). The
     correlated MIN subquery decorrelates to aggregate-then-join-back;
     the min-equality compares a double MIN of identical inputs (exact,
-    no accumulation) so no rounding is needed for the join itself —
-    only the displayed column rounds. Part filters prune before the
-    join; nation/region broadcast."""
+    no accumulation) so no rounding is needed anywhere: both engines
+    hold bit-identical doubles, and rounding would only INTRODUCE
+    divergence (engines disagree on 4-decimal rounding of a .xxxx5
+    binary double). Part filters prune before the join; nation/region
+    broadcast."""
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -960,7 +962,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_type",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            "unit_cost",
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(20)
