@@ -11,9 +11,14 @@ Usage: python scripts/driver_sim.py [N] [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
+
+# Runnable from anywhere: `python scripts/driver_sim.py` puts scripts/
+# (not the repo root) on sys.path, so add the root explicitly.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
