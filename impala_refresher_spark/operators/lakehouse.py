@@ -1,0 +1,220 @@
+"""Lakehouse-style table-maintenance operators: MERGE upsert, SCD2
+history, and Z-order clustering stats.
+
+The reference (a catalog-refresh CLI, ``impala-refresher.go:46-181``)
+keeps external tables fresh FOR consumers; these are the operations the
+producers of those tables run — upserting late-arriving facts,
+maintaining dimension history, and clustering data layout for scan
+pruning. All pure DataFrame compositions (no Delta/Iceberg dependency):
+MERGE is a full outer join + coalesce, SCD2 is a lead() window, Z-order
+is integer bit-interleave arithmetic — each shape survives 100 TB
+unchanged because it shuffles once on the natural key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+
+@query(
+    "merge_upsert_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.10 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus,
+             o_totalprice * 0.5 AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+    )
+    SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN u.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (WHEN MATCHED THEN UPDATE / WHEN NOT
+    MATCHED THEN INSERT) as a pure DataFrame composition: full outer
+    join on the key, COALESCE(update, base) per column, and an action
+    tag. The updates batch is derived deterministically from the
+    fixture (repriced every-7th order + new synthetic every-13th
+    order at offset keys) so the oracle can rebuild it. Prices stay
+    UNROUNDED per-row: both engines compute the identical IEEE
+    product, while rounding x.xx5 half-cent boundaries would diverge.
+
+    At scale this is the standard upsert-without-a-table-format plan:
+    ONE shuffle of each side on the merge key. With a real lakehouse
+    format the same join runs against only the matched file groups
+    (merge-on-read); the logical shape is identical.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    repriced = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 1.10).alias("o_totalprice"),
+        )
+    )
+    inserted = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        )
+    )
+    updates = repriced.unionByName(inserted)
+    b, u = base.alias("b"), updates.alias("u")
+    return (
+        b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.coalesce(F.col("u.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+            F.coalesce(F.col("u.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias(
+                "o_totalprice"
+            ),
+            F.when(F.col("b.o_orderkey").isNull(), "insert")
+            .when(F.col("u.o_orderkey").isNull(), "keep")
+            .otherwise("update")
+            .alias("merge_action"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scd2_user_value_history",
+    """
+    SELECT user_id,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           ROUND(value, 4) AS value,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                AS BOOLEAN) AS is_current
+    FROM events
+    WHERE event_type = 'purchase' AND user_id % 50 = 0
+    ORDER BY user_id, valid_from, value
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: each user's purchase stream
+    becomes [valid_from, valid_to) intervals with an is_current flag —
+    the standard dimension-history build (lead() over the change
+    stream). The user_id sample bounds result size; the window
+    partitions by user_id, so the one shuffle is by user and interval
+    construction is a single pass per partition. At 100 TB the same
+    window runs per user shard; no self-join, no driver state.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 50 == 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.round("value", 4).alias("value"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "value")
+    )
+
+
+def _morton16(x, y):
+    """16-bit Morton (Z-order) code interleaving the low 8 bits of x
+    (even positions) and y (odd positions) — pure integer arithmetic,
+    identical in Spark and DuckDB."""
+    code = F.lit(0).cast("bigint")
+    for i in range(8):
+        xbit = F.shiftright(x.cast("bigint"), i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y.cast("bigint"), i).bitwiseAND(F.lit(1))
+        code = (
+            code
+            + F.shiftleft(xbit, 2 * i)
+            + F.shiftleft(ybit, 2 * i + 1)
+        )
+    return code
+
+
+def _sql_morton16(x: str, y: str) -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"((({x}::BIGINT >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y}::BIGINT >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_cluster_stats",
+    f"""
+    WITH coded AS (
+      SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+             {_sql_morton16("l_partkey % 256", "l_suppkey % 256")} AS morton
+      FROM lineitem
+    )
+    SELECT morton >> 10 AS zbucket,
+           CAST(MIN(px) AS BIGINT) AS px_min, CAST(MAX(px) AS BIGINT) AS px_max,
+           CAST(MIN(sx) AS BIGINT) AS sx_min, CAST(MAX(sx) AS BIGINT) AS sx_max,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM coded
+    GROUP BY morton >> 10
+    ORDER BY zbucket
+    """,
+)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering layout: Morton-interleave two join keys into
+    one code, bucket rows by code prefix (= the files a Z-ordered
+    write would produce), and report per-bucket min/max of BOTH keys —
+    the data-skipping statistics a scan would prune on. The point the
+    stats demonstrate: every bucket bounds BOTH dimensions (each
+    2^10-code bucket spans ≤ 32 distinct values of either 8-bit key),
+    so a predicate on EITHER key prunes most buckets — which a sort by
+    (partkey, suppkey) can't do for the second key.
+
+    At 100 TB the same code feeds ``repartitionByRange(morton)`` +
+    sorted parquet writes; the stats here are exactly the min/max
+    footer stats those files would carry. The bit-interleave is pure
+    codegen integer arithmetic — no UDF.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    px = F.col("l_partkey") % 256
+    sx = F.col("l_suppkey") % 256
+    coded = l.select(
+        px.alias("px"), sx.alias("sx"), _morton16(px, sx).alias("morton")
+    )
+    return (
+        coded.groupBy(F.shiftright("morton", 10).alias("zbucket"))
+        .agg(
+            F.min("px").alias("px_min"),
+            F.max("px").alias("px_max"),
+            F.min("sx").alias("sx_min"),
+            F.max("sx").alias("sx_max"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("zbucket")
+    )
