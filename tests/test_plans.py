@@ -290,3 +290,35 @@ def test_tpch_q22_anti_join_prunes_orders_scan(spark):
         if "ReadSchema" in l and "o_custkey" in l
     ]
     assert orders_reads == ["ReadSchema: struct<o_custkey:bigint,o_orderpriority:string>"]
+
+
+def test_lakehouse_ops_are_pure_jvm(spark):
+    """MERGE upsert, SCD2, and the Z-order Morton code must compile to
+    pure Catalyst expressions — a Python UDF in any of them would put
+    an Arrow/pickle serialization barrier in what codegen otherwise
+    fuses into single stages (the Morton interleave in particular is
+    32 shift/mask terms folded into one projection). AQE plans hide
+    the ``*(n)`` codegen markers before execution, so the barrier's
+    ABSENCE is the assertable property."""
+    from impala_refresher_spark.operators.lakehouse import (
+        merge_upsert_orders,
+        scd2_user_value_history,
+        zorder_cluster_stats,
+    )
+
+    for fn in (merge_upsert_orders, scd2_user_value_history, zorder_cluster_stats):
+        plan = plan_of(fn(spark, SF_SMOKE), "simple")
+        assert "EvalPython" not in plan, fn.__name__
+
+
+def test_merge_upsert_is_single_join(spark):
+    """The MERGE plan must be ONE full-outer join of base vs updates —
+    a naive matched/not-matched implementation as two separate joins
+    (inner + anti) doubles the fact shuffle."""
+    from impala_refresher_spark.operators.lakehouse import merge_upsert_orders
+
+    plan = plan_of(merge_upsert_orders(spark, SF_SMOKE), "simple")
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert joins == 1, plan
