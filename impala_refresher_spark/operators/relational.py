@@ -666,6 +666,28 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentiles")  # rows-only: sketch internals are engine-specific
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles per group — the 100 TB path the exact
+    ``agg_percentiles`` docstring points at. ``percentile_approx``
+    (Greenwald-Khanna sketch, accuracy 10000 → ~0.01% rank error) is a
+    mergeable partial aggregate: each task sketches its partition,
+    sketches merge map-side, and NO group ever buffers its full value
+    list — bounded memory however hot the group. Deterministic given
+    the input, but the sketch is Spark-specific, so the driver check
+    is rows-only; ε-closeness to the exact percentile is asserted in
+    ``tests/test_llm_ops.py``."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2
+        ).alias("p50_approx"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)), 2
+        ).alias("p95_approx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # G4 — HAVING-style post-aggregation filter
 # ---------------------------------------------------------------------------

@@ -136,3 +136,24 @@ def test_ann_pq_recall_and_ranking(spark, sf_dir):
     brute = {r.vec_id for r in cosine_topk(spark, sf_dir).collect()}
     got0 = {r.vec_id for r in by_q[0]}
     assert len(got0 & brute) >= 4  # recall@10 >= 0.4 for the checked query
+
+
+def test_approx_percentiles_within_epsilon_of_exact(spark, sf_dir):
+    """The sketch percentiles must land within a small relative error
+    of the exact sort-based ones — the accuracy contract that makes
+    the bounded-memory sketch a valid substitute at scale."""
+    from impala_refresher_spark.operators.relational import (
+        agg_approx_percentiles,
+        agg_percentiles,
+    )
+
+    exact = {r.l_returnflag: (r.p50, r.p95) for r in agg_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r.l_returnflag: (r.p50_approx, r.p95_approx)
+        for r in agg_approx_percentiles(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, (p50, p95) in exact.items():
+        a50, a95 = approx[flag]
+        assert abs(a50 - p50) / p50 < 0.01, (flag, a50, p50)
+        assert abs(a95 - p95) / p95 < 0.01, (flag, a95, p95)
