@@ -720,3 +720,69 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.alias("q"),
         )
     )
+
+
+@query(
+    "knn_join_topk",
+    f"""
+    WITH u AS (SELECT vec_id, label, {_SQL_UNIT("embedding")} AS uv FROM embeddings),
+    sym AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {_sql_dot("a.uv", "b.uv")} AS sim
+      FROM u a JOIN u b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id,
+           CAST(rank AS INT) AS rank,
+           ROUND(sim, 6) AS cos_sim
+    FROM (
+      SELECT vec_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sym
+    ) ranked
+    WHERE rank <= 3
+    ORDER BY vec_id, rank
+    """,
+)
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN self-join: EVERY vector's top-3 nearest neighbours (by
+    cosine, within its label block) — the all-rows generalization of
+    the single-query ``cosine_topk``, and the shape behind kNN-graph
+    near-dup clustering and retrieval-index evaluation.
+
+    Plan: ONE triangle-guarded pair join computes each unordered pair's
+    dot product once; the symmetric view (each pair seen from both
+    endpoints) is a projection union, NOT a second join; then one
+    window per vec_id takes the top-3 with a deterministic
+    (sim DESC, neighbor_id) tie-break. Pair work is n²/2 within blocks
+    — at 100 TB the blocking key comes from LSH buckets or IVF cells
+    (as in ``ann_*``) and this exact plan runs per bucket.
+    """
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    u = e.select("vec_id", "label", _unit(F.col("embedding")).alias("uv"))
+    pairs = blocked_pair_join(u, "label", "vec_id").select(
+        F.col("a.vec_id").alias("pa"),
+        F.col("b.vec_id").alias("pb"),
+        _dot(F.col("a.uv"), F.col("b.uv")).alias("sim"),
+    )
+    sym = pairs.select(
+        F.col("pa").alias("vec_id"), F.col("pb").alias("neighbor_id"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("vec_id"), F.col("pa").alias("neighbor_id"), "sim"
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).alias("cos_sim"),
+        )
+        .orderBy("vec_id", "rank")
+    )
