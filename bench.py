@@ -106,32 +106,54 @@ def main() -> None:
     # lands on different queries in each pass — so the min is the
     # steady-state number a long-lived cluster session actually
     # delivers. Warmups run only in pass 1 (pass 2 IS warm).
+    #
+    # The default budget (540 s) covers both full passes at sf0.1 on
+    # this box with margin; it exists so a slower environment degrades
+    # to partial re-timing instead of an unbounded run.
+    # Pass 2 runs under a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET
+    # seconds, measured from bench start) and re-times queries in
+    # DESCENDING pass-1 time order: a stall-inflated query carries a
+    # big pass-1 number, so the suspects are re-measured first and a
+    # budget cut costs only the small, stall-insensitive tail.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
+    deadline = time.monotonic() + budget
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for pass_no in range(2):
-        for name in headline + rest:
-            fn = QUERIES[name]
-            if pass_no == 0:
-                # Per-query warmup right before its timed run (see note
-                # above on why warming everything up front fails).
-                for wdir in ([warm_dir] if warm_dir else []) + (
-                    [mid_dir] if name in heavy and mid_dir else []
-                ):
-                    try:
-                        fn(spark, wdir).count()
-                    except Exception:
-                        pass  # the timed run will surface and report the failure
-            t0 = time.monotonic()
+
+    def timed_run(name: str) -> None:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as e:  # keep the bench line parseable even on failure
+            if name not in timings:
+                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            return
+        dt = time.monotonic() - t0
+        rows[name] = n
+        if name not in timings or dt < timings[name]:
+            timings[name] = round(dt, 4)
+
+    for name in headline + rest:
+        # Per-query warmup right before its timed run (see note above
+        # on why warming everything up front fails).
+        for wdir in ([warm_dir] if warm_dir else []) + (
+            [mid_dir] if name in heavy and mid_dir else []
+        ):
             try:
-                n = fn(spark, sf_dir).count()
-            except Exception as e:  # keep the bench line parseable even on failure
-                if name not in timings:
-                    print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-                continue
-            dt = time.monotonic() - t0
-            rows[name] = n
-            if name not in timings or dt < timings[name]:
-                timings[name] = round(dt, 4)
+                QUERIES[name](spark, wdir).count()
+            except Exception:
+                pass  # the timed run will surface and report the failure
+        timed_run(name)
+    retime = sorted(timings, key=timings.get, reverse=True)
+    for name in retime:
+        if time.monotonic() >= deadline:
+            print(
+                f"bench: budget reached, pass-2 skipped {len(retime) - retime.index(name)} queries",
+                file=sys.stderr,
+            )
+            break
+        timed_run(name)
     for name in headline + rest:
         if name in timings:
             print(
