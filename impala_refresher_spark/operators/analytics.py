@@ -956,3 +956,43 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("edge", 2).alias("edge"),
         )
     )
+
+
+@query(
+    "aqp_revenue_estimate",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(COUNT(*) * 16 AS BIGINT) AS est_rows,
+           ROUND(SUM(l_extendedprice) * 16, 2) AS est_revenue
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 2) < '10'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing: estimate per-flag row counts and
+    revenue from a deterministic 1/16 key-hash sample (md5 prefix
+    < '10' ≈ 16/256 of hash space), scaled by the inverse sampling
+    rate. The md5-prefix sample is the engine-portable, rerun-stable
+    AQP idiom (same rows every time, every engine); accuracy vs the
+    exact aggregate is asserted in tests (Horvitz-Thompson estimator:
+    rel-error ~ 1/sqrt(n_sampled)).
+
+    At 100 TB the sample predicate rides an ordinary filter — and the
+    real I/O win comes from materializing the sample once as its own
+    table and pointing exploratory queries at it; this query is that
+    materialization's plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    return (
+        li.filter(F.substring(F.md5(key), 1, 2) < "10")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            (F.count("*") * 16).alias("est_rows"),
+            F.round(F.sum("l_extendedprice") * 16, 2).alias("est_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -157,3 +157,32 @@ def test_approx_percentiles_within_epsilon_of_exact(spark, sf_dir):
         a50, a95 = approx[flag]
         assert abs(a50 - p50) / p50 < 0.01, (flag, a50, p50)
         assert abs(a95 - p95) / p95 < 0.01, (flag, a95, p95)
+
+
+def test_aqp_estimate_close_to_exact(spark, sf_dir):
+    """The 1/16-sample Horvitz-Thompson estimates must land near the
+    exact per-flag aggregates — the accuracy contract that makes the
+    sample a valid exploratory substitute. Bound: 4/sqrt(n_sampled)
+    relative error (≈4 sigma for totals whose per-row values are
+    bounded), loose enough to be deterministic-stable, tight enough
+    to catch a wrong scale factor instantly."""
+    from impala_refresher_spark.operators.analytics import aqp_revenue_estimate
+    from pyspark.sql import functions as F
+    from impala_refresher_spark.sources.tables import load_table
+
+    est = {r.l_returnflag: r for r in aqp_revenue_estimate(spark, sf_dir).collect()}
+    exact = {
+        r.l_returnflag: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), F.sum("l_extendedprice").alias("revenue"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for flag, e in est.items():
+        x = exact[flag]
+        tol = 4.0 / (e.n_sampled ** 0.5)
+        assert abs(e.est_rows - x.n_rows) / x.n_rows < tol, (flag, e.est_rows, x.n_rows)
+        assert abs(e.est_revenue - x.revenue) / x.revenue < tol, (
+            flag, e.est_revenue, x.revenue,
+        )
