@@ -326,3 +326,62 @@ def select_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_before") < 10000)
         .select("doc_id", "n_tok", "quality")
     )
+
+
+@query(
+    "sample_weighted_reservoir",
+    """
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                / 4294967297.0) / n_chars AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT lang, doc_id, n_chars, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rank
+      FROM keyed
+    ) ranked
+    WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis-Spirakis A-Res): per
+    language, pick 5 documents with probability proportional to
+    length — the quality/size-weighted corpus-selection primitive.
+    Each row's key is u^(1/w) compared in log space (ln(u)/w, same
+    order, one transcendental instead of two); u is a deterministic
+    uniform from the doc_id's md5 prefix, so the sample is rerun- AND
+    engine-stable (the portable-sampling idiom of
+    ``sample_hash_deterministic``, extended to weights).
+
+    Plan shape: one scan computes the key, one window per group takes
+    the top-k — a single shuffle on the group key. At 100 TB this IS
+    the distributed weighted reservoir: no sequential state, and the
+    same two-phase refinement as top-k (per-partition top-k, then
+    global) applies if a group is hot. Output columns are integers/
+    strings only, so the oracle compare never touches the float key.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + 1.0
+    ) / 4294967297.0
+    keyed = d.select(
+        "lang", "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "doc_id", "n_chars", F.col("rank").cast("int").alias("rank"))
+        .orderBy("lang", "rank")
+    )

@@ -186,3 +186,27 @@ def test_aqp_estimate_close_to_exact(spark, sf_dir):
         assert abs(e.est_revenue - x.revenue) / x.revenue < tol, (
             flag, e.est_revenue, x.revenue,
         )
+
+
+def test_weighted_reservoir_favors_long_docs(spark, sf_dir):
+    """Length-weighted sampling must overrepresent long documents:
+    the sampled mean n_chars should exceed the corpus mean (the
+    size-biased-mean property of probability-proportional-to-size
+    draws). Also: exactly 5 per language, ranks contiguous."""
+    from impala_refresher_spark.operators.pipeline import sample_weighted_reservoir
+    from impala_refresher_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = sample_weighted_reservoir(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.rank)
+    for lang, ranks in by_lang.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), lang
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
