@@ -281,8 +281,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Exact-Jaccard verification on candidates only.
-    sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    # Exact-Jaccard verification on candidates only. Semi-join the
+    # corpus down to ids that appear in a candidate pair BEFORE
+    # materializing shingle arrays: verification cost is O(candidates),
+    # not a full-corpus array shuffle (candidate ids are KB-sized next
+    # to the corpus, so they broadcast; the shingle arrays for
+    # non-candidates are never built or moved).
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+    )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

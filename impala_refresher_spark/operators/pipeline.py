@@ -333,8 +333,8 @@ def select_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH keyed AS (
       SELECT lang, doc_id, n_chars,
-             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
-                / 4294967297.0) / n_chars AS es_key
+             ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                      / 4294967297.0) / n_chars, 9) AS es_key
       FROM documents
       WHERE n_chars > 0
     )
@@ -373,8 +373,16 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 1.0
     ) / 4294967297.0
+    # ln() is the one transcendental in the key: Spark's Math.log and
+    # DuckDB's libm ln are each ≤1-ulp but not guaranteed bit-identical,
+    # so rank on the key ROUNDED to 9 decimals on both engines (ties
+    # broken by doc_id) — a sub-ulp divergence can no longer reorder
+    # the rank-5 boundary.
     keyed = d.select(
-        "lang", "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("es_key")
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("es_key"),
     )
     from pyspark.sql import Window as W
 

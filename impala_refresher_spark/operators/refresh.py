@@ -363,3 +363,81 @@ def recover_partitions_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+_EVENT_CATEGORIES = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+]
+
+_EVENT_CATEGORIES_SQL = (
+    "(VALUES "
+    + ", ".join(f"('{t}', '{c}')" for t, c in _EVENT_CATEGORIES)
+    + ") dim(event_type, category)"
+)
+
+
+@query(
+    "dpp_partitioned_events",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    JOIN {_EVENT_CATEGORIES_SQL} USING (event_type)
+    WHERE category = 'conversion'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def dpp_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over the partitioned events copy: the
+    fact side is partitioned by ``event_type`` (the layout
+    ``recover_partitions_status`` ingests, README.md:10-11's whole
+    point), the dim side carries a ``category`` attribute the fact
+    lacks, and the only filter is ON THE DIM. Catalyst inserts a
+    ``dynamicpruningexpression`` into the fact scan (locked by
+    ``tests/test_plans.py::test_dpp_prunes_partitioned_scan``), so at
+    runtime only the partitions whose event_type survives the dim
+    filter are read — at 100 TB this is the difference between
+    scanning 2/5 of the table and all of it, with zero user-side
+    predicate rewriting.
+
+    Both sides are parquet scans on purpose: a literal local dim gets
+    constant-folded by ``ConvertToLocalRelation``, which strips the
+    Filter node DPP keys on. Writes are freshness-keyed scratch
+    materializations (skipped when current).
+    """
+    import os
+
+    from impala_refresher_spark.sources.tables import load_table, scratch_path
+
+    fact_path = scratch_path("/root/repo/_scratch", "events_dpp", sf_dir, "events")
+    if not os.path.exists(os.path.join(fact_path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .repartition("event_type")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(fact_path)
+        )
+    dim_path = scratch_path("/root/repo/_scratch", "events_dpp_dim", sf_dir, "events")
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        spark.createDataFrame(
+            _EVENT_CATEGORIES, "event_type string, category string"
+        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("category") == "conversion")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

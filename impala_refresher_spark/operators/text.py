@@ -113,15 +113,23 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document-frequency table (vocabulary is tiny next to the
     corpus at any scale; broadcast it, never shuffle the corpus)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    n_docs = d.count()  # scalar; at scale keep as a literal the same way
+    # n_docs stays plan-side: a broadcast 1-row aggregate crossJoin
+    # (same shape as above_avg_orders) instead of a driver-side
+    # d.count(), which would be an extra serial Spark job and a
+    # planning barrier before the real query.
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    return tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
     )
 
 

@@ -488,7 +488,7 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS ps_partkey, ROUND(SUM(value), 2) AS part_value
     FROM supplied
     GROUP BY l_partkey
-    HAVING SUM(value) > (SELECT SUM(value) * 0.002 FROM supplied)
+    HAVING ROUND(SUM(value), 2) > ROUND((SELECT SUM(value) * 0.002 FROM supplied), 2)
     ORDER BY part_value DESC, ps_partkey
     """,
 )
@@ -512,9 +512,13 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = supplied.groupBy("l_partkey").agg(F.sum("value").alias("raw_value"))
     total = supplied.agg((F.sum("value") * 0.002).alias("threshold"))
+    # Round BOTH sides of the threshold compare (repo float discipline:
+    # accumulation-order-dependent sums must be rounded before any
+    # cross-engine comparison, or a last-ulp difference flips the
+    # strict inequality for a part sitting on the boundary).
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("raw_value") > F.col("threshold"))
+        .filter(F.round("raw_value", 2) > F.round("threshold", 2))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
             F.round("raw_value", 2).alias("part_value"),
@@ -927,13 +931,30 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold bit-identical doubles, and rounding would only INTRODUCE
     divergence (engines disagree on 4-decimal rounding of a .xxxx5
     binary double). Part filters prune before the join; nation/region
-    broadcast."""
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    broadcast.
+
+    Scale note: Catalyst cannot push the ``p_size/p_type`` filter
+    through the aggregate-then-join, so without help the ``costs``
+    aggregate would fold ALL of lineitem. A broadcast LEFT SEMI join
+    of lineitem against the filtered part keys BEFORE the groupBy
+    prunes the aggregate's input by the part-filter selectivity
+    (~2 orders of magnitude at 100 TB) while leaving the result
+    identical — ``costs`` rows for other parts were dropped by the
+    final inner join anyway."""
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
     )
     costs = (
         l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -966,4 +987,80 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(20)
+    )
+
+
+@query(
+    "tpch_q20_excess_stock_parts",
+    """
+    WITH flows AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                       AND l_shipdate <  TIMESTAMP '1999-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_1998,
+             SUM(CASE WHEN l_shipdate <  TIMESTAMP '1998-01-01'
+                       OR  l_shipdate >= TIMESTAMP '1999-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_outside
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM flows
+        WHERE ROUND(qty_outside, 2) > ROUND(0.5 * qty_1998, 2) AND qty_1998 > 0
+      )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_excess_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 (adapted): suppliers in a nation group holding "excess
+    stock" of red parts — the fixture has no partsupp.ps_availqty, so
+    stock is read off lineitem flows: a supplier has excess stock of a
+    part when the quantity it shipped OUTSIDE 1998 exceeds half of
+    what it shipped IN 1998 (the original's availqty > 0.5 * one-year
+    demand, with shipped-elsewhere standing in for on-hand quantity).
+
+    Plan shape, inside-out like the original's nested INs: lineitem is
+    broadcast-LEFT-SEMI pruned to red part keys BEFORE the per-(part,
+    supplier) aggregate (same aggregate-input pruning as tpch_q2 — the
+    name filter is ~1/|colors| selective, so at 100 TB the aggregate
+    folds a fraction of lineitem); the qualifying supplier set then
+    LEFT SEMI joins into the nation-filtered supplier dim. Both sides
+    of the threshold compare are accumulation-order-dependent SUMs →
+    rounded on both engines per the float discipline.
+    """
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    in_1998 = (F.col("l_shipdate") >= "1998-01-01") & (
+        F.col("l_shipdate") < "1999-01-01"
+    )
+    flows = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(in_1998, F.col("l_quantity")).otherwise(0.0)).alias("qty_1998"),
+        F.sum(F.when(~in_1998, F.col("l_quantity")).otherwise(0.0)).alias(
+            "qty_outside"
+        ),
+    )
+    excess = flows.filter(
+        (F.round("qty_outside", 2) > F.round(0.5 * F.col("qty_1998"), 2))
+        & (F.col("qty_1998") > 0)
+    ).select("l_suppkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
