@@ -996,3 +996,101 @@ def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series linear interpolation over a gap-filled spine
+# ---------------------------------------------------------------------------
+
+@query(
+    "timeseries_interpolate_linear",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             ROUND(SUM(value), 2) / COUNT(*) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+    ),
+    j AS (SELECT s.bucket, h.v FROM spine s LEFT JOIN hourly h USING (bucket)),
+    w AS (
+      SELECT bucket, v,
+        last_value(v IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        first_value(v IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j
+    )
+    SELECT bucket, v IS NOT NULL AS is_observed,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv)
+                     * (CAST(date_diff('hour', pb, bucket) AS DOUBLE)
+                        / CAST(date_diff('hour', pb, nb) AS DOUBLE))
+           END AS val
+    FROM w
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill with LINEAR interpolation (the
+    `interpolate()` companion to `daily_events_zero_filled`'s zero
+    fill): hourly average purchase value on a gap-free hourly spine,
+    with missing buckets filled as pv + (nv-pv)·Δt/Δt_total between
+    the surrounding observed buckets.
+
+    Plan shape at 100 TB: the only fact-table pass is the hourly
+    aggregate (partial-aggregable); the spine is generated from a
+    1-row bounds aggregate; the fill join is spine-sized (broadcast);
+    and the four IGNORE-NULLS running windows run over the SPINE
+    (hours, not events) — bounded by calendar span, not data volume.
+    This single-series shape uses one unpartitioned window; the
+    multi-series variant partitions the same windows by series key and
+    scales with series count. Both engines evaluate one IEEE tree on
+    ROUND(·,2)-terminated inputs, so the interpolated doubles match.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            # sum-then-divide (not AVG), and NO rounding after the
+            # division: ROUND(SUM,2) pins both engines to the same
+            # double, the division of identical operands is identical,
+            # and re-rounding the quotient would re-open the .xx5
+            # boundary (Spark rounds the decimal string, DuckDB the
+            # binary double — they disagree exactly there).
+            (F.round(F.sum("value"), 2) / F.count("*")).alias("v")
+        )
+    )
+    bounds = hourly.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket")
+    )
+    j = spine.join(F.broadcast(hourly), "bucket", "left")
+    past = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    future = Window.orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    w = j.select(
+        "bucket",
+        "v",
+        F.last("v", ignorenulls=True).over(past).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(past).alias("pb"),
+        F.first("v", ignorenulls=True).over(future).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(future).alias("nb"),
+    )
+    frac = (
+        F.timestamp_diff("HOUR", F.col("pb"), F.col("bucket")).cast("double")
+        / F.timestamp_diff("HOUR", F.col("pb"), F.col("nb")).cast("double")
+    )
+    return w.select(
+        "bucket",
+        F.col("v").isNotNull().alias("is_observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("val"),
+    )

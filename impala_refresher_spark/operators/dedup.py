@@ -279,6 +279,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(pair.alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
+        # The candidate set feeds BOTH the broadcast id filter and the
+        # final verify join; without a checkpoint Spark re-evaluates
+        # the whole shingle→minhash→band pipeline once per consumer.
+        # Candidates are bucket-width-capped (KB-to-MB at any scale),
+        # so an eager local checkpoint trades a tiny materialization
+        # for running the corpus-sized LSH pipeline exactly once.
+        .localCheckpoint()
     )
 
     # Exact-Jaccard verification on candidates only. Semi-join the
@@ -665,4 +672,68 @@ def decontaminate_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(~is_eval)
         .join(contaminated, "doc_id", "left")
         .select("doc_id", F.coalesce("hit", F.lit(False)).alias("contaminated"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup prep: duplicated n-gram spans across documents
+# (the inventory step of Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better" — find the repeated spans before
+# cutting them out)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # words per span; long enough that repeats mean real reuse
+
+
+@query(
+    "dup_span_ngrams",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(w[i:i + {_SPAN_N - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, len(w) - {_SPAN_N - 2})) AS u(i)
+    ),
+    per AS (SELECT gram, doc_id, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT gram,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM per GROUP BY gram HAVING COUNT(*) >= 2
+    """,
+)
+def dup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-word spans: every word-level
+    8-gram that occurs in ≥2 distinct documents, with doc and
+    occurrence counts — the exact-substring analogue of the shingle
+    dedups above, and the inventory a span-removal pass consumes.
+
+    Plan: sliding windows come from a higher-order transform over the
+    SAME token array (no self-join, no per-row Python); the explode is
+    collapsed immediately by two partial-aggregable hash aggregates —
+    (gram, doc) then (gram) — written as explicit two-level grouping
+    so the planner never reaches for a count-distinct EXPAND. At
+    100 TB the shuffle key becomes xxhash64(gram) (8 bytes instead of
+    the span text) with the string carried only in the payload of the
+    winning groups; the HAVING n_docs ≥ 2 filter drops the unique-gram
+    long tail — the overwhelming majority — at the second aggregate's
+    map side."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    n = F.size(w)
+    idx = F.when(n >= _SPAN_N, F.sequence(F.lit(1), n - (_SPAN_N - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, _SPAN_N)))
+    ex = d.select("doc_id", F.explode(grams).alias("gram"))
+    per = ex.groupBy("gram", "doc_id").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
     )

@@ -120,16 +120,38 @@ _SQL_UNIT = (
     lambda a: f"list_transform({a}, x -> CAST(x AS DOUBLE) / {_sql_norm(a)})"
 )
 
-# Triangle-partition width for blocked all-pairs self-joins. Each block
+# Triangle-partition sizing for blocked all-pairs self-joins. Each block
 # is cut into S salt cells; a block of width w becomes S*(S+1)/2 join
 # cells of ~2w/S rows each, so no single task ever materializes a whole
-# hot block. At 100 TB size S to the expected hot-block width
-# (S ≈ w / rows-per-task); total pair work is unchanged (it is the
-# operator's output), only its distribution and peak memory.
-_PAIR_SALTS = 4
+# hot block. S is derived from the data (S ≈ w_max / rows-per-cell, the
+# docstring sizing rule) instead of a static constant: total pair work
+# is unchanged (it is the operator's output), only its distribution and
+# peak memory — so any S produces identical rows, and sizing is purely
+# a scheduling decision.
+_PAIR_ROWS_PER_CELL = 4096  # target rows on each side of a triangle cell
+_PAIR_SALTS_MIN = 2  # floor: keep ≥3 cells even on balanced blocks
+_PAIR_SALTS_MAX = 64  # 64 salts = 2080 cells; beyond that, re-block instead
 
 
-def blocked_pair_join(u: DataFrame, block_col: str, id_col: str) -> DataFrame:
+def _pair_salts_for(u: DataFrame, block_col: str) -> int:
+    """Derive the triangle width S from the widest block's row count.
+
+    This is a statistics exchange, not a data move: a partial-aggregable
+    per-block count folded to one MAX row (same legitimacy class as the
+    IVF/PQ centroid collects). At 100 TB the same number comes for free
+    from table statistics or an existing `join_key_skew_profile` run;
+    computing it inline costs one map-side-combined pass over the keys
+    and guarantees the salt grid tracks the data, not a guess.
+    """
+    row = u.groupBy(block_col).count().agg(F.max("count").alias("w")).first()
+    w = row["w"] or 0
+    s = -(-w // _PAIR_ROWS_PER_CELL)  # ceil
+    return max(_PAIR_SALTS_MIN, min(_PAIR_SALTS_MAX, s))
+
+
+def blocked_pair_join(
+    u: DataFrame, block_col: str, id_col: str, n_salts: int | None = None
+) -> DataFrame:
     """All unordered within-block pairs (``a.id < b.id``) as a join of
     aliases ``a``/``b`` — the scale-safe form of
     ``a JOIN b ON a.block = b.block AND a.id < b.id``.
@@ -141,19 +163,24 @@ def blocked_pair_join(u: DataFrame, block_col: str, id_col: str) -> DataFrame:
     exactly once and results are identical to the unguarded join. The
     equi key (block, pair_cell) bounds per-task width structurally —
     the equivalent of `_MAX_DF` for pair joins, without dropping pairs.
+
+    ``n_salts=None`` (the default) derives S from the widest block via
+    `_pair_salts_for`; pass an explicit S to skip the statistics pass
+    (e.g. when a profile already sized it).
     """
-    s_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_PAIR_SALTS)).cast("int")
+    s = n_salts if n_salts is not None else _pair_salts_for(u, block_col)
+    s_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int")
     cells = F.array(
         *[
-            F.least(F.col("_salt"), F.lit(t)) * _PAIR_SALTS
+            F.least(F.col("_salt"), F.lit(t)) * s
             + F.greatest(F.col("_salt"), F.lit(t))
-            for t in range(_PAIR_SALTS)
+            for t in range(s)
         ]
     )
     rep = u.withColumn("_salt", s_col).withColumn("pair_cell", F.explode(cells))
     a, b = rep.alias("a"), rep.alias("b")
     canonical = (
-        F.least(F.col("a._salt"), F.col("b._salt")) * _PAIR_SALTS
+        F.least(F.col("a._salt"), F.col("b._salt")) * s
         + F.greatest(F.col("a._salt"), F.col("b._salt"))
     )
     return a.join(

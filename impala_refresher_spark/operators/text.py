@@ -617,3 +617,202 @@ def text_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("pos").cast("int").alias("pos"),
                 left.alias("left_ctx"), right.alias("right_ctx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition/quality rule battery (Rae et al. 2021, §A1.1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_gopher_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS mean_word_len,
+             1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS dup_word_frac,
+             CAST(len(list_filter(w, t2 -> list_contains({_STOP_SQL}, t2))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS stopword_frac,
+             CASE WHEN len(w) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+               CAST(list_max(list_transform(
+                      list_distinct(list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])),
+                      x -> len(list_filter(list_transform(range(1, len(w)),
+                                           i -> w[i] || ' ' || w[i + 1]),
+                                           y -> y = x)))) AS DOUBLE)
+                 / CAST(len(w) - 1 AS DOUBLE)
+             END AS top_bigram_frac
+      FROM t
+    )
+    SELECT doc_id, mean_word_len, dup_word_frac, stopword_frac, top_bigram_frac,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND dup_word_frac <= 0.80
+            AND stopword_frac >= 0.01
+            AND top_bigram_frac <= 0.20) AS passes_gopher
+    FROM feat
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule battery: mean word length band,
+    duplicate-word fraction, stopword floor, and top-bigram
+    concentration (the "fraction of characters in the most common
+    n-gram" family of repetition rules), folded into one pass/fail
+    flag. The line-based Gopher rules are vacuous on this fixture
+    (single-line docs); the repetition family is the load-bearing
+    subset for word-soup spam anyway.
+
+    100 TB shape: every feature — including the per-document bigram
+    mode — is a higher-order-function fold over the token array, so
+    the whole battery is MAP-ONLY codegen: no explode, no shuffle, no
+    Python. The alternative explode→groupBy(doc_id, bigram)→max plan
+    shuffles one row per token occurrence (≈corpus size); this plan
+    shuffles nothing and scales linearly with input bytes. The per-doc
+    O(distinct·n) mode loop is bounded by document length, not corpus
+    size. Both engines evaluate the identical IEEE expression tree, so
+    the unrounded doubles (and the threshold flags derived from them)
+    match bitwise."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    n = F.size(w)
+    nd = n.cast("double")
+    stop = F.array(*[F.lit(x) for x in STOPWORDS])
+    mean_word_len = (
+        F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / nd
+    )
+    dup_word_frac = 1.0 - F.size(F.array_distinct(w)).cast("double") / nd
+    stopword_frac = (
+        F.size(F.filter(w, lambda t: F.array_contains(stop, t))).cast("double") / nd
+    )
+    # Word bigrams as a pure array expression (1-based element_at on
+    # both engines); per-doc mode count via distinct→count-each→max.
+    bg = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    top_bigram_frac = F.when(n < 2, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)),
+            )
+        ).cast("double")
+        / (n - 1).cast("double")
+    )
+    feat = d.select(
+        "doc_id",
+        mean_word_len.alias("mean_word_len"),
+        dup_word_frac.alias("dup_word_frac"),
+        stopword_frac.alias("stopword_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )
+    return feat.select(
+        "*",
+        (
+            (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+            & (F.col("dup_word_frac") <= 0.80)
+            & (F.col("stopword_frac") >= 0.01)
+            & (F.col("top_bigram_frac") <= 0.20)
+        ).alias("passes_gopher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson/Sparck Jones; the ranking function
+# behind Lucene/Elasticsearch defaults)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["customer", "table", "fast"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_IN = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+
+@query(
+    "text_bm25_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks WHERE token IN {_BM25_IN} GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM toks WHERE token IN {_BM25_IN} GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * {_BM25_K1 + 1.0})
+             / (tf + {_BM25_K1} * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / avgdl)))
+             AS s
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           COALESCE(SUM(CASE WHEN token = 'customer' THEN s END), 0.0)
+           + COALESCE(SUM(CASE WHEN token = 'table' THEN s END), 0.0)
+           + COALESCE(SUM(CASE WHEN token = 'fast' THEN s END), 0.0) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) of a fixed 3-term query against every
+    document — the lexical-retrieval scorer that pairs with the dense
+    cosine path (similarity.py) for hybrid corpus search.
+
+    Same scale skeleton as `text_tfidf`: the term filter lands BEFORE
+    the tf aggregate so the explode collapses to query-term hits only;
+    df and the (n_docs, avgdl) pair are broadcast-sized statistics
+    (one row / |vocab∩query| rows); doc length joins map-side. The
+    per-document total is written as fixed-order conditional sums —
+    one per query term — not SUM over an arbitrary-order group, so
+    both engines add the three doubles in the same order and the
+    unrounded scores match bitwise."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum(F.size(w)).cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    dl = d.select("doc_id", F.size(w).alias("dl"))
+    toks = d.select("doc_id", F.explode(w).alias("token")).filter(
+        F.col("token").isin(_BM25_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").cast("double").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    s = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1 * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", s.alias("s"))
+    )
+    def term_sum(t: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+        )
+    return scored.groupBy("doc_id").agg(
+        (
+            term_sum("customer") + term_sum("table") + term_sum("fast")
+        ).alias("bm25")
+    )

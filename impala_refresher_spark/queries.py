@@ -98,6 +98,12 @@ _R03_PRIORITY = [
     "dpp_partitioned_events",
     # Changed this round (ln-key rounding) — re-verify under driver.
     "sample_weighted_reservoir",
+    # New this round: map-only Gopher rule battery + hypertable-style
+    # linear interpolation — new code, verify in the r03 window.
+    "quality_gopher_rules",
+    "timeseries_interpolate_linear",
+    "dup_span_ngrams",
+    "text_bm25_score",
     # Remaining never-checked, highest-value first.
     "sql_exists_subquery",
     "cogroup_reconcile",

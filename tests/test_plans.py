@@ -384,3 +384,97 @@ def test_text_tfidf_n_docs_is_plan_side(spark):
     plan = plan_of(text_tfidf(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "count(1)" in plan, plan
+
+
+def test_aqe_splits_unsalted_skew_join(spark):
+    """The at-scale skew story: before reaching for manual salting
+    (`join_skew_salted`), AQE's skew-join split must actually fire on
+    an unsalted hot-key sort-merge join. Thresholds are lowered so the
+    fixture-scale skew crosses them (at 100 TB the 256 MB defaults do
+    the same job); the executed adaptive plan must show the skewed
+    shuffle read — i.e. the oversized partition was split at runtime,
+    no plan change and no row replication required."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # 90% of fact rows share key 0 -> one melted shuffle partition.
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") * 7 % 100).alias("v"),
+        )
+        dim = spark.range(0, 1000).select(F.col("id").alias("k"))
+        j = fact.join(dim, "k").groupBy().agg(F.sum("v").alias("s"))
+        [row] = j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead skewed" in executed, executed
+        assert "skew=true" in executed, executed
+        # and the split did not change the answer (every k hits the dim)
+        expect = sum(i * 7 % 100 for i in range(300_000))
+        assert row.s == expect
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def test_pair_salts_derived_from_block_width(spark):
+    """Triangle width S must track the data (S ~ w_max / rows-per-cell,
+    clamped), not a constant: a hot block 5 cells wide must get S=5,
+    and the replicated relation must actually use all S*(S+1)/2 grid
+    cells so no task owns the whole block."""
+    from pyspark.sql import functions as F
+
+    from impala_refresher_spark.operators.similarity import (
+        _PAIR_ROWS_PER_CELL,
+        _PAIR_SALTS_MAX,
+        _PAIR_SALTS_MIN,
+        _pair_salts_for,
+        blocked_pair_join,
+    )
+
+    hot = spark.range(5 * _PAIR_ROWS_PER_CELL).select(
+        F.col("id").alias("vec_id"), F.lit("hot").alias("label")
+    )
+    assert _pair_salts_for(hot, "label") == 5
+
+    tiny = spark.range(10).select(
+        F.col("id").alias("vec_id"), F.lit("t").alias("label")
+    )
+    assert _pair_salts_for(tiny, "label") == _PAIR_SALTS_MIN
+
+    wide = spark.range(2 * _PAIR_SALTS_MAX * _PAIR_ROWS_PER_CELL).select(
+        F.col("id").alias("vec_id"), F.lit("w").alias("label")
+    )
+    assert _pair_salts_for(wide, "label") == _PAIR_SALTS_MAX
+
+    # With an explicit S the replicated side must populate the full
+    # S*(S+1)/2 triangle grid (50 ids, 5 salts -> 15 distinct cells).
+    s = 5
+    u = spark.range(50).select(F.col("id").alias("vec_id"), F.lit("b").alias("label"))
+    pairs = blocked_pair_join(u, "label", "vec_id", n_salts=s)
+    cells = pairs.select(F.col("a.pair_cell")).distinct().count()
+    assert cells == s * (s + 1) // 2
+    # and output is still exactly the ordered within-block pairs
+    n_pairs = pairs.count()
+    assert n_pairs == 50 * 49 // 2
