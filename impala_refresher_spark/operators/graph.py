@@ -1,0 +1,108 @@
+"""Graph analytics over the relational fixture: PageRank by unrolled
+power iteration on the bipartite customer↔supplier purchase graph.
+
+Spark-first shape for iterative graph algorithms (same discipline as
+the k-means and connected-components operators): each iteration is ONE
+edge-relation join against the current rank vector plus ONE hash
+aggregate on the destination key — no GraphX, no RDDs, no driver-side
+adjacency. At 100 TB the edge list is the fact table: the per-iteration
+cost is two shuffles (join on src, aggregate on dst), ranks and degrees
+are node-sized relations co-partitioned with the edges, and a
+convergence loop would add `localCheckpoint` lineage truncation per
+round exactly as `dedup_cluster_components` does. The oracle unrolls
+the same two iterations in SQL, so the differential checks the math,
+not just the row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import fan_out, load_table
+
+_DAMP = 0.85
+_TELEPORT = 0.15
+
+
+@query(
+    "pagerank_bipartite",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (SELECT c AS src, s AS dst FROM e0
+              UNION ALL SELECT s AS src, c AS dst FROM e0),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+    pr0 AS (SELECT node, 1.0 / n_nodes AS pr FROM nodes CROSS JOIN n),
+    it1 AS (
+      SELECT e.dst AS node, SUM(p.pr / d.outdeg) AS s
+      FROM edges e
+      JOIN pr0 p ON e.src = p.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr1 AS (SELECT node, ROUND(0.15 / n_nodes + 0.85 * s, 6) AS pr
+            FROM it1 CROSS JOIN n),
+    it2 AS (
+      SELECT e.dst AS node, SUM(p.pr / d.outdeg) AS s
+      FROM edges e
+      JOIN pr1 p ON e.src = p.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr2 AS (SELECT node, ROUND(0.15 / n_nodes + 0.85 * s, 6) AS pr
+            FROM it2 CROSS JOIN n)
+    SELECT node, pr FROM pr2
+    """,
+)
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85), two unrolled power iterations, over the
+    undirected bipartite graph customer —bought-from→ supplier derived
+    from orders⋈lineitem (each undirected edge becomes two directed
+    edges, so every node has in-edges and the dangling-node correction
+    never triggers — documented, not silently assumed).
+
+    Per-iteration float discipline follows `kmeans_refine_assignments`:
+    the rank vector is ROUND(·,6)-stabilized after each iteration so
+    the next iteration's inputs are decimal-terminating in both
+    engines, keeping the accumulation-order-sensitive SUM the only
+    ulp-risk per round instead of compounding across rounds.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = fan_out(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("s"))
+        )
+        pr = contrib.crossJoin(F.broadcast(n)).select(
+            F.col("dst").alias("node"),
+            F.round(_TELEPORT / F.col("n_nodes") + _DAMP * F.col("s"), 6).alias("pr"),
+        )
+    return pr

@@ -25,6 +25,7 @@ _OPERATOR_MODULES = [
     "impala_refresher_spark.operators.rollup_hypertable",
     "impala_refresher_spark.operators.analytics",
     "impala_refresher_spark.operators.lakehouse",
+    "impala_refresher_spark.operators.graph",
     "impala_refresher_spark.operators.tpch",
     "impala_refresher_spark.functions.scalar",
     "impala_refresher_spark.sources.sinks",
@@ -104,6 +105,8 @@ _R03_PRIORITY = [
     "timeseries_interpolate_linear",
     "dup_span_ngrams",
     "text_bm25_score",
+    "stream_stream_left_outer",
+    "pagerank_bipartite",
     # Remaining never-checked, highest-value first.
     "sql_exists_subquery",
     "cogroup_reconcile",

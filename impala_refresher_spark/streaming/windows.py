@@ -245,6 +245,7 @@ def view_purchase_join(
     purchases: DataFrame,
     horizon: str = "30 minutes",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Equi-join on user_id with an event-time interval bound: each
     view matches the purchases that follow it within ``horizon``.
@@ -258,6 +259,12 @@ def view_purchase_join(
     Scale shape: one shuffle per side on user_id, range condition as
     join residual — the standard interval-join plan; state (streaming)
     is bounded by watermark + horizon per user.
+
+    ``how="left_outer"`` adds the OUTER streaming semantics: a view
+    with no purchase inside its horizon is emitted with NULL purchase
+    columns — but only once the watermark has passed the view's match
+    window, i.e. when Spark can PROVE no match can still arrive. In
+    batch mode it is a plain left join (the oracle's twin).
     """
     if watermark is not None:
         views = views.withWatermark("ts", watermark)
@@ -278,6 +285,7 @@ def view_purchase_join(
             (F.col("user_id") == F.col("p_user_id"))
             & (F.col("purchase_ts") >= F.col("view_ts"))
             & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"interval {horizon}")),
+            how,
         )
         .select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
     )
@@ -306,6 +314,50 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_purchase_join(
         events.filter(F.col("event_type") == "view"),
         events.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@query(
+    "stream_stream_left_outer",
+    """
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           p.event_id IS NOT NULL AS converted
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: LEFT OUTER stream-stream interval join — the abandonment
+    view of T6's attribution join (views that did NOT convert within
+    the horizon appear with NULL purchase columns).
+
+    In streaming mode the outer semantics are the hard part: the
+    NULL row for an unmatched view may only be emitted once the
+    watermark proves no matching purchase can still arrive (state
+    eviction = emission); `tests/test_streaming.py` drives exactly
+    that two-batch scenario. The batch twin here is a plain left
+    interval join — identical matched rows, same one-shuffle-per-side
+    plan as T6 with the outer flag carried by the join, not by a
+    second anti-join pass."""
+    events = load_table(spark, sf_dir, "events")
+    return view_purchase_join(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        F.col("purchase_id").isNotNull().alias("converted"),
     )
 
 

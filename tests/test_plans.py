@@ -478,3 +478,56 @@ def test_pair_salts_derived_from_block_width(spark):
     # and output is still exactly the ordered within-block pairs
     n_pairs = pairs.count()
     assert n_pairs == 50 * 49 // 2
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Third 100 TB pruning lever (after DPP and AQE skew): when a
+    selective dim-side filter feeds a shuffle join, Catalyst must
+    inject a runtime bloom filter — `bloom_filter_agg` built from the
+    filtered dim, `might_contain` applied at the fact scan — so fact
+    rows that cannot join are dropped BEFORE the shuffle. Thresholds
+    are lowered to fixture scale (the 10 GB application-side default
+    exists precisely because this pays off on huge scans)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    base = "/root/repo/_scratch/bloom_plan_test"
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        )
+        dim = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("cat")
+        )
+        fact.write.mode("overwrite").parquet(f"{base}/fact")
+        dim.write.mode("overwrite").parquet(f"{base}/dim")
+        f = spark.read.parquet(f"{base}/fact")
+        d = spark.read.parquet(f"{base}/dim").filter(F.col("cat") == 3)
+        j = f.join(d, "k").agg(F.sum("v").alias("s"))
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, optimized
+        physical = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in physical, physical
+        [row] = j.collect()
+        expect = sum(i % 97 for i in range(10_000) if i % 7 == 3)
+        assert row.s == expect
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -351,3 +351,85 @@ def test_stateful_ewma_decays_across_batches(spark):
     shutil.rmtree(ckpt, ignore_errors=True)
     got = sorted(round(r.ewma_value, 6) for r in rows if r.user_id == 1)
     assert got == [0.75, 0.875]  # decayed continuation, not a reset
+
+
+def test_t13_left_outer_join_emits_nulls_after_watermark(spark):
+    """LEFT OUTER stream-stream join: an unmatched view must be
+    emitted with NULL purchase columns — but only AFTER the watermark
+    passes its match window (state eviction is the emission trigger),
+    never speculatively while a match could still arrive."""
+    from impala_refresher_spark.streaming import view_purchase_join
+
+    path = f"{SCRATCH}/outer_src"
+    ckpt = f"{SCRATCH}/outer_ckpt"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+
+    def write(rows, mode):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        df.coalesce(1).write.mode(mode).parquet(path)
+
+    # batch 1: user 1 view+purchase (converts), user 2 view only
+    write(
+        [
+            (1, t(0), 1, "view", 1.0, "{}"),
+            (2, t(10), 1, "purchase", 5.0, "{}"),
+            (3, t(0), 2, "view", 1.0, "{}"),
+        ],
+        "overwrite",
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    joined = view_purchase_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        watermark="10 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t13_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {r.view_id for r in spark.sql("SELECT * FROM t13_out").collect()}
+        # watermark still at epoch after batch 1's commit — user 2's
+        # null row must NOT have been emitted yet
+        assert 3 not in mid
+        # batch 2: far-future events on BOTH sides — the global
+        # watermark is the MIN across the two watermark nodes, and
+        # filtered-out rows never reach a node, so each side needs its
+        # own advancing event (t(600) - 10 min delay >> t(0) + 30 min)
+        write(
+            [
+                (4, t(600), 99, "view", 1.0, "{}"),
+                (5, t(600), 98, "purchase", 1.0, "{}"),
+            ],
+            "append",
+        )
+        q.processAllAvailable()
+        # one more batch so the watermark advance from batch 2 is
+        # applied to join state eviction
+        write(
+            [
+                (6, t(610), 99, "view", 1.0, "{}"),
+                (7, t(610), 98, "purchase", 1.0, "{}"),
+            ],
+            "append",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM t13_out").collect()
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    by_view = {r.view_id: r for r in rows}
+    assert by_view[1].purchase_id == 2  # converted pair matched
+    assert by_view[3].purchase_id is None  # unmatched view emitted as NULL
+    assert by_view[3].user_id == 2
+    # view 4's window (ends t(630)) is still open — no emission for it
+    assert 4 not in by_view
