@@ -104,3 +104,113 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on="user_id", ts="ts",
         right_value_cols=["click_ts", "click_event_id"],
     ).select("event_id", "user_id", "ts", "value", "click_ts", "click_event_id")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) feature join — the feature-store training join
+# ---------------------------------------------------------------------------
+
+@query(
+    "pit_feature_join",
+    """
+    WITH feats AS (
+      SELECT user_id, ts, event_id,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_views_cum,
+             SUM(value) OVER w AS view_value_cum
+      FROM events WHERE event_type = 'view'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    labels AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT user_id, ts, event_id, 1 AS side, n_views_cum, view_value_cum
+      FROM feats
+      UNION ALL
+      SELECT user_id, ts, event_id, 0 AS side,
+             CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+      FROM labels
+    ),
+    pit AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(n_views_cum IGNORE NULLS) OVER w AS n_prior_views,
+             last_value(view_value_cum IGNORE NULLS) OVER w AS prior_view_value
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS label_id, user_id, ts AS label_ts,
+           COALESCE(n_prior_views, 0) AS n_prior_views,
+           COALESCE(prior_view_value, 0.0) AS prior_view_value
+    FROM pit WHERE side = 0
+    """,
+)
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join: every purchase (the label
+    event) picks up the user's view-stream features — cumulative view
+    count and view value — as of STRICTLY BEFORE the label timestamp.
+    This is the feature-store training join; the strict `<` is the
+    leakage guard (`asof_join`'s `<=` would let a same-instant feature
+    update see the label).
+
+    Strictness is encoded in the sort, not a range predicate: labels
+    carry side=0 and features side=1, the PIT window orders by
+    (ts, side, event_id), so a feature AT the label's timestamp sorts
+    AFTER the label and is invisible to it. Plan: two window passes
+    over ONE user_id shuffle each (feature build, then PIT fill) —
+    linear state, no label×history row multiplication, the same
+    union-trick shape as `asof_join`. The running feature sums are
+    window aggregates (sequential, order-pinned), so the unrounded
+    doubles match the oracle bitwise."""
+    e = load_table(spark, sf_dir, "events")
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    feats = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(1).alias("side"),
+            F.count("*").over(wf).alias("n_views_cum"),
+            F.sum("value").over(wf).alias("view_value_cum"),
+        )
+    )
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("n_views_cum"),
+        F.lit(None).cast("double").alias("view_value_cum"),
+    )
+    u = feats.unionByName(labels)
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        u.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "side",
+            F.last("n_views_cum", ignorenulls=True).over(wp).alias("n_prior_views"),
+            F.last("view_value_cum", ignorenulls=True)
+            .over(wp)
+            .alias("prior_view_value"),
+        )
+        .filter(F.col("side") == 0)
+        .select(
+            F.col("event_id").alias("label_id"),
+            "user_id",
+            F.col("ts").alias("label_ts"),
+            F.coalesce("n_prior_views", F.lit(0)).alias("n_prior_views"),
+            F.coalesce("prior_view_value", F.lit(0.0)).alias("prior_view_value"),
+        )
+    )

@@ -30,7 +30,7 @@ _TELEPORT = 0.15
     "pagerank_bipartite",
     """
     WITH e0 AS (
-      SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+      SELECT DISTINCT (o.o_custkey << 1) AS c, ((l.l_suppkey << 1) | 1) AS s
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
     edges AS (SELECT c AS src, s AS dst FROM e0
@@ -57,7 +57,10 @@ _TELEPORT = 0.15
     ),
     pr2 AS (SELECT node, ROUND(0.15 / n_nodes + 0.85 * s, 6) AS pr
             FROM it2 CROSS JOIN n)
-    SELECT node, pr FROM pr2
+    SELECT CASE WHEN (node & 1) = 0 THEN 'c' ELSE 's' END
+             || CAST(node >> 1 AS VARCHAR) AS node,
+           pr
+    FROM pr2
     """,
 )
 def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,16 +80,29 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = fan_out(load_table(spark, sf_dir, "lineitem")).select(
         "l_orderkey", "l_suppkey"
     )
+    # Nodes are packed bigints (custkey<<1 / suppkey<<1|1), not
+    # strings: the iteration joins shuffle on the node key, and 8-byte
+    # longs hash/compare far cheaper than formatted strings at any
+    # scale. The readable 'c123'/'s45' form is reconstructed only in
+    # the final projection.
     e0 = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            F.shiftleft("o_custkey", 1).alias("c"),
+            F.shiftleft("l_suppkey", 1).bitwiseOR(F.lit(1)).alias("s"),
         )
         .distinct()
     )
-    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    edges = (
+        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(e0.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        # The edge list feeds degree, node, AND both iteration joins —
+        # five consumers; without lineage truncation each one re-runs
+        # the orders⋈lineitem distinct. One materialization, the same
+        # way any production PageRank materializes its edge relation
+        # before iterating (and exactly the CC/minhash checkpoint
+        # discipline).
+        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
@@ -105,4 +121,12 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"),
             F.round(_TELEPORT / F.col("n_nodes") + _DAMP * F.col("s"), 6).alias("pr"),
         )
-    return pr
+    return pr.select(
+        F.concat(
+            F.when(F.col("node").bitwiseAND(F.lit(1)) == 0, F.lit("c")).otherwise(
+                F.lit("s")
+            ),
+            F.shiftright("node", 1).cast("string"),
+        ).alias("node"),
+        "pr",
+    )

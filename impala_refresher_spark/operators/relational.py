@@ -386,6 +386,65 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "range_join_count_orderstat",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM supplier
+    JOIN customer ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def range_join_count_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: COUNT over a range join WITHOUT materializing the pairs —
+    the order-statistics rewrite of `join_range`. Per supplier, the
+    number of same-nation customers with a strictly higher balance is
+    a running count over the merged, balance-sorted stream of both
+    sides; summing per nation gives exactly the pair count.
+
+    Why it matters at 100 TB: `join_range`'s honest pair join emits
+    |S_n|·|C_n| rows per nation before the aggregate — quadratic in
+    the hot nation. This plan is ONE shuffle on the nation key and a
+    per-partition sort: O((|S|+|C|) log) work, linear output. The
+    oracle is deliberately the NAIVE pair-join SQL, so the check
+    proves the rewrite is answer-identical, not just plausible. Ties:
+    suppliers sort before equal-balance customers (side 0 first), so
+    `>` stays strict. Use whenever the range join feeds ONLY an
+    aggregate; keep the real join when pair payloads are consumed."""
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_acctbal").alias("bal"),
+        F.lit(0).alias("side"),
+        F.lit(0).cast("long").alias("is_cust"),
+        F.col("s_suppkey").alias("id"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).alias("side"),
+        F.lit(1).cast("long").alias("is_cust"),
+        F.col("c_custkey").alias("id"),
+    )
+    w = (
+        W.partitionBy("nk")
+        .orderBy(F.col("bal").desc(), F.col("side").asc(), F.col("id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.unionByName(c)
+        .select("nk", "side", F.sum("is_cust").over(w).alias("n_above"))
+        .filter(F.col("side") == 0)
+        .groupBy("nk")
+        .agg(F.sum("n_above").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+        .join(F.broadcast(n), F.col("nk") == n.n_nationkey)
+        .select("n_name", "n_pairs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bucketed co-located join — shuffle-free by layout, not by luck
 # ---------------------------------------------------------------------------

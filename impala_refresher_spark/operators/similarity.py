@@ -813,3 +813,105 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component by power iteration — Gram-matrix-free
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_V0 = 0.125  # uniform init 1/sqrt(64) — exact in binary
+
+
+@query(
+    "pca_power_iteration",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s1 AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_prepend(0.0, list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * {_PCA_V0})),
+                         (a, x) -> a + x) AS s
+      FROM e
+    ),
+    z1 AS (
+      SELECT u.i AS dim, ROUND(SUM(s1.s * CAST(s1.embedding[u.i] AS DOUBLE)), 4) AS z
+      FROM s1, UNNEST(range(1, {_PCA_DIM + 1})) AS u(i)
+      GROUP BY u.i
+    ),
+    z1arr AS (SELECT list(z ORDER BY dim) AS za FROM z1),
+    s2 AS (
+      SELECT e.vec_id, e.embedding,
+             list_reduce(list_prepend(0.0, list_transform(range(1, {_PCA_DIM + 1}),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * za[i])),
+                         (a, x) -> a + x) AS s
+      FROM e CROSS JOIN z1arr
+    ),
+    z2 AS (
+      SELECT u.i AS dim1, ROUND(SUM(s2.s * CAST(s2.embedding[u.i] AS DOUBLE)), 2) AS loading
+      FROM s2, UNNEST(range(1, {_PCA_DIM + 1})) AS u(i)
+      GROUP BY u.i
+    )
+    SELECT CAST(dim1 - 1 AS INTEGER) AS dim, loading FROM z2
+    """,
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix by
+    TWO unrolled power iterations, v ← Xᵀ(Xv) — without ever building
+    the d×d Gram matrix. Each iteration is two linear passes over X:
+    a map-only per-row dot `s_r = x_r·v` (strict L→R fold, identical
+    in both engines), then one partial-aggregable (dim, Σ s_r·x_r[dim])
+    hash aggregate producing the next 64-row vector.
+
+    Why this shape at 100 TB: the Gram-matrix route explodes d² = 4096
+    covariance terms per row before aggregating; this route explodes
+    exactly d, and the iteration vector is a 64-row relation attached
+    back as a sorted-array broadcast (`list(z ORDER BY dim)` /
+    `array_sort(collect_list(struct))` — the kmeans centroid exchange
+    pattern). Iteration vectors are ROUND-stabilized (4dp then 2dp)
+    so each round's inputs are decimal-terminating in both engines;
+    normalization is deferred to the consumer (production loops
+    rescale each round with the same broadcast pattern to avoid
+    overflow, which two rounds cannot reach).
+    """
+    e = fan_out(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    s1 = e.withColumn(
+        "s",
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * _PCA_V0),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    z1 = (
+        s1.select(
+            "s", F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x")
+        )
+        .groupBy("d0")
+        .agg(F.round(F.sum(F.col("s") * F.col("x")), 4).alias("z"))
+    )
+    z1arr = z1.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d0", "z"))), lambda s: s["z"]
+        ).alias("za")
+    )
+    s2 = e.crossJoin(F.broadcast(z1arr)).withColumn(
+        "s",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_PCA_DIM)),
+                lambda i: F.element_at("embedding", i).cast("double")
+                * F.element_at("za", i),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    z2 = (
+        s2.select(
+            "s", F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x")
+        )
+        .groupBy("d0")
+        .agg(F.round(F.sum(F.col("s") * F.col("x")), 2).alias("loading"))
+    )
+    return z2.select(F.col("d0").cast("int").alias("dim"), "loading")

@@ -107,6 +107,9 @@ _R03_PRIORITY = [
     "text_bm25_score",
     "stream_stream_left_outer",
     "pagerank_bipartite",
+    "pit_feature_join",
+    "range_join_count_orderstat",
+    "pca_power_iteration",
     # Remaining never-checked, highest-value first.
     "sql_exists_subquery",
     "cogroup_reconcile",

@@ -531,3 +531,32 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_pit_feature_join_is_union_window_not_join(spark):
+    """The PIT feature join must keep the as-of union-trick shape: two
+    window passes over user_id shuffles, ZERO join operators — a
+    regression to a label×history range join would be quadratic per
+    hot user."""
+    from impala_refresher_spark.operators.asof import pit_feature_join
+
+    plan = plan_of(pit_feature_join(spark, SF_SMOKE))
+    assert "Window" in plan and "Union" in plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+
+
+def test_range_orderstat_has_no_pair_join(spark):
+    """The order-statistics range-join count must never materialize
+    supplier×customer pairs: the only join allowed is the broadcast
+    attach of the 25-row nation dim; the heavy lifting is one merged
+    window pass."""
+    from impala_refresher_spark.operators.relational import range_join_count_orderstat
+
+    plan = plan_of(range_join_count_orderstat(spark, SF_SMOKE))
+    assert "Window" in plan and "Union" in plan
+    assert "BroadcastHashJoin" in plan  # nation name attach only
+    for join_op in ("SortMergeJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op

@@ -205,3 +205,73 @@ def test_funnel_stage_matches_python_state_machine(spark, rows):
     assert {u: got[u][0] for u in got} == {u: want.get(u, 0) for u in got}
     for u, (stage, conv) in got.items():
         assert conv == (stage >= 3)
+
+
+def test_pit_join_excludes_same_timestamp_feature(spark):
+    """The PIT join's leakage guard: a feature row AT the label's exact
+    timestamp must be invisible to it (strict <, not <=) — the fixture
+    has no same-instant collisions, so the oracle can't cover this
+    branch; crafted rows do."""
+    from impala_refresher_spark.operators.asof import pit_feature_join
+    import impala_refresher_spark.operators.asof as asof_mod
+
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, t(0), 7, "view", 10.0, "{}"),
+        (2, t(5), 7, "view", 20.0, "{}"),   # same instant as the label
+        (3, t(5), 7, "purchase", 0.0, "{}"),  # label at t(5)
+        (4, t(9), 7, "purchase", 0.0, "{}"),  # later label sees both views
+        (5, t(1), 8, "purchase", 0.0, "{}"),  # label with NO prior views
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    orig = asof_mod.load_table
+    asof_mod.load_table = lambda spark, sf, name: df
+    try:
+        got = {r.label_id: r for r in pit_feature_join(spark, "x").collect()}
+    finally:
+        asof_mod.load_table = orig
+    assert got[3].n_prior_views == 1  # only the t(0) view; t(5) view excluded
+    assert got[3].prior_view_value == 10.0
+    assert got[4].n_prior_views == 2  # later label sees both
+    assert got[4].prior_view_value == 30.0
+    assert got[5].n_prior_views == 0 and got[5].prior_view_value == 0.0
+
+
+def test_range_orderstat_equals_naive_join_with_ties(spark):
+    """The order-statistics range-join count must equal the naive pair
+    join even with EXACT balance ties across sides (strict > means an
+    equal-balance customer is NOT counted) and multiple tied rows."""
+    from impala_refresher_spark.operators.relational import (
+        join_range,
+        range_join_count_orderstat,
+    )
+    import impala_refresher_spark.operators.relational as rel_mod
+
+    sup = [(i, f"s{i}", 0 if i < 4 else 1, [5.0, 5.0, 2.0, 9.0, 5.0][i]) for i in range(5)]
+    cus = [
+        (10, "c10", "X", 0, 5.0),   # ties supplier 0/1 exactly — not counted for them
+        (11, "c11", "X", 0, 7.0),
+        (12, "c12", "X", 0, 2.0),
+        (13, "c13", "X", 1, 5.0),
+        (14, "c14", "X", 1, 4.9),
+    ]
+    nat = [(0, "ALPHA", 0), (1, "BETA", 0)]
+    sup_df = spark.createDataFrame(sup, "s_suppkey long, s_name string, s_nationkey long, s_acctbal double")
+    cus_df = spark.createDataFrame(cus, "c_custkey long, c_name string, c_mktsegment string, c_nationkey long, c_acctbal double")
+    nat_df = spark.createDataFrame(nat, "n_nationkey long, n_name string, n_regionkey long")
+    tables = {"supplier": sup_df, "customer": cus_df, "nation": nat_df}
+
+    orig = rel_mod.load_table
+    rel_mod.load_table = lambda spark, sf, name: tables[name]
+    try:
+        naive = {r.n_name: r.n_pairs for r in join_range(spark, "x").collect()}
+        fast = {r.n_name: r.n_pairs for r in range_join_count_orderstat(spark, "x").collect()}
+    finally:
+        rel_mod.load_table = orig
+    assert fast == naive
+    # hand-check: ALPHA suppliers bal (5,5,2,9) vs customers (5,7,2):
+    #   5→{7}, 5→{7}, 2→{5,7}, 9→{} = 4 pairs; BETA supplier 5 vs (5,4.9) = 0 → absent
+    assert naive == {"ALPHA": 4}
