@@ -161,6 +161,18 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 4)
+    # TPC-H summary: geometric mean over the 22 classic shapes (the
+    # power-run-style number a reader compares across rounds without
+    # wading through 180 per-query entries).
+    import math
+
+    tpch = [v for k, v in timings.items()
+            if k.startswith("tpch_q") or k == "agg_pricing_summary"]
+    tpch_geomean = (
+        round(math.exp(sum(math.log(max(v, 1e-4)) for v in tpch) / len(tpch)), 4)
+        if tpch
+        else None
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Full per-query timings go to stderr; the stdout JSON line carries
     # only the headline subset so the line stays well under the driver's
@@ -174,6 +186,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {k: timings[k] for k in headline if k in timings},
             "n_queries": len(timings),
+            "tpch_geomean": tpch_geomean,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

@@ -237,3 +237,44 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("c_acctbal", F.lit(1000.0)).alias("at_least_1k"),
         F.least("c_acctbal", F.lit(9000.0)).alias("at_most_9k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F7 — ANSI-safe (try_*) arithmetic and casts
+# ---------------------------------------------------------------------------
+
+@query(
+    "fn_try_safe",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE CAST(l_quantity AS BIGINT) // (l_linenumber - 1) END
+             AS qty_per_prior_line,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS INTEGER) AS qty_as_int
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: error-safe expressions — `try_divide` (NULL on /0 instead of
+    an ANSI exception or a silent wrong answer) and `try_cast` (NULL on
+    malformed input; note Spark is stricter than DuckDB — '44.0' does
+    NOT try_cast to INT in Spark, so the success path feeds an
+    integer-formatted string). These are the functions a 100 TB pipeline uses at
+    the dirty edge of ingest: one bad row must become a NULL to filter,
+    never a task retry storm. `l_linenumber - 1` makes real zero
+    divisors; `l_returnflag` ('N'/'R'/'A') makes real failed casts.
+    The oracle mirrors try_divide with an explicit CASE (DuckDB raises
+    on integer /0) and uses its native TRY_CAST for the rest."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_quantity").cast("bigint"), F.col("l_linenumber") - 1
+        ).cast("bigint").alias("qty_per_prior_line"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("bigint").cast("string").try_cast("int")
+        .alias("qty_as_int"),
+    )

@@ -1094,3 +1094,78 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
         .alias("val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS regression — the "many small models" pattern
+# ---------------------------------------------------------------------------
+
+@query(
+    "ols_per_nation",
+    """
+    WITH spend AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    pts AS (
+      SELECT c.c_nationkey AS nk, s.x, c.c_acctbal AS y
+      FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+    ),
+    sums AS (
+      SELECT nk,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             ROUND(SUM(x), 2) AS sx,
+             ROUND(SUM(y), 2) AS sy,
+             ROUND(SUM(x * y), 2) AS sxy,
+             ROUND(SUM(x * x), 2) AS sxx
+      FROM pts GROUP BY nk
+    )
+    SELECT n_name,
+           CAST(n AS BIGINT) AS n_customers,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+    FROM sums JOIN nation ON n_nationkey = nk
+    """,
+)
+def ols_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares: regress each nation's customer
+    account balance (y) on that customer's total order spend (x) —
+    slope and intercept per nation from the closed-form sum formulas.
+    One model per group, fitted inside a single aggregate pass, is the
+    "many small models" pattern (per-tenant trends, per-SKU elasticity)
+    that needs no ML library and no per-group collect.
+
+    Plan: per-customer spend aggregate → key join to customers → ONE
+    (nation) hash aggregate carrying the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) — partial-aggregable, so the model fit
+    map-side-combines like any sum. Spark's built-in `regr_slope` /
+    `regr_intercept` compute the same closed form fused; the explicit
+    sums are used here because rounding the sufficient statistics
+    BEFORE the arithmetic pins both engines to identical doubles
+    (accumulation order never reaches the quotient)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+    pts = c.join(spend, spend.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nk"), "x", F.col("c_acctbal").alias("y")
+    )
+    sums = pts.groupBy("nk").agg(
+        F.count("*").cast("double").alias("n"),
+        F.round(F.sum("x"), 2).alias("sx"),
+        F.round(F.sum("y"), 2).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 2).alias("sxy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 2).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    # Outputs stay UNROUNDED: the quotients divide identical pinned
+    # operands, so the doubles match bitwise; a ROUND here would
+    # re-open the engines' round-after-division divergence.
+    return sums.join(F.broadcast(n), n.n_nationkey == F.col("nk")).select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_customers"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )

@@ -737,3 +737,80 @@ def dup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def _cluster_survivors_oracle() -> str:
+    from impala_refresher_spark.operators.similarity import _SQL_UNIT, _sql_dot
+
+    return f"""
+    WITH RECURSIVE u AS (SELECT vec_id, label, {_SQL_UNIT("embedding")} AS uv FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_sql_dot("a.uv", "b.uv")} >= 0.35
+    ),
+    edges AS (SELECT pa AS src, pb AS dst FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    walk(node, reach) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    comp AS (SELECT node AS vec_id, CAST(MIN(reach) AS BIGINT) AS component_id
+             FROM walk GROUP BY node),
+    ranked AS (
+      SELECT c.component_id, c.vec_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                ORDER BY d.n_chars DESC, c.vec_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+      FROM comp c JOIN documents d ON d.doc_id = c.vec_id
+    )
+    SELECT component_id, vec_id AS survivor_id,
+           CAST(n_chars AS BIGINT) AS survivor_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1
+    """
+
+
+@query("dedup_cluster_survivors", _cluster_survivors_oracle())
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over near-dup clusters: for every connected
+    component of the embedding-similarity graph, keep the
+    HIGHEST-QUALITY member (longest document, id tie-break) — the step
+    that turns `dedup_cluster_components`'s cluster ids into an actual
+    keep-list. Picking by quality instead of "first seen" is what the
+    production dedups do (you keep the best copy, not an arbitrary
+    one); singletons never enter the pair graph and pass through a
+    corpus dedup untouched, so they are deliberately absent here.
+
+    Plan: CC labels (iterative min-label, checkpointed) ⋈ the quality
+    dimension on the 8-byte doc key, then ONE window partitioned by
+    component — survivor choice and member count share the single
+    component-key shuffle. At 100 TB the join is corpus⋈corpus on ids
+    (sort-merge on 8-byte keys) and the window state is one component's
+    members, bounded by cluster size, not corpus size."""
+    from pyspark.sql import Window as W
+
+    comp = dedup_cluster_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("vec_id").asc()
+    )
+    wc = W.partitionBy("component_id")
+    return (
+        comp.join(d, comp.vec_id == d.doc_id)
+        .select(
+            "component_id",
+            "vec_id",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wc).alias("n_members"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "component_id",
+            F.col("vec_id").alias("survivor_id"),
+            F.col("n_chars").cast("bigint").alias("survivor_chars"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )

@@ -110,6 +110,9 @@ _R03_PRIORITY = [
     "pit_feature_join",
     "range_join_count_orderstat",
     "pca_power_iteration",
+    "dedup_cluster_survivors",
+    "ols_per_nation",
+    "fn_try_safe",
     # Remaining never-checked, highest-value first.
     "sql_exists_subquery",
     "cogroup_reconcile",

@@ -433,3 +433,58 @@ def test_t13_left_outer_join_emits_nulls_after_watermark(spark):
     assert by_view[3].user_id == 2
     # view 4's window (ends t(630)) is still open — no emission for it
     assert 4 not in by_view
+
+
+def test_available_now_drains_then_stops_with_observed_dq(spark):
+    """Two operational surfaces in one run: Trigger.AvailableNow must
+    process ALL pending input then self-terminate (the batch-catchup
+    mode for scheduled backfills — no manual stop, exactly-once via
+    the checkpoint), and df.observe() must surface in-flight data
+    quality counters (row count, null count) from the micro-batch
+    progress — DQ metrics without a second pass over the data."""
+    path = f"{SCRATCH}/availnow_src"
+    ckpt = f"{SCRATCH}/availnow_ckpt"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    rows = [
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(1), 2, "view", None, "{}"),  # one null value for the DQ counter
+        (3, t(2), 1, "click", 2.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    observed = stream.observe(
+        "dq",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+    )
+    agg = observed.groupBy("event_type").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("availnow_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)  # self-terminates after draining
+        assert not q.isActive
+        dq = [
+            p["observedMetrics"]["dq"]
+            for p in q.recentProgress
+            if p.get("observedMetrics", {}).get("dq")
+        ]
+        assert sum(m["rows"] for m in dq) == 3
+        assert sum(m["null_values"] for m in dq) == 1
+        got = {r.event_type: r.n for r in spark.sql("SELECT * FROM availnow_out").collect()}
+        assert got == {"view": 2, "click": 1}
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
