@@ -685,6 +685,20 @@ def decontaminate_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_N = 8  # words per span; long enough that repeats mean real reuse
 
 
+def span_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, gram) — every word-level `_SPAN_N`-gram of each
+    document, windows built by one higher-order transform over the
+    token array (no self-join, no Python). Shared by
+    `dup_span_ngrams` and the corpus pipelines."""
+    w = F.split("text", " ")
+    n = F.size(w)
+    idx = F.when(n >= _SPAN_N, F.sequence(F.lit(1), n - (_SPAN_N - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, _SPAN_N)))
+    return d.select("doc_id", F.explode(grams).alias("gram"))
+
+
 @query(
     "dup_span_ngrams",
     f"""
@@ -719,13 +733,7 @@ def dup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     long tail — the overwhelming majority — at the second aggregate's
     map side."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    w = F.split("text", " ")
-    n = F.size(w)
-    idx = F.when(n >= _SPAN_N, F.sequence(F.lit(1), n - (_SPAN_N - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, _SPAN_N)))
-    ex = d.select("doc_id", F.explode(grams).alias("gram"))
+    ex = span_grams(d)
     per = ex.groupBy("gram", "doc_id").agg(F.count("*").alias("c"))
     return (
         per.groupBy("gram")

@@ -218,3 +218,69 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# M7 — materialized inverted index: build once, serve term lookups
+# ---------------------------------------------------------------------------
+
+@query(
+    "inverted_index_serve",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    postings AS (
+      SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY token, doc_id
+    )
+    SELECT p.doc_id, p.tf, d.lang, d.n_chars
+    FROM postings p JOIN documents d USING (doc_id)
+    WHERE p.token = 'customer'
+    """,
+)
+def inverted_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: term lookup served from a MATERIALIZED inverted index. The
+    (token, doc_id, tf) posting table is built once per fixture
+    version (freshness-keyed scratch, like the compaction query) and
+    PARTITIONED BY a token hash bucket — so a term lookup reads one
+    directory partition, not the corpus. The oracle computes the same
+    answer from the raw table, proving index-serving is lossless.
+
+    At 100 TB this is the search-index pattern: corpus-sized build
+    cost amortized across every lookup; the serving scan is
+    posting-list-sized with partition pruning on the bucket key
+    (PartitionFilters on tok_bucket — the directory layout IS the
+    index). KWIC/BM25-style queries compose on top of the same
+    postings."""
+    import os
+
+    from impala_refresher_spark.sources.tables import scratch_path
+
+    _SCRATCH_BASE = "/root/repo/_scratch"
+    d = load_table(spark, sf_dir, "documents")
+    idx = scratch_path(_SCRATCH_BASE, "inv_index", sf_dir, "documents")
+    if not os.path.exists(f"{idx}/_SUCCESS"):
+        (
+            d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("tok_bucket", F.pmod(F.xxhash64("token"), F.lit(64)))
+            .repartition("tok_bucket")
+            .write.mode("overwrite")
+            .partitionBy("tok_bucket")
+            .parquet(idx)
+        )
+    postings = spark.read.parquet(idx)
+    term = "customer"
+    # The bucket predicate compares the PARTITION column to a foldable
+    # expression (xxhash64 of a literal): Catalyst constant-folds it,
+    # so the scan's PartitionFilters prune to ONE directory — the
+    # lookup never touches the other 63 buckets.
+    served = postings.filter(
+        (F.col("tok_bucket") == F.pmod(F.xxhash64(F.lit(term)), F.lit(64)))
+        & (F.col("token") == term)
+    )
+    return served.join(
+        d.select("doc_id", "lang", "n_chars"), "doc_id"
+    ).select("doc_id", "tf", "lang", "n_chars")

@@ -393,3 +393,90 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", F.col("rank").cast("int").alias("rank"))
         .orderBy("lang", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus pipeline v2 — quality battery + exact + substring-level dedup
+# ---------------------------------------------------------------------------
+
+def _pipeline_v2_oracle() -> str:
+    from impala_refresher_spark.operators.text import (
+        GOPHER_FEAT_SQL_CTES,
+        GOPHER_PASS_SQL,
+    )
+
+    return f"""
+    WITH {GOPHER_FEAT_SQL_CTES},
+    keep_q AS (SELECT doc_id FROM feat WHERE {GOPHER_PASS_SQL}),
+    exact_keep AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(w[i:i + 7], ' ') AS gram
+      FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+    ),
+    gmin AS (SELECT gram, MIN(doc_id) AS keeper FROM g GROUP BY gram),
+    span_drop AS (
+      SELECT DISTINCT g.doc_id
+      FROM g JOIN gmin ON g.gram = gmin.gram AND g.doc_id > gmin.keeper
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN keep_q USING (doc_id)
+    JOIN exact_keep USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM span_drop)
+    """
+
+
+@query("pipeline_training_corpus_v2", _pipeline_v2_oracle())
+def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep v2 — the round-3 curation stack as ONE plan:
+
+    1. Gopher repetition/quality gate (`gopher_gate_ids` — the
+       aggregate form of the rules; see its docstring for why a gate
+       must not filter on the map-only HOF battery);
+    2. exact dedup, keep-first survivor per identical text;
+    3. SUBSTRING-level dedup: drop any document repeating an 8-word
+       span first seen in a lower-id document (`span_grams` posting
+       lists — the Lee-et-al. span inventory applied as a filter);
+    4. emit (doc_id, lang, source, n_tokens) for the survivors.
+
+    Composition stays declarative: the keep-lists attach as left-semi
+    joins on 8-byte doc ids and the span-drop as one left-anti join,
+    so Catalyst fuses the whole stack — scan once, gate map-side,
+    shuffle only for the two dedup aggregates. Versus v1
+    (`pipeline_training_corpus`): model-quality rules replace the
+    length/lang whitelist, and span-level dedup replaces the
+    embedding near-dup stage (both have their place; v1+v2 docstrings
+    cross-reference the trade: embedding recall vs exact-span
+    precision)."""
+    from impala_refresher_spark.operators.dedup import span_grams
+    from impala_refresher_spark.operators.text import gopher_gate_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    # Gate via the AGGREGATE form of the rules, not filter-on-HOF:
+    # see gopher_gate_ids — a filter over the map-only battery gets
+    # its CodegenFallback folds pushed into scan DataFilters and
+    # re-evaluated per conjunct (measured 365× at sf0.1).
+    keep_q = gopher_gate_ids(fan_out(d))
+    exact_keep = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    g = span_grams(d)
+    gmin = g.groupBy("gram").agg(F.min("doc_id").alias("keeper"))
+    span_drop = (
+        g.join(gmin, "gram")
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.join(keep_q, "doc_id", "left_semi")
+        .join(exact_keep, "doc_id", "left_semi")
+        .join(span_drop, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -158,3 +158,40 @@ def hypertable_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return _serve_daily(spark.read.parquet(path)).select(
         "day", "event_type", "n", "total_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup: daily HLL sketches → union → estimate
+# ---------------------------------------------------------------------------
+
+@query("hll_sketch_rollup")  # rows-only: sketch binaries are engine-specific
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-count rollup with MERGEABLE sketches: build a
+    per-(day, event_type) HyperLogLog sketch of user_ids (DataSketches
+    `hll_sketch_agg`), then answer the per-type question by UNIONING
+    the daily sketches (`hll_union_agg`) — never re-touching raw data.
+
+    This is the materialized-aggregate pattern `hypertable_rollup_daily`
+    uses for sums, extended to DISTINCT counts, which plain partial
+    aggregation cannot merge (yesterday's distinct + today's distinct
+    ≠ total distinct). At 100 TB the daily sketch layer is the stored
+    rollup (KBs per bucket); serving any date range is a sketch union
+    over bucket rows. Engine-specific sketch bytes → rows-only driver
+    check; accuracy vs exact distinct is asserted in pytest.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

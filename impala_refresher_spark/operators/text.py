@@ -623,10 +623,11 @@ def text_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gopher-style repetition/quality rule battery (Rae et al. 2021, §A1.1)
 # ---------------------------------------------------------------------------
 
-@query(
-    "quality_gopher_rules",
-    f"""
-    WITH t AS (
+# Shared between `quality_gopher_rules` and the corpus pipelines: the
+# SQL feature CTEs and the pass predicate, plus their exact Python
+# mirrors below — ONE definition of the rules, reused verbatim so the
+# battery and every pipeline that gates on it stay in lockstep.
+GOPHER_FEAT_SQL_CTES = f"""t AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ), feat AS (
       SELECT doc_id,
@@ -646,35 +647,18 @@ def text_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(len(w) - 1 AS DOUBLE)
              END AS top_bigram_frac
       FROM t
-    )
-    SELECT doc_id, mean_word_len, dup_word_frac, stopword_frac, top_bigram_frac,
-           (mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    )"""
+
+GOPHER_PASS_SQL = """(mean_word_len >= 3.0 AND mean_word_len <= 10.0
             AND dup_word_frac <= 0.80
             AND stopword_frac >= 0.01
-            AND top_bigram_frac <= 0.20) AS passes_gopher
-    FROM feat
-    """,
-)
-def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality rule battery: mean word length band,
-    duplicate-word fraction, stopword floor, and top-bigram
-    concentration (the "fraction of characters in the most common
-    n-gram" family of repetition rules), folded into one pass/fail
-    flag. The line-based Gopher rules are vacuous on this fixture
-    (single-line docs); the repetition family is the load-bearing
-    subset for word-soup spam anyway.
+            AND top_bigram_frac <= 0.20)"""
 
-    100 TB shape: every feature — including the per-document bigram
-    mode — is a higher-order-function fold over the token array, so
-    the whole battery is MAP-ONLY codegen: no explode, no shuffle, no
-    Python. The alternative explode→groupBy(doc_id, bigram)→max plan
-    shuffles one row per token occurrence (≈corpus size); this plan
-    shuffles nothing and scales linearly with input bytes. The per-doc
-    O(distinct·n) mode loop is bounded by document length, not corpus
-    size. Both engines evaluate the identical IEEE expression tree, so
-    the unrounded doubles (and the threshold flags derived from them)
-    match bitwise."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+
+def gopher_features(d: DataFrame) -> DataFrame:
+    """(doc_id, mean_word_len, dup_word_frac, stopword_frac,
+    top_bigram_frac) — the map-only Gopher feature battery over a
+    documents-shaped frame; Python mirror of GOPHER_FEAT_SQL_CTES."""
     w = F.split("text", " ")
     n = F.size(w)
     nd = n.cast("double")
@@ -701,23 +685,57 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / (n - 1).cast("double")
     )
-    feat = d.select(
+    return d.select(
         "doc_id",
         mean_word_len.alias("mean_word_len"),
         dup_word_frac.alias("dup_word_frac"),
         stopword_frac.alias("stopword_frac"),
         top_bigram_frac.alias("top_bigram_frac"),
     )
-    return feat.select(
-        "*",
-        (
-            (F.col("mean_word_len") >= 3.0)
-            & (F.col("mean_word_len") <= 10.0)
-            & (F.col("dup_word_frac") <= 0.80)
-            & (F.col("stopword_frac") >= 0.01)
-            & (F.col("top_bigram_frac") <= 0.20)
-        ).alias("passes_gopher"),
+
+
+def gopher_pass_col():
+    """Boolean pass predicate over gopher_features' columns; Python
+    mirror of GOPHER_PASS_SQL."""
+    return (
+        (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("dup_word_frac") <= 0.80)
+        & (F.col("stopword_frac") >= 0.01)
+        & (F.col("top_bigram_frac") <= 0.20)
     )
+
+
+@query(
+    "quality_gopher_rules",
+    f"""
+    WITH {GOPHER_FEAT_SQL_CTES}
+    SELECT doc_id, mean_word_len, dup_word_frac, stopword_frac, top_bigram_frac,
+           {GOPHER_PASS_SQL} AS passes_gopher
+    FROM feat
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule battery: mean word length band,
+    duplicate-word fraction, stopword floor, and top-bigram
+    concentration (the "fraction of characters in the most common
+    n-gram" family of repetition rules), folded into one pass/fail
+    flag. The line-based Gopher rules are vacuous on this fixture
+    (single-line docs); the repetition family is the load-bearing
+    subset for word-soup spam anyway.
+
+    100 TB shape: every feature — including the per-document bigram
+    mode — is a higher-order-function fold over the token array, so
+    the whole battery is MAP-ONLY codegen: no explode, no shuffle, no
+    Python. The alternative explode→groupBy(doc_id, bigram)→max plan
+    shuffles one row per token occurrence (≈corpus size); this plan
+    shuffles nothing and scales linearly with input bytes. The per-doc
+    O(distinct·n) mode loop is bounded by document length, not corpus
+    size. Both engines evaluate the identical IEEE expression tree, so
+    the unrounded doubles (and the threshold flags derived from them)
+    match bitwise."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return gopher_features(d).select("*", gopher_pass_col().alias("passes_gopher"))
 
 
 # ---------------------------------------------------------------------------
@@ -815,4 +833,68 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             term_sum("customer") + term_sum("table") + term_sum("fast")
         ).alias("bm25")
+    )
+
+
+def gopher_gate_ids(d: DataFrame) -> DataFrame:
+    """doc_ids passing the Gopher rules, via the AGGREGATE plan — the
+    form to use when the rules are a FILTER, not a report.
+
+    Why a second plan for the same rules: Catalyst pushes filter
+    predicates through projections and duplicates them into the scan's
+    DataFilters, re-evaluating each conjunct's full expression — and
+    the bigram-mode higher-order fold is CodegenFallback, so the
+    pushed predicate runs interpreted per conjunct per row (measured
+    365× slower than the same expressions in a projection: 0.4 s →
+    147 s at sf0.1). Aggregates are pushdown barriers: here every
+    feature is computed exactly once in two explode→partial-agg
+    passes (tokens, bigrams) joined on doc_id, the cheap conjuncts
+    still push to the scan, and the expensive ones filter ABOVE the
+    aggregate. Integer sufficient statistics (char totals, distinct
+    and stopword counts, bigram mode) divide to the identical doubles
+    the map-only battery produces, so the two plans agree bitwise on
+    every threshold."""
+    w = F.split("text", " ")
+    n = F.size(w)
+    stop = F.array(*[F.lit(x) for x in STOPWORDS])
+    tok = d.select("doc_id", n.alias("n"), F.explode(w).alias("token"))
+    tokf = tok.groupBy("doc_id").agg(
+        F.first("n").alias("n"),
+        F.sum(F.length("token")).alias("chars"),
+        F.count_distinct("token").alias("n_distinct"),
+        F.sum(F.array_contains(stop, F.col("token")).cast("int")).alias("n_stop"),
+    )
+    bg = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    b = d.select(
+        "doc_id",
+        F.explode(
+            F.when(n < 2, F.array().cast("array<string>")).otherwise(bg)
+        ).alias("bigram"),
+    )
+    b2 = (
+        b.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    )
+    nd = F.col("n").cast("double")
+    mean_word_len = F.col("chars").cast("double") / nd
+    dup_word_frac = 1.0 - F.col("n_distinct").cast("double") / nd
+    stopword_frac = F.col("n_stop").cast("double") / nd
+    top_bigram_frac = F.coalesce(
+        F.col("top_c").cast("double") / F.col("n_bg").cast("double"), F.lit(0.0)
+    )
+    return (
+        tokf.join(b2, "doc_id", "left")
+        .filter(
+            (mean_word_len >= 3.0)
+            & (mean_word_len <= 10.0)
+            & (dup_word_frac <= 0.80)
+            & (stopword_frac >= 0.01)
+            & (top_bigram_frac <= 0.20)
+        )
+        .select("doc_id")
     )

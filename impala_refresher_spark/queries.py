@@ -113,6 +113,11 @@ _R03_PRIORITY = [
     "dedup_cluster_survivors",
     "ols_per_nation",
     "fn_try_safe",
+    "pipeline_training_corpus_v2",
+    "hll_sketch_rollup",
+    "schema_evolution_merge",
+    "inverted_index_serve",
+    "fn_variant_shred",
     # Remaining never-checked, highest-value first.
     "sql_exists_subquery",
     "cogroup_reconcile",

@@ -193,3 +193,37 @@ def multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = spark.read.schema(schema).option("header", True).csv(f"{land}/csv")
     js = spark.read.schema(schema).json(f"{land}/js")
     return pq.unionByName(cs).unionByName(js)
+
+
+@query(
+    "schema_evolution_merge",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 2 = 1 THEN value END AS value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: schema evolution on read. Batch 1 lands WITHOUT the `value`
+    column (an early producer version); batch 2 adds it. Reading the
+    directory with `mergeSchema=true` unifies the schemas — old rows
+    surface NULL for the new column instead of failing the read. This
+    is the append-only ingest reality every lakehouse table lives
+    with; the oracle reconstructs the same rows (evens pre-evolution,
+    odds post) straight from the source table.
+
+    Scale note: mergeSchema reconciles FOOTERS (one small read per
+    file), not data; at 100 TB you still pin an explicit read schema
+    in serving paths and reserve mergeSchema for discovery/backfill,
+    because a million footer reads is itself a job. Overwrite-then-
+    append keeps the fixture write idempotent per run."""
+    out = f"{SCRATCH}/events_evolving.parquet"
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    old = e.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id")
+    new = e.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id", "value")
+    old.write.mode("overwrite").parquet(out)
+    new.write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", "true").parquet(out).select(
+        "event_id", "user_id", "value"
+    )

@@ -210,3 +210,26 @@ def test_weighted_reservoir_favors_long_docs(spark, sf_dir):
     )
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_hll_sketch_rollup_matches_exact_distinct(spark, sf_dir):
+    """The union of daily HLL sketches must estimate per-type distinct
+    users within HLL's error envelope (lgK=12 default → ~1.6% rse; 5%
+    bound leaves slack), proving the two-level sketch rollup loses no
+    more accuracy than a single-pass sketch."""
+    from pyspark.sql import functions as F
+
+    from impala_refresher_spark.operators.rollup_hypertable import hll_sketch_rollup
+    from impala_refresher_spark.sources.tables import load_table
+
+    got = {r.event_type: r.approx_users for r in hll_sketch_rollup(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        assert abs(est - exact[et]) / exact[et] <= 0.05, (et, est, exact[et])

@@ -560,3 +560,31 @@ def test_range_orderstat_has_no_pair_join(spark):
     for join_op in ("SortMergeJoin", "ShuffledHashJoin",
                     "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join_op not in plan, join_op
+
+
+def test_inverted_index_lookup_prunes_to_one_bucket(spark):
+    """The term lookup must hit ONE index partition: the bucket
+    predicate (partition col = constant-folded xxhash64 literal) has
+    to appear in the scan's PartitionFilters — without it the 'index'
+    is just a second copy of the corpus."""
+    from impala_refresher_spark.operators.lakehouse import inverted_index_serve
+
+    plan = plan_of(inverted_index_serve(spark, SF_SMOKE))
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "tok_bucket" in pf.group(1), plan
+
+
+def test_pipeline_v2_gate_keeps_hofs_out_of_scan_filters(spark):
+    """The Gopher gate must never leak its higher-order folds into the
+    scan's DataFilters: Catalyst re-evaluates pushed conjuncts per row
+    interpreted (CodegenFallback), measured 365× slower at sf0.1. The
+    aggregate-form gate keeps scans' DataFilters lambda-free."""
+    import re
+
+    from impala_refresher_spark.operators.pipeline import pipeline_training_corpus_v2
+
+    plan = plan_of(pipeline_training_corpus_v2(spark, SF_SMOKE))
+    for m in re.finditer(r"DataFilters: \[([^\]]*)\]", plan):
+        assert "lambdafunction" not in m.group(1), m.group(1)[:200]

@@ -488,3 +488,53 @@ def test_available_now_drains_then_stops_with_observed_dq(spark):
             q.stop()
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark):
+    """Kill-and-restart recovery: a NEW query object started on the
+    SAME checkpoint must resume from the recorded offsets — the
+    already-processed batch is neither reprocessed (no double counts)
+    nor lost, and new input lands on top. This is the operational
+    contract that makes streaming jobs restartable at all."""
+    from impala_refresher_spark.streaming import tumbling_window_counts
+
+    path = f"{SCRATCH}/restart_src"
+    ckpt = f"{SCRATCH}/restart_ckpt"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+
+    def start():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+        return (
+            tumbling_window_counts(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("restart_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_batch(spark, [(1, t(0)), (2, t(3)), (3, t(70))], path, "overwrite")
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # simulated crash/redeploy
+
+    _write_batch(spark, [(4, t(5)), (5, t(75))], path, "append")
+    q2 = start()  # new query object, same checkpoint
+    try:
+        q2.processAllAvailable()
+        got = {
+            r.window_start: r.n
+            for r in spark.sql("SELECT * FROM restart_out").collect()
+        }
+    finally:
+        q2.stop()
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # 10-min window 00:00 = events 1,2,4 (batch-1 rows counted once, not twice)
+    assert got[datetime(2024, 1, 1, 0, 0)] == 3
+    # 10-min window 01:10 = events 3,5
+    assert got[datetime(2024, 1, 1, 1, 10)] == 2
