@@ -1169,3 +1169,81 @@ def ols_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union — merge overlapping spans per key (booking/uptime math)
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_overlapping_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+      FROM events WHERE event_type = 'view'
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    )
+    SELECT user_id, island,
+           MIN(s) AS span_start, MAX(e) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def merge_overlapping_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (merge overlapping spans): each view opens a
+    5-minute span; overlapping spans per user merge into one — the
+    booking/uptime/coverage primitive that `sessionize_user_activity`'s
+    point-gap logic cannot express (intervals can swallow later starts
+    entirely).
+
+    Classic two-window islands plan: a span starts a NEW island iff
+    its start exceeds the running MAX(end) of everything before it
+    (cummax handles containment, where the previous row's own end is
+    not the frontier); island ids are the running sum of those flags;
+    one aggregate merges each island. ONE shuffle on user_id serves
+    both windows and the aggregate — no self-join, no recursion, state
+    is one cummax per partition."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("interval 5 minutes")).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count("*").alias("n_events"),
+    )

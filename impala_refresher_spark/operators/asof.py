@@ -214,3 +214,93 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("prior_view_value", F.lit(0.0)).alias("prior_view_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-event join (bidirectional as-of) — sensor-fusion alignment
+# ---------------------------------------------------------------------------
+
+@query(
+    "nearest_event_join",
+    """
+    WITH p AS (SELECT event_id AS pid, user_id, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS cid, user_id, ts AS cts
+          FROM events WHERE event_type = 'click'),
+    pairs AS (
+      SELECT p.pid, p.user_id, p.pts, c.cid,
+             abs(epoch_us(p.pts) - epoch_us(c.cts)) AS ad,
+             ROW_NUMBER() OVER (PARTITION BY p.pid
+                                ORDER BY abs(epoch_us(p.pts) - epoch_us(c.cts)),
+                                         c.cts, c.cid) AS rk
+      FROM p JOIN c USING (user_id)
+    )
+    SELECT pid AS purchase_id, user_id, pts AS purchase_ts,
+           cid AS click_id, CAST(ad AS BIGINT) AS abs_us
+    FROM pairs WHERE rk = 1
+    """,
+)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of: each purchase aligns to the same user's
+    NEAREST click in either time direction (min |Δt|; tie prefers the
+    earlier click) — the log/sensor alignment join where "most recent
+    before" is the wrong answer half the time.
+
+    Plan: the union trick run both ways — one (ts, side)-sorted pass
+    per user yields the latest preceding click (running last) AND the
+    earliest following click (running first); a CASE picks the nearer.
+    ONE shuffle on user_id, linear state — never the purchases×clicks
+    pair blowup. The oracle IS that quadratic pair join (rank by
+    |Δt|), so the differential proves the two-window rewrite exact,
+    same method as `range_join_count_orderstat`. Purchases of users
+    with no clicks drop (inner semantics, both sides). Fixture
+    timestamps are unique per user at µs grain, so the tie branch is
+    unreachable here; the tie rule is still pinned in both plans."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"), F.col("event_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), F.col("event_id")
+    )
+    u = clicks.unionByName(purchases)
+    order = [F.col("ts").asc(), F.col("side").asc(), F.col("event_id").asc()]
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    is_click = F.col("side") == 0
+    cid = F.when(is_click, F.col("event_id"))
+    cts = F.when(is_click, F.col("ts"))
+    annotated = u.select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.last(cid, ignorenulls=True).over(wb).alias("prev_cid"),
+        F.last(cts, ignorenulls=True).over(wb).alias("prev_cts"),
+        F.first(cid, ignorenulls=True).over(wf).alias("next_cid"),
+        F.first(cts, ignorenulls=True).over(wf).alias("next_cts"),
+    ).filter(F.col("side") == 1)
+    us = F.unix_micros
+    ad_prev = us(F.col("ts")) - us(F.col("prev_cts"))
+    ad_next = us(F.col("next_cts")) - us(F.col("ts"))
+    take_prev = F.col("next_cts").isNull() | (
+        F.col("prev_cts").isNotNull() & (ad_prev <= ad_next)
+    )
+    return (
+        annotated.filter(F.col("prev_cts").isNotNull() | F.col("next_cts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(take_prev, F.col("prev_cid")).otherwise(F.col("next_cid")).alias("click_id"),
+            F.when(take_prev, ad_prev).otherwise(ad_next).cast("bigint").alias("abs_us"),
+        )
+    )

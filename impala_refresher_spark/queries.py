@@ -118,6 +118,8 @@ _R03_PRIORITY = [
     "schema_evolution_merge",
     "inverted_index_serve",
     "fn_variant_shred",
+    "nearest_event_join",
+    "merge_overlapping_intervals",
     # Remaining never-checked, highest-value first.
     "sql_exists_subquery",
     "cogroup_reconcile",

@@ -275,3 +275,42 @@ def test_range_orderstat_equals_naive_join_with_ties(spark):
     # hand-check: ALPHA suppliers bal (5,5,2,9) vs customers (5,7,2):
     #   5→{7}, 5→{7}, 2→{5,7}, 9→{} = 4 pairs; BETA supplier 5 vs (5,4.9) = 0 → absent
     assert naive == {"ALPHA": 4}
+
+
+def test_nearest_event_join_tie_prefers_earlier_click(spark):
+    """Equidistant clicks (exact same |dt| before and after) must
+    resolve to the EARLIER click — the fixture's µs timestamps never
+    collide, so the tie branch needs crafted rows; also checks the
+    no-prev and no-next edges."""
+    from impala_refresher_spark.operators.asof import nearest_event_join
+    import impala_refresher_spark.operators.asof as asof_mod
+
+    t = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)
+    rows = [
+        # user 1: clicks 10s before AND 10s after the purchase -> earlier wins
+        (1, t(0), 1, "click", 1.0, "{}"),
+        (2, t(10), 1, "purchase", 1.0, "{}"),
+        (3, t(20), 1, "click", 1.0, "{}"),
+        # user 2: only a LATER click exists -> forward candidate
+        (4, t(0), 2, "purchase", 1.0, "{}"),
+        (5, t(7), 2, "click", 1.0, "{}"),
+        # user 3: nearer click after (3s) than before (5s) -> forward wins
+        (6, t(0), 3, "click", 1.0, "{}"),
+        (7, t(5), 3, "purchase", 1.0, "{}"),
+        (8, t(8), 3, "click", 1.0, "{}"),
+        # user 4: purchase with no clicks at all -> dropped
+        (9, t(0), 4, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    orig = asof_mod.load_table
+    asof_mod.load_table = lambda spark, sf, name: df
+    try:
+        got = {r.purchase_id: (r.click_id, r.abs_us) for r in nearest_event_join(spark, "x").collect()}
+    finally:
+        asof_mod.load_table = orig
+    assert got[2] == (1, 10_000_000)  # tie -> earlier click
+    assert got[4] == (5, 7_000_000)  # forward-only
+    assert got[7] == (8, 3_000_000)  # nearer forward beats farther backward
+    assert 9 not in got  # no clicks -> inner semantics drop
