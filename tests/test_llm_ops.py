@@ -233,3 +233,22 @@ def test_hll_sketch_rollup_matches_exact_distinct(spark, sf_dir):
     assert set(got) == set(exact)
     for et, est in got.items():
         assert abs(est - exact[et]) / exact[et] <= 0.05, (et, est, exact[et])
+
+
+def test_gopher_gate_plan_matches_battery_flags(spark, sf_dir):
+    """The aggregate-form gate (gopher_gate_ids) and the map-only HOF
+    battery (quality_gopher_rules) are two plans for ONE rule set —
+    they must admit exactly the same documents. (The battery's flags
+    are filtered client-side here: filtering the battery IN-PLAN is
+    the 365x pushdown trap the gate exists to avoid.)"""
+    from impala_refresher_spark.operators.text import (
+        gopher_gate_ids,
+        quality_gopher_rules,
+    )
+    from impala_refresher_spark.sources.tables import load_table
+
+    gate = {r.doc_id for r in gopher_gate_ids(load_table(spark, sf_dir, "documents")).collect()}
+    battery = {
+        r.doc_id for r in quality_gopher_rules(spark, sf_dir).collect() if r.passes_gopher
+    }
+    assert gate == battery and len(gate) > 0
