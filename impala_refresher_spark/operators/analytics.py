@@ -1247,3 +1247,136 @@ def merge_overlapping_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("span_end"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase pairs (frequent-itemset mining, pair grain)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 2  # a pair needs >= 2 co-occurrences to surface
+
+
+@query(
+    "market_basket_pairs",
+    f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (SELECT l_partkey FROM b GROUP BY l_partkey
+             HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}),
+    fb AS (SELECT b.l_orderkey, b.l_partkey FROM b
+           WHERE b.l_partkey IN (SELECT l_partkey FROM freq))
+    SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM fb a
+    JOIN fb c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    GROUP BY a.l_partkey, c.l_partkey
+    HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchase pairs (the support-counting step of
+    apriori/FP-growth at pair grain): unordered part pairs bought in
+    the same order at least {_BASKET_MIN_SUPPORT} times.
+
+    Spark-first rewrite — the oracle is the NAIVE basket self-join;
+    this plan never self-joins the fact table:
+    (1) apriori prune: a pair with support >= s needs BOTH parts with
+        support >= s, so parts below the floor are semi-joined away
+        BEFORE pairing (at 100 TB this typically drops the long tail
+        of the catalog and is a broadcast semi-join on the part key);
+    (2) baskets: one groupBy(order) building the sorted distinct part
+        array — per-task state is one basket, bounded by basket width;
+    (3) pair expansion INSIDE codegen: flatten(transform(arr, slice))
+        emits each unordered pair exactly once with no join and no
+        extra shuffle — pairs-per-row is w(w-1)/2, bounded by basket
+        width, never corpus size;
+    (4) one hash aggregate on (part_a, part_b) with map-side partials.
+    Net: two shuffles (basket build, pair count) vs the self-join's
+    basket-squared shuffle; the differential proves the rewrite emits
+    the identical pair set."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.distinct()
+    freq = (
+        b.groupBy("l_partkey")
+        .count()
+        .filter(F.col("count") >= _BASKET_MIN_SUPPORT)
+        .select("l_partkey")
+    )
+    fb = b.join(F.broadcast(freq), "l_partkey", "left_semi")
+    baskets = fb.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    arr = F.col("parts")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= _BASKET_MIN_SUPPORT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+@query(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    t AS (SELECT src, dst, COUNT(*) AS n FROM seq
+          WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6)
+             AS p
+    FROM t
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    (src, dst) event-type pair, the count of consecutive occurrences
+    and the row-normalized transition probability — the model behind
+    Markov-chain attribution and next-action prediction.
+
+    Plan: ONE shuffle on user_id serves the lead() window (per-user
+    event order); the transition count is a hash aggregate whose key
+    space is |event_types|^2 (25 here) — the second "shuffle" moves a
+    constant-size matrix, and the row normalization runs as a window
+    over that matrix, not the fact table. At 100 TB the per-user
+    window is the only data-sized exchange; state per task is one
+    user's sorted run. Probability rounded to 6dp so accumulation-
+    order ulp noise can't break the differential."""
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    )
+    t = seq.filter(F.col("dst").isNotNull()).groupBy("src", "dst").agg(
+        F.count("*").alias("n")
+    )
+    return t.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("src")),
+            6,
+        ).alias("p"),
+    )

@@ -822,3 +822,117 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup through k-means blocking (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+_SEM_K = 8  # cluster count; at 100 TB this is ~100k clusters
+_SEM_THRESH = 0.35
+
+
+def _semdedup_oracle() -> str:
+    from impala_refresher_spark.operators.similarity import (
+        _SQL_UNIT,
+        _km_assign_sql,
+        _sql_dot,
+    )
+
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS BIGINT) AS cid,
+             emb AS cent
+      FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_SEM_K}
+    ),
+    assign AS ({_km_assign_sql("v", "c0")}),
+    u AS (SELECT vec_id, {_SQL_UNIT("embedding")} AS uv FROM embeddings),
+    pairs AS (
+      SELECT aa.cid AS cluster, aa.vec_id AS keep_id, ab.vec_id AS drop_id
+      FROM assign aa
+      JOIN assign ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+      JOIN u ua ON ua.vec_id = aa.vec_id
+      JOIN u ub ON ub.vec_id = ab.vec_id
+      WHERE {_sql_dot("ua.uv", "ub.uv")} >= {_SEM_THRESH}
+    )
+    SELECT cluster, drop_id, MIN(keep_id) AS canonical_id
+    FROM pairs
+    GROUP BY cluster, drop_id
+    """
+
+
+@query("semdedup_embeddings", _semdedup_oracle())
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-
+    dedup where the quadratic pair comparison is bounded by K-MEANS
+    CLUSTERS instead of a metadata blocking key — the production
+    architecture for embedding-level dedup of web-scale corpora
+    (`dedup_embedding_cosine` blocks on the label column; real corpora
+    have no such column, so SemDeDup manufactures the blocks from the
+    geometry itself).
+
+    Plan: (1) seed K centroids from an md5-ordered sample (KB collect +
+    broadcast — the kmeans/IVF index-exchange pattern); (2) argmin-
+    assign every vector map-side, NO shuffle (identical fold to
+    `kmeans_refine_assignments`, ties -> smallest cid); (3) pair-join
+    WITHIN clusters through `blocked_pair_join`'s triangle grid (per-
+    task width bounded, each pair exactly once); (4) keep-first fold:
+    every vector similar to a lower-id cluster-mate is a drop, reported
+    with its canonical survivor. The deduped corpus is the anti-join
+    against this drop list.
+
+    100 TB shape: cost falls from n^2 to sum over clusters of w_c^2 —
+    with K sized so clusters fit the pair budget (the paper uses
+    ~0.1 sqrt(n) clusters), that is ~n^1.5 / sqrt(K). Assignment is
+    scan-bandwidth-bound; only the within-cluster pairs shuffle. The
+    oracle unrolls seed->assign->pair->fold in SQL, so cluster ids,
+    drops, and canonicals are all checked exactly."""
+    from impala_refresher_spark.operators.similarity import (
+        _dot,
+        _unit,
+        blocked_pair_join,
+    )
+
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    v = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    seeds = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_SEM_K)
+        .select("emb")
+        .collect()
+    )
+    cents = [[float(x) for x in r.emb] for r in seeds]
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                "emb",
+                F.array(*[F.lit(c) for c in cent]),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for cent in cents
+    ]
+    best = (F.array_position(F.array(*dists), F.array_min(F.array(*dists))) - 1).cast(
+        "bigint"
+    )
+    assigned = v.select("vec_id", best.alias("cid"))
+    u = (
+        e.select("vec_id", _unit(F.col("embedding")).alias("uv"))
+        .join(assigned, "vec_id")
+        .select("vec_id", "cid", "uv")
+    )
+    return (
+        blocked_pair_join(u, "cid", "vec_id")
+        .filter(_dot(F.col("a.uv"), F.col("b.uv")) >= _SEM_THRESH)
+        .groupBy(F.col("b.cid").alias("cluster"), F.col("b.vec_id").alias("drop_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("canonical_id"))
+    )

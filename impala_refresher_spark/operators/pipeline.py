@@ -480,3 +480,82 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixture (multilingual-sampling rebalance)
+# ---------------------------------------------------------------------------
+
+_MIX_TARGET = 200  # total docs to select across sources
+
+
+@query(
+    "corpus_mixture_temperature",
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    d AS (SELECT ROUND(SUM(sqrt(CAST(cnt AS DOUBLE))), 6) AS denom FROM c),
+    q AS (
+      SELECT source,
+             CAST(ROUND(ROUND(sqrt(CAST(cnt AS DOUBLE)) / denom, 6)
+                        * {_MIX_TARGET}) AS BIGINT) AS quota
+      FROM c CROSS JOIN d
+    )
+    SELECT doc_id, source, quota
+    FROM (
+      SELECT doc_id, documents.source, q.quota,
+             ROW_NUMBER() OVER (PARTITION BY documents.source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents JOIN q ON q.source = documents.source
+    )
+    WHERE rn <= quota
+    """,
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-corpus
+    sampling rule from mBERT/XLM-R/mT5: p_i proportional to n_i^alpha
+    with alpha = 0.5): each source's share of the {_MIX_TARGET}-doc
+    budget is sqrt(count)-proportional — upsampling the tail sources
+    relative to raw frequency without letting the head dominate —
+    then that quota is filled by the stable md5 order, so re-runs and
+    incremental ingests keep the same winners.
+
+    Plan: per-source counts are one partial-aggregable pass; the
+    weight denominator is a 1-row aggregate broadcast back (the repo's
+    scalar-exchange pattern — never a driver collect); admission is
+    one window partitioned by source (parallel across sources, state
+    = one source's run). At 100 TB the count pass is map-side-combined
+    to |sources| rows and the fact-sized work is the single window.
+
+    Float discipline: alpha = 0.5 makes the weight a sqrt —
+    correctly-rounded IEEE on both engines, unlike pow/exp — and the
+    sum-of-sqrts denominator is rounded to 6dp before the divide so
+    accumulation order can't flip a quota; the weight is rounded again
+    before scaling, and ROUND-half-up at integer grain agrees across
+    engines."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    denom = counts.agg(
+        F.round(F.sum(F.sqrt(F.col("cnt").cast("double"))), 6).alias("denom")
+    )
+    quotas = counts.crossJoin(F.broadcast(denom)).select(
+        "source",
+        F.round(
+            F.round(F.sqrt(F.col("cnt").cast("double")) / F.col("denom"), 6)
+            * _MIX_TARGET
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(quotas), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", "quota")
+    )

@@ -728,3 +728,106 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+# ---------------------------------------------------------------------------
+# T16 — streaming CDC apply: foreachBatch MERGE into versioned snapshots
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_cdc_merge",
+    """
+    WITH ranked AS (
+      SELECT user_id, value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(floor(value * 100) AS BIGINT) AS last_value_cents,
+           ts AS last_ts,
+           CAST(n AS BIGINT) AS n_updates
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the change-data-capture landing pattern:
+    an event stream of keyed updates is MERGEd into a serving table by
+    ``foreachBatch``, each micro-batch committing a new immutable
+    snapshot version and advancing a latest-version pointer (the
+    poor-man's MVCC that Delta/Iceberg formalize; the batch-side twin
+    is `merge_upsert_orders`). Last-writer-wins is decided by the
+    RECORD's (ts, event_id), not arrival order, so the final table is
+    identical under any batch split — which is what makes the batch
+    SQL oracle valid against a genuinely incremental execution (the
+    source is split into multiple micro-batches via maxFilesPerTrigger,
+    so several real merge rounds run).
+
+    Scale shape per batch: the merge is one window over
+    state ∪ batch partitioned by the merge key — at 100 TB this is the
+    MERGE shuffle on the key, state size is key cardinality (not
+    stream length), and the accumulated n_updates counter shows state
+    carrying derived columns forward instead of re-scanning history.
+    Snapshot-per-epoch + checkpoint give exactly-once: a replayed
+    epoch overwrites its own version directory idempotently."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from impala_refresher_spark.sources.tables import scratch_path
+
+    events = load_table(spark, sf_dir, "events")
+    src = scratch_path("/root/repo/_scratch", "cdc_src", sf_dir, "events")
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        events.repartition(4).write.mode("overwrite").parquet(src)
+    work = tempfile.mkdtemp(prefix="cdc_merge_")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+    versions: list[str] = []
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        b = batch.select("user_id", "ts", "event_id", "value").withColumn(
+            "n_updates", F.lit(1).cast("bigint")
+        )
+        if versions:
+            b = spark.read.parquet(versions[-1]).unionByName(b)
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        wc = W.partitionBy("user_id")
+        snap = (
+            b.withColumn("rn", F.row_number().over(w))
+            .withColumn("tot", F.sum("n_updates").over(wc))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id", "ts", "event_id", "value",
+                F.col("tot").alias("n_updates"),
+            )
+        )
+        out = os.path.join(state_root, f"v{epoch_id}")
+        snap.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(versions[-1])
+    return final.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("last_value_cents"),
+        F.col("ts").alias("last_ts"),
+        F.col("n_updates").cast("bigint").alias("n_updates"),
+    )

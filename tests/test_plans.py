@@ -588,3 +588,35 @@ def test_pipeline_v2_gate_keeps_hofs_out_of_scan_filters(spark):
     plan = plan_of(pipeline_training_corpus_v2(spark, SF_SMOKE))
     for m in re.finditer(r"DataFilters: \[([^\]]*)\]", plan):
         assert "lambdafunction" not in m.group(1), m.group(1)[:200]
+
+
+def test_market_basket_avoids_fact_self_join(spark):
+    """The pair expansion must happen inside codegen (flatten/
+    transform over the basket array), never as a lineitem self-join:
+    the only join in the plan is the broadcast semi-join of the
+    apriori prune, so there is no basket-squared shuffle to regress
+    into."""
+    from impala_refresher_spark.operators.analytics import market_basket_pairs
+
+    import re
+
+    plan = plan_of(market_basket_pairs(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    # one join NODE total (formatted plans print each node twice:
+    # once in the tree, once in the numbered detail section)
+    join_nodes = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
+    assert len(join_nodes) == 1, plan
+    assert "LeftSemi" in plan  # the apriori prune survives
+    assert "Generate explode" in plan or "explode" in plan
+
+
+def test_semdedup_pair_join_is_cluster_blocked(spark):
+    """SemDeDup's pair join must carry the cluster id + triangle cell
+    in its equi-keys (bounded per-task width); an unkeyed cross join
+    here is the n^2 scale failure the clustering exists to prevent."""
+    from impala_refresher_spark.operators.dedup import semdedup_embeddings
+
+    plan = plan_of(semdedup_embeddings(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "pair_cell" in plan  # triangle grid key present in the join
