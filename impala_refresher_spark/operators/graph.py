@@ -96,24 +96,42 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionAll(e0.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        # The edge list feeds degree, node, AND both iteration joins —
-        # five consumers; without lineage truncation each one re-runs
-        # the orders⋈lineitem distinct. One materialization, the same
-        # way any production PageRank materializes its edge relation
-        # before iterating (and exactly the CC/minhash checkpoint
-        # discipline).
+        # The raw edge list feeds the degree aggregate and the weight-
+        # attach join; without lineage truncation each consumer re-runs
+        # the orders⋈lineitem distinct (measured: collapsing this into
+        # the edges_w checkpoint alone re-computes e0 and costs ~15%).
         .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
-    pr = nodes.crossJoin(F.broadcast(n)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    # Attach the out-degree to the edge relation ONCE, outside the
+    # loop: the per-iteration work drops from two joins (rank, degree)
+    # to one. The contribution stays pr / outdeg — the same IEEE
+    # division the oracle performs — only the join that DELIVERS
+    # outdeg moves out of the loop. Checkpointed: both iteration joins
+    # consume it (the CC/minhash checkpoint discipline — a production
+    # PageRank materializes exactly this relation before iterating).
+    edges_w = edges.join(deg, "src").localCheckpoint()
+    # deg is already one row per node (every node has out-edges after
+    # the undirected doubling) — reuse it instead of a second distinct.
+    n = deg.agg(F.count("*").cast("double").alias("n_nodes"))
+    # Iteration 1 constant-folded: the initial rank vector is the
+    # uniform 1/n, so the first contribution sum needs NO rank join —
+    # the per-edge term (1/n)/outdeg is computable from the edge
+    # relation alone (the division sequence is exactly the oracle's
+    # p.pr / d.outdeg with p.pr = 1.0/n_nodes, so doubles still
+    # match bitwise).
+    contrib = (
+        edges_w.crossJoin(F.broadcast(n))
+        .groupBy("dst")
+        .agg(F.sum((F.lit(1.0) / F.col("n_nodes")) / F.col("outdeg")).alias("s"))
     )
-    for _ in range(2):
+    pr = contrib.crossJoin(F.broadcast(n)).select(
+        F.col("dst").alias("node"),
+        F.round(_TELEPORT / F.col("n_nodes") + _DAMP * F.col("s"), 6).alias("pr"),
+    )
+    for _ in range(1):
         contrib = (
-            edges.join(pr, edges.src == pr.node)
-            .join(deg, "src")
+            edges_w.join(pr, edges_w.src == pr.node)
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("s"))
         )
