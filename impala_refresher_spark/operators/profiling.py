@@ -1,0 +1,384 @@
+"""Data-profiling and statistical data-quality operators: ANALYZE-style
+single-pass column profiling, Benford first-digit conformance, robust
+(median/MAD) outlier detection, CUSUM changepoint scoring, and
+time-weighted averages over irregular event timelines.
+
+The reference has no data plane (its whole surface is ``refresh
+<table>``, impala-refresher.go:49); these extend the engine per
+SURVEY.md §2C — every operator a pure DataFrame pipeline.
+
+Scale notes (100 TB):
+- ``profile_table_stats`` is ONE scan: all per-column aggregates fold
+  into a single partial-aggregable Aggregate; the multi-``count
+  (distinct)`` lowers to Catalyst's Expand (input ×k for k distinct
+  aggs) whose partials still combine map-side. At 100 TB swap the
+  exact distincts for ``approx_count_distinct`` (HLL, constant state)
+  — the plan shape is otherwise identical; kept exact here so the
+  DuckDB differential can hash-match.
+- ``benford_first_digit`` is a 9-group aggregate — pure map-side
+  combine; the share denominator comes from a window over the 9-row
+  aggregate, never a second scan of the fact.
+- ``mad_outlier_accounts`` works in integer cents so the median /
+  MAD interpolation ((a+b)/2 of int64 cents) is EXACT IEEE — the
+  strict threshold compare is bit-identical across engines, no
+  float-boundary flakes. Medians use Spark's exact ``median`` (sort-
+  based per group); at 100 TB substitute ``approx_percentile`` with
+  a documented error bound — plan shape unchanged.
+- ``cusum_daily_revenue`` aggregates to date grain FIRST (one
+  shuffle), then runs both windows over the tiny date-grain frame;
+  the unpartitioned windows are bounded by calendar days, not data
+  size. Per-entity CUSUM at scale = add the entity to every
+  partitionBy — same plan.
+- ``time_weighted_avg_value`` shuffles once on user_id; the lead()
+  window and the final groupBy reuse that partitioning (no second
+  exchange — same argument as sessionize, analytics.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style one-pass column profile
+# ---------------------------------------------------------------------------
+
+@query(
+    "profile_table_stats",
+    """
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)   AS d_status,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_prio,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT)       AS d_cust,
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)    AS d_price,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)   AS z_status,
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_prio,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)       AS z_cust,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)    AS z_price,
+               CAST(MIN(o_custkey) AS DOUBLE) AS min_cust,
+               CAST(MAX(o_custkey) AS DOUBLE) AS max_cust,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders
+    )
+    SELECT 'o_orderstatus' AS col_name, n_rows, z_status AS n_nulls,
+           d_status AS n_distinct, CAST(NULL AS DOUBLE) AS min_val,
+           CAST(NULL AS DOUBLE) AS max_val FROM agg
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, z_prio, d_prio,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM agg
+    UNION ALL
+    SELECT 'o_custkey', n_rows, z_cust, d_cust, min_cust, max_cust FROM agg
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, z_price, d_price, min_price, max_price
+    FROM agg
+    ORDER BY col_name
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style profile: one row per column with row count,
+    null count, exact distinct count, numeric min/max.
+
+    ONE scan of orders: every statistic folds into a single Aggregate
+    (the multi-distinct lowers to Expand — input ×4 but still
+    map-side-combinable partials). The wide 1-row aggregate is then
+    unpivoted driver-free with ``stack``. At 100 TB replace the exact
+    distincts with ``approx_count_distinct``; nothing else changes."""
+    o = load_table(spark, sf_dir, "orders")
+    nul = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long")
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.countDistinct("o_orderpriority").alias("d_prio"),
+        F.countDistinct("o_custkey").alias("d_cust"),
+        F.countDistinct("o_totalprice").alias("d_price"),
+        nul("o_orderstatus").alias("z_status"),
+        nul("o_orderpriority").alias("z_prio"),
+        nul("o_custkey").alias("z_cust"),
+        nul("o_totalprice").alias("z_price"),
+        F.min("o_custkey").cast("double").alias("min_cust"),
+        F.max("o_custkey").cast("double").alias("max_cust"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return (
+        agg.select(
+            F.expr(
+                """
+                stack(4,
+                  'o_orderstatus',   n_rows, z_status, d_status,
+                      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                  'o_orderpriority', n_rows, z_prio,   d_prio,
+                      CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                  'o_custkey',       n_rows, z_cust,   d_cust,
+                      min_cust, max_cust,
+                  'o_totalprice',    n_rows, z_price,  d_price,
+                      min_price, max_price
+                ) AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)
+                """
+            )
+        )
+        .orderBy("col_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (fraud/DQ screen)
+# ---------------------------------------------------------------------------
+
+@query(
+    "benford_first_digit",
+    """
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+        WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 4) AS obs_freq,
+           ROUND(LOG10(1.0 + 1.0 / digit), 4) AS benford_freq,
+           ROUND(ABS(CAST(n AS DOUBLE) / SUM(n) OVER ()
+                     - LOG10(1.0 + 1.0 / digit)), 4) AS abs_dev
+    FROM counts
+    ORDER BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs the
+    Benford expectation log10(1 + 1/d) — the classic accounting-fraud
+    / data-quality screen.
+
+    The digit is extracted via exact integer→string arithmetic (NOT
+    ``floor(log10(x))``, whose 1-ulp wobble near powers of ten could
+    flip the digit across engines). One 9-group aggregate — map-side
+    combine carries nine counters per task; the share denominator is
+    a window over the 9-row result, never a second fact scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    counts = (
+        o.select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    obs = F.col("n").cast("double") / total
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return counts.select(
+        "digit",
+        "n",
+        F.round(obs, 4).alias("obs_freq"),
+        F.round(benford, 4).alias("benford_freq"),
+        F.round(F.abs(obs - benford), 4).alias("abs_dev"),
+    ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median / MAD in exact integer cents
+# ---------------------------------------------------------------------------
+
+@query(
+    "mad_outlier_accounts",
+    """
+    WITH cents AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ),
+    med AS (
+        SELECT c_nationkey, MEDIAN(bal_cents) AS med_cents
+        FROM cents GROUP BY c_nationkey
+    ),
+    dev AS (
+        SELECT c.c_custkey, c.c_nationkey, c.bal_cents,
+               ABS(c.bal_cents - m.med_cents) AS dev_cents
+        FROM cents c JOIN med m ON c.c_nationkey = m.c_nationkey
+    ),
+    mad AS (
+        SELECT c_nationkey, MEDIAN(dev_cents) AS mad_cents
+        FROM dev GROUP BY c_nationkey
+    )
+    SELECT d.c_custkey,
+           d.c_nationkey AS nationkey,
+           ROUND(d.bal_cents / 100.0, 2) AS acctbal,
+           ROUND(d.dev_cents / (1.4826 * a.mad_cents), 3) AS robust_z
+    FROM dev d JOIN mad a ON d.c_nationkey = a.c_nationkey
+    WHERE a.mad_cents > 0
+      AND d.dev_cents > 3 * 1.4826 * a.mad_cents
+    ORDER BY robust_z DESC, d.c_custkey
+    """,
+)
+def mad_outlier_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation robust outliers: |x − median| > 3·1.4826·MAD.
+
+    All arithmetic runs in integer CENTS so the even-count median
+    interpolation ((a+b)/2 of int64) is exact IEEE — the strict
+    threshold compare is bit-identical in Spark and DuckDB, immune to
+    the float-boundary flakes the repo's float discipline guards
+    against. Two grouped exact medians (sort-within-group) + two
+    broadcast-sized joins on nationkey (25 rows — Spark broadcasts
+    them); the customer scan shuffles once on nationkey. At 100 TB
+    swap exact median for ``approx_percentile(…, 0.5)`` — constant
+    sketch state, same plan shape."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    med = c.groupBy("c_nationkey").agg(F.median("bal_cents").alias("med_cents"))
+    dev = c.join(F.broadcast(med), "c_nationkey").select(
+        "c_custkey",
+        "c_nationkey",
+        "bal_cents",
+        F.abs(F.col("bal_cents") - F.col("med_cents")).alias("dev_cents"),
+    )
+    mad = dev.groupBy("c_nationkey").agg(F.median("dev_cents").alias("mad_cents"))
+    return (
+        dev.join(F.broadcast(mad), "c_nationkey")
+        .filter(
+            (F.col("mad_cents") > 0)
+            & (F.col("dev_cents") > 3 * 1.4826 * F.col("mad_cents"))
+        )
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").alias("nationkey"),
+            F.round(F.col("bal_cents") / 100.0, 2).alias("acctbal"),
+            F.round(
+                F.col("dev_cents") / (1.4826 * F.col("mad_cents")), 3
+            ).alias("robust_z"),
+        )
+        .orderBy(F.desc("robust_z"), "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint score over daily revenue
+# ---------------------------------------------------------------------------
+
+@query(
+    "cusum_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1
+    ),
+    centered AS (
+        SELECT day, rev,
+               rev - ROUND(AVG(rev) OVER (), 2) AS delta
+        FROM daily
+    )
+    SELECT day, rev,
+           ROUND(SUM(delta) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cusum
+    FROM centered
+    ORDER BY day
+    """,
+)
+def cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint score: cumulative sum of (daily revenue −
+    grand mean), the classic drift detector — a sustained level shift
+    shows as a monotone cusum ramp.
+
+    ONE scan: aggregate to date grain first (the only data-sized
+    shuffle), then BOTH windows (grand mean, running sum) run over the
+    tiny date-grain frame — no second pass over orders, no broadcast
+    round-trip. Daily revs are rounded to cents before the running sum
+    and the sum is evaluated in date order on both engines, so the
+    accumulation sequence — hence the hash — is identical. Per-entity
+    CUSUM at 100 TB: add the entity key to both partitionBys."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    mean_r = F.round(F.avg("rev").over(Window.partitionBy()), 2)
+    run = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.withColumn("delta", F.col("rev") - mean_r)
+        .select(
+            "day",
+            "rev",
+            F.round(F.sum("delta").over(run), 2).alias("cusum"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average over irregular event timelines
+# ---------------------------------------------------------------------------
+
+@query(
+    "time_weighted_avg_value",
+    """
+    WITH stepped AS (
+        SELECT user_id, value,
+               epoch_us(ts) AS t_us,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS t_next
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(SUM(t_next - t_us) / 1e6, 1) AS span_sec,
+           ROUND(SUM(value * (t_next - t_us)) / SUM(t_next - t_us), 4)
+               AS twa_value
+    FROM stepped
+    WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user: each reading is
+    held until the next one, weighted by its holding time — the
+    correct average for irregularly-sampled telemetry (a plain AVG
+    over-weights bursts).
+
+    Timestamps become exact integer MICROSECONDS (``unix_micros`` /
+    ``epoch_us``) so interval widths are integer-exact cross-engine.
+    One shuffle on user_id; the lead() window and the final groupBy
+    reuse the same partitioning (no second exchange). The weighted
+    sums are partial-aggregable — at 100 TB this is a sessionize-
+    shaped plan: one exchange + window + combine."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t_us")
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.round(F.sum(dt) / F.lit(1e6), 1).alias("span_sec"),
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 4).alias(
+                "twa_value"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -620,3 +620,57 @@ def test_semdedup_pair_join_is_cluster_blocked(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "pair_cell" in plan  # triangle grid key present in the join
+
+
+def test_profile_stats_is_single_scan_with_expand(spark):
+    """The ANALYZE-style profile must stay ONE pass over orders: all
+    stats fold into a single Aggregate whose multi-distinct lowers to
+    Expand. A second FileScan would mean per-column re-reads — the
+    anti-pattern this operator exists to avoid at 100 TB."""
+    import re
+
+    from impala_refresher_spark.operators.profiling import profile_table_stats
+
+    plan = plan_of(profile_table_stats(spark, SF_SMOKE))
+    # formatted plans list each node once in the tree and once in the
+    # numbered detail section — count the detail entries
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Expand" in plan  # the multi-count(distinct) lowering
+
+
+def test_cusum_single_scan_date_grain_windows(spark):
+    """CUSUM must aggregate to date grain FIRST and run both windows
+    over that tiny frame — exactly one scan of orders and exactly one
+    data-sized exchange (the date-grain hash aggregate)."""
+    import re
+
+    from impala_refresher_spark.operators.profiling import cusum_daily_revenue
+
+    plan = plan_of(cusum_daily_revenue(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_time_weighted_avg_reuses_user_partitioning(spark):
+    """The lead() window and the per-user aggregate must share ONE
+    hashpartitioning(user_id) exchange; a second data-sized shuffle
+    between them would double the dominant cost at scale."""
+    import re
+
+    from impala_refresher_spark.operators.profiling import time_weighted_avg_value
+
+    plan = plan_of(time_weighted_avg_value(spark, SF_SMOKE))
+    exchanges = re.findall(r"hashpartitioning\(user_id", plan)
+    # formatted plans print each node once in the tree and once in the
+    # detail listing — one logical exchange appears at most twice
+    assert len(exchanges) <= 2, plan
+
+
+def test_mad_outliers_broadcast_median_frames(spark):
+    """Both median frames (25 nation rows) must broadcast back onto
+    the customer relation — a SortMergeJoin here would shuffle the
+    full customer table twice for KB-sized per-group medians."""
+    from impala_refresher_spark.operators.profiling import mad_outlier_accounts
+
+    plan = plan_of(mad_outlier_accounts(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
