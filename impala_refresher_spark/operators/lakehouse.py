@@ -284,3 +284,96 @@ def inverted_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return served.join(
         d.select("doc_id", "lang", "n_chars"), "doc_id"
     ).select("doc_id", "tf", "lang", "n_chars")
+
+
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ),
+    new AS (
+        -- deterministic v2: every-97th key deleted, every-7th-at-3
+        -- repriced, every-131st-at-5 inserted under an offset key
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 3
+                    THEN o_totalprice * 1.10 ELSE o_totalprice END
+                   AS o_totalprice,
+               o_orderstatus
+        FROM orders
+        WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice * 0.25, 'N'
+        FROM orders WHERE o_orderkey % 131 = 5
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.o_totalprice AS old_price,
+           n.o_totalprice AS new_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+       OR o.o_orderstatus <> n.o_orderstatus
+    ORDER BY o_orderkey
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot audit diff — the read-side complement of MERGE
+    (``merge_upsert_orders`` applies changes; this RECOVERS them):
+    full-outer-join two table versions on the key and emit only
+    added / removed / changed rows with before/after values — the
+    standard CDC-backfill and table-audit primitive.
+
+    The v2 snapshot is derived deterministically from the fixture
+    (delete / reprice / insert by key residue) so the oracle rebuilds
+    it exactly; prices stay unrounded per-row (identical IEEE
+    products both engines — repo float discipline). At scale: ONE
+    shuffle of each snapshot on the key; with a lakehouse format the
+    same join reads only files whose min/max key ranges overlap, and
+    AQE handles the skew. The inequality change-filter runs post-join
+    inside codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 3, F.col("o_totalprice") * 1.10
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 131 == 5).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                (F.col("o_totalprice") * 0.25).alias("o_totalprice"),
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+    )
+    ov, nv = old.alias("o"), new.alias("n")
+    return (
+        ov.join(nv, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+        .filter(
+            F.col("o.o_orderkey").isNull()
+            | F.col("n.o_orderkey").isNull()
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        )
+        .select(
+            F.coalesce(F.col("n.o_orderkey"), F.col("o.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("o.o_orderkey").isNull(), "added")
+            .when(F.col("n.o_orderkey").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            F.col("o.o_totalprice").alias("old_price"),
+            F.col("n.o_totalprice").alias("new_price"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -382,3 +382,65 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands over calendar days
+# ---------------------------------------------------------------------------
+
+@query(
+    "gap_islands_active_days",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    anchored AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INTEGER)
+                   AS anchor
+        FROM days
+    )
+    SELECT user_id,
+           MIN(day) AS island_start,
+           MAX(day) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM anchored
+    GROUP BY user_id, anchor
+    ORDER BY user_id, island_start
+    """,
+)
+def gap_islands_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day islands per user — the calendar-grain
+    complement of timestamp-gap sessionization (``analytics.py``):
+    ``day − row_number()`` is constant within a run of consecutive
+    days, so grouping by that anchor yields each island in one window
+    pass + one aggregate.
+
+    Only the first exchange is fact-sized, and it is map-side-combined:
+    the (user_id, day) distinct partially dedups before shuffling, so
+    the wire carries at most users×days pairs. The window and island
+    aggregate re-shuffle only that collapsed relation — orders of
+    magnitude smaller than the event volume at 100 TB. Day arithmetic
+    is integer (DATE ± INT) — no float, nothing to round."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    return (
+        anchored.groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .drop("anchor")
+        .orderBy("user_id", "island_start")
+    )

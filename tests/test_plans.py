@@ -674,3 +674,47 @@ def test_mad_outliers_broadcast_median_frames(spark):
     plan = plan_of(mad_outlier_accounts(spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark):
+    """Candidate pairs must come from an equi-join on the blocking key
+    — an all-pairs nested-loop over the name vocabulary is the n²
+    failure blocking exists to prevent."""
+    from impala_refresher_spark.operators.linkage import fuzzy_join_part_names
+
+    plan = plan_of(fuzzy_join_part_names(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "block" in plan  # the blocking key is in the join keys
+
+
+def test_gap_islands_distinct_combines_map_side(spark):
+    """The only fact-sized shuffle is the (user_id, day) distinct and
+    it must partially aggregate BEFORE the exchange — shuffling raw
+    events to dedup them reducer-side would move the full fact volume
+    at 100 TB."""
+    import re
+
+    from impala_refresher_spark.operators.profiling import gap_islands_active_days
+
+    plan = plan_of(gap_islands_active_days(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    # partial-aggregate node sits below the first exchange in the tree
+    tree = plan[: plan.find("(1) Scan")]
+    first_exchange = tree.find("Exchange")
+    first_agg = tree.rfind("HashAggregate")
+    assert first_agg > first_exchange >= 0, plan
+
+
+def test_snapshot_diff_is_single_key_join(spark):
+    """The diff must be ONE full-outer join on the snapshot key; the
+    change filter runs post-join in codegen, never as extra joins or
+    subquery re-scans of either snapshot."""
+    import re
+
+    from impala_refresher_spark.operators.lakehouse import snapshot_diff_orders
+
+    plan = plan_of(snapshot_diff_orders(spark, SF_SMOKE))
+    join_nodes = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
+    assert len(join_nodes) == 1, plan
+    assert "FullOuter" in plan
