@@ -148,3 +148,78 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("node"),
         "pr",
     )
+
+
+@query(
+    "bfs_event_transitions",
+    """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM seq
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ),
+    walk AS (
+        SELECT 'signup' AS node, 0 AS dist
+        UNION ALL
+        SELECT e.dst, w.dist + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.dist < 8
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+    FROM walk
+    GROUP BY node
+    ORDER BY dist, node
+    """,
+)
+def bfs_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from 'signup' over the event-type transition
+    graph (edge = two consecutive events by the same user) — the
+    reachability/shortest-path primitive that complements PageRank
+    (influence) and connected components (clustering) in this module.
+
+    Pregel-style frontier iteration: each round is ONE equi-join of
+    the current frontier against the edge relation plus an anti-join
+    against the visited set; the loop exits early the first empty
+    frontier (a count() on the FRONTIER — node-sized, never the edge
+    relation). `localCheckpoint` truncates lineage per round exactly
+    as `dedup_cluster_components` does, so the plan does not grow
+    with the iteration count. At 100 TB the edge list stays
+    partitioned on src across rounds; the frontier is node-sized. The
+    oracle replays the same search as a depth-bounded recursive CTE
+    reduced by MIN(dist)."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    edges = (
+        seq.filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = spark.createDataFrame([("signup", 0)], "node string, dist int")
+    frontier = visited
+    for hop in range(1, 9):
+        frontier = (
+            frontier.join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint()
+    return visited.select("node", "dist").orderBy("dist", "node")

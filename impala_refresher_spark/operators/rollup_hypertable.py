@@ -195,3 +195,104 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "cms_frequency_estimate",
+    """
+    WITH hashed AS (
+        SELECT h.row_i,
+               ((o_custkey * h.a + h.b) % 1000003) % 512 AS col_i
+        FROM orders
+        CROSS JOIN (VALUES (0, 2654435761, 97),
+                           (1, 2246822519, 1009),
+                           (2, 3266489917, 8191),
+                           (3,  668265263, 131071)) AS h(row_i, a, b)
+    ),
+    sketch AS (
+        SELECT row_i, col_i, CAST(COUNT(*) AS BIGINT) AS cell
+        FROM hashed GROUP BY row_i, col_i
+    ),
+    probes AS (
+        SELECT o_custkey AS probe_key,
+               CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM orders WHERE o_custkey < 15 GROUP BY o_custkey
+    ),
+    probe_cells AS (
+        SELECT p.probe_key, p.exact_n, s.cell
+        FROM probes p
+        CROSS JOIN (VALUES (0, 2654435761, 97),
+                           (1, 2246822519, 1009),
+                           (2, 3266489917, 8191),
+                           (3,  668265263, 131071)) AS h(row_i, a, b)
+        JOIN sketch s
+          ON s.row_i = h.row_i
+         AND s.col_i = ((p.probe_key * h.a + h.b) % 1000003) % 512
+    )
+    SELECT probe_key, exact_n,
+           MIN(cell) AS cms_n,
+           MIN(cell) - exact_n AS overcount
+    FROM probe_cells
+    GROUP BY probe_key, exact_n
+    ORDER BY probe_key
+    """,
+)
+def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: a 4×512 mergeable frequency synopsis of
+    o_custkey built in one aggregate pass, then point-queried for the
+    first 15 keys (estimate = min over the 4 hashed cells, always ≥
+    the true count). Companion to the HLL rollup above: HLL answers
+    "how many distinct", CMS answers "how often does key k occur"
+    from the same kind of constant-size, unionable state.
+
+    The hash family is portable integer arithmetic ((k·a + b) mod
+    1000003 mod 512 with 32-bit multipliers — products stay < 2^63,
+    so Spark and DuckDB agree bit-for-bit and the ENTIRE sketch,
+    not just its contract, is oracle-checked; engine-specific
+    xxhash64 would have forced a rows-only check like the HLL
+    binaries. At 100 TB: the sketch is a 2048-cell partial-aggregable
+    group-by (map-side combine carries at most 2048 counters per
+    task); sketches for different shards/days union by cell-wise SUM,
+    and the probe join broadcasts the KB-sized sketch."""
+    o = load_table(spark, sf_dir, "orders")
+    fam = [(0, 2654435761, 97), (1, 2246822519, 1009),
+           (2, 3266489917, 8191), (3, 668265263, 131071)]
+    hrows = spark.createDataFrame(fam, "row_i int, a long, b long")
+
+    def cell_of(key):
+        return ((key * F.col("a") + F.col("b")) % 1000003) % 512
+
+    sketch = (
+        o.crossJoin(F.broadcast(hrows))
+        .groupBy("row_i", cell_of(F.col("o_custkey")).alias("col_i"))
+        .agg(F.count("*").alias("cell"))
+    )
+    probes = (
+        o.filter(F.col("o_custkey") < 15)
+        .groupBy(F.col("o_custkey").alias("probe_key"))
+        .agg(F.count("*").alias("exact_n"))
+    )
+    pr = probes.crossJoin(F.broadcast(hrows)).withColumn(
+        "probe_col", cell_of(F.col("probe_key"))
+    )
+    sk = sketch.select(
+        F.col("row_i").alias("s_row"),
+        F.col("col_i").alias("s_col"),
+        "cell",
+    )
+    probe_cells = pr.join(
+        F.broadcast(sk),
+        (F.col("s_row") == F.col("row_i"))
+        & (F.col("s_col") == F.col("probe_col")),
+    )
+    return (
+        probe_cells.groupBy("probe_key", "exact_n")
+        .agg(F.min("cell").alias("cms_n"))
+        .select(
+            "probe_key",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy("probe_key")
+    )

@@ -252,3 +252,32 @@ def test_gopher_gate_plan_matches_battery_flags(spark, sf_dir):
         r.doc_id for r in quality_gopher_rules(spark, sf_dir).collect() if r.passes_gopher
     }
     assert gate == battery and len(gate) > 0
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """Count-min guarantee: the sketch estimate is >= the true count
+    for every probed key (min over hashed cells can only overcount)."""
+    from impala_refresher_spark.operators.rollup_hypertable import (
+        cms_frequency_estimate,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = cms_frequency_estimate(spark, SF_SMOKE).collect()
+    assert rows, "probe set empty"
+    for r in rows:
+        assert r.cms_n >= r.exact_n, (r.probe_key, r.cms_n, r.exact_n)
+        assert r.overcount == r.cms_n - r.exact_n
+
+
+def test_bfs_root_and_monotone_frontier(spark):
+    """BFS invariants: the root is at distance 0, every other reached
+    node's distance is 1 + the min distance over its in-neighbours
+    (frontier expansion can't skip a hop)."""
+    from impala_refresher_spark.operators.graph import bfs_event_transitions
+    from tests.conftest import SF_SMOKE
+
+    rows = bfs_event_transitions(spark, SF_SMOKE).collect()
+    dist = {r.node: r.dist for r in rows}
+    assert dist.get("signup") == 0
+    assert all(d >= 0 for d in dist.values())
+    assert sorted(set(dist.values())) == list(range(max(dist.values()) + 1))
