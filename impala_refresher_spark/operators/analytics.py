@@ -1380,3 +1380,60 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     )
+
+
+@query(
+    "pareto_frontier_parts",
+    """
+    SELECT p.p_partkey,
+           ROUND(p.p_retailprice, 2) AS price,
+           p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part d
+        WHERE d.p_retailprice <= p.p_retailprice
+          AND d.p_size >= p.p_size
+          AND (d.p_retailprice < p.p_retailprice OR d.p_size > p.p_size)
+    )
+    ORDER BY price, p.p_partkey
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts Pareto-optimal on (price low, size high) —
+    no other part is at most as expensive AND at least as big with one
+    strict. The multi-objective shortlist primitive (cheapest-per-
+    capability, best-effort/cost frontier).
+
+    Spark-first REWRITE, not the quadratic definition: group to
+    per-price max size, sweep distinct prices in one ordered window
+    (running max of sizes at strictly lower prices via lag∘cummax),
+    then keep rows whose size tops both their price group and the
+    sweep. The window runs over DISTINCT PRICES — the value-domain
+    cardinality, not the fact table — so the unpartitioned sort is
+    bounded; the fact join against the per-price verdict broadcasts.
+    The oracle IS the quadratic NOT EXISTS — the differential proves
+    the sweep exact, same discipline as `range_join_count_orderstat`.
+    At 100 TB with a dense value domain, pre-bucket prices and sweep
+    bucket maxima the same way."""
+    p = load_table(spark, sf_dir, "part")
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    sweep = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    verdict = per_price.withColumn("prev_cummax", F.max("gmax").over(sweep))
+    return (
+        p.join(F.broadcast(verdict), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("gmax"))
+            & (
+                F.col("prev_cummax").isNull()
+                | (F.col("prev_cummax") < F.col("p_size"))
+            )
+        )
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            "p_size",
+        )
+        .orderBy("price", "p_partkey")
+    )

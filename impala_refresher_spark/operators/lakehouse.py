@@ -377,3 +377,52 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "partition_checksums",
+    """
+    SELECT CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM((o_orderkey * 2654435761
+                     + CAST(ROUND(o_totalprice * 100) AS BIGINT) * 40503
+                     + o_custkey * 8191 + 97) % 1000003) AS BIGINT)
+               AS checksum
+    FROM orders
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition content fingerprints: an order-insensitive row
+    hash (portable integer arithmetic — same family as
+    ``cms_frequency_estimate``) summed per day partition. Two replicas
+    /eras of a table agree iff every (day, n_rows, checksum) row
+    agrees — the anti-entropy / post-migration / post-compaction
+    audit primitive, and the cheap first pass before a row-level
+    ``snapshot_diff_orders``.
+
+    Prices enter as exact integer cents; every product stays < 2^63
+    (no overflow divergence) and all operands are positive (identical
+    ``%`` semantics both engines), so the checksum is bit-identical
+    cross-engine — unlike an xxhash64 fingerprint, which would force a
+    rows-only check. One partial-aggregable pass: map-side combine
+    carries one (count, sum) pair per day per task; checksums for
+    sub-partitions merge by addition, so a 100 TB table can be
+    fingerprinted shard-by-shard and folded."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    h = (
+        F.col("o_orderkey") * 2654435761
+        + cents * 40503
+        + F.col("o_custkey") * 8191
+        + 97
+    ) % 1000003
+    return (
+        o.groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(h).cast("long").alias("checksum"),
+        )
+        .orderBy("day")
+    )

@@ -718,3 +718,29 @@ def test_snapshot_diff_is_single_key_join(spark):
     join_nodes = re.findall(r"^\(\d+\) \w*Join", plan, re.M)
     assert len(join_nodes) == 1, plan
     assert "FullOuter" in plan
+
+
+def test_pareto_sweep_windows_over_value_domain(spark):
+    """The skyline sweep must window over the per-price aggregate
+    (value-domain cardinality) and broadcast the verdict back to the
+    fact side — a window or sort over the raw part relation regresses
+    the rewrite toward the quadratic definition."""
+    from impala_refresher_spark.operators.analytics import pareto_frontier_parts
+
+    plan = plan_of(pareto_frontier_parts(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partition_checksums_single_pass(spark):
+    """The fingerprint is ONE partial-aggregable scan: no joins, no
+    window, exactly one parquet scan node."""
+    import re
+
+    from impala_refresher_spark.operators.lakehouse import partition_checksums
+
+    plan = plan_of(partition_checksums(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Join" not in plan
+    assert "Window" not in plan

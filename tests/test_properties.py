@@ -314,3 +314,33 @@ def test_nearest_event_join_tie_prefers_earlier_click(spark):
     assert got[4] == (5, 7_000_000)  # forward-only
     assert got[7] == (8, 3_000_000)  # nearer forward beats farther backward
     assert 9 not in got  # no clicks -> inner semantics drop
+
+
+def test_pareto_frontier_is_mutually_nondominated(spark):
+    """Skyline invariants: no output row dominates another, and every
+    non-output part is dominated by some output row (checked against
+    the raw relation)."""
+    from impala_refresher_spark.operators.analytics import pareto_frontier_parts
+    from impala_refresher_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    front = [
+        (r.price, r.p_size)
+        for r in pareto_frontier_parts(spark, SF_SMOKE).collect()
+    ]
+    assert front
+    dom = lambda a, b: (
+        a[0] <= b[0] and a[1] >= b[1] and (a[0] < b[0] or a[1] > b[1])
+    )
+    for a in front:
+        assert not any(dom(b, a) for b in front if b != a), (a,)
+    allpts = [
+        (round(r.p_retailprice, 2), r.p_size)
+        for r in load_table(spark, SF_SMOKE, "part")
+        .select("p_retailprice", "p_size")
+        .collect()
+    ]
+    fset = set(front)
+    for p in allpts:
+        if p not in fset:
+            assert any(dom(b, p) for b in front), (p,)
