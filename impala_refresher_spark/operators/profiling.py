@@ -444,3 +444,74 @@ def gap_islands_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("anchor")
         .orderBy("user_id", "island_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling windowed correlation (drift of a relationship over time)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rolling_corr_qty_price",
+    """
+    WITH keyed AS (
+        SELECT l_returnflag,
+               DATEDIFF('day', DATE '1970-01-01',
+                        CAST(l_shipdate AS DATE)) AS day_i,
+               CAST(DATE_TRUNC('day', l_shipdate) AS DATE) AS day,
+               l_quantity, l_extendedprice
+        FROM lineitem
+    )
+    SELECT DISTINCT l_returnflag, day,
+           ROUND(CORR(l_quantity, l_extendedprice)
+                 OVER (PARTITION BY l_returnflag ORDER BY day_i
+                       RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 4) + 0.0
+               AS corr_30d
+    FROM keyed
+    ORDER BY l_returnflag, day
+    """,
+)
+def rolling_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling Pearson correlation of quantity vs extended
+    price per return flag — the relationship-drift monitor (global
+    CORR is in ``agg_stats_moments``; this is its windowed form).
+
+    RANGE frame over an integer day key, so the frame is defined by
+    VALUES (all rows within 29 days), making the result independent
+    of intra-day row order — which in turn makes the per-day value
+    constant and the DISTINCT collapse deterministic. One shuffle on
+    returnflag; at 100 TB, partition the window by a finer entity or
+    pre-aggregate daily sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    the `ols_per_nation` trick) and window over the date grain
+    instead of raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01")).alias(
+            "day_i"
+        ),
+        F.date_trunc("day", "l_shipdate").cast("date").alias("day"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("day_i")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return (
+        keyed.select(
+            "l_returnflag",
+            "day",
+            (
+                F.round(
+                    F.corr("l_quantity", "l_extendedprice").over(w), 4
+                )
+                # + 0.0 collapses IEEE negative zero (-0.0 + 0.0 = +0.0)
+                # so a frame whose corr rounds to zero hashes identically
+                # whichever sign of zero each engine produced
+                + F.lit(0.0)
+            ).alias("corr_30d"),
+        )
+        .distinct()
+        .orderBy("l_returnflag", "day")
+    )
