@@ -475,168 +475,121 @@ def rolling_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     price per return flag — the relationship-drift monitor (global
     CORR is in ``agg_stats_moments``; this is its windowed form).
 
-    RANGE frame over an integer day key, so the frame is defined by
-    VALUES (all rows within 29 days), making the result independent
-    of intra-day row order — which in turn makes the per-day value
-    constant and the DISTINCT collapse deterministic. One shuffle on
-    returnflag; at 100 TB, partition the window by a finer entity or
-    pre-aggregate daily sufficient statistics (n, Σx, Σy, Σxy, Σx²,
-    the `ols_per_nation` trick) and window over the date grain
-    instead of raw rows."""
+    Spark-first REWRITE: the fact table collapses to DAILY sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy² — one partial-aggregable
+    pass), the 30-day RANGE window rolls those six sums over the
+    DATE-GRAIN frame (flags×days rows, not fact rows), and corr comes
+    from the closed form — the `ols_per_nation` trick applied to a
+    sliding frame. The oracle is the NAIVE definition (engine CORR
+    over a per-row RANGE frame), so the differential proves the
+    rewrite. At sf0.1 the gain is modest (the fact scan dominates
+    either way); the point is structural — the naive plan's window
+    input grows with the fact table, the rewrite's stays at
+    flags×days forever. RANGE frames are
+    value-defined, so the result is independent of intra-day row
+    order. `+ 0.0` collapses IEEE negative zero (-0.0 + 0.0 = +0.0),
+    which DID diverge across engines for frames whose correlation
+    rounds to zero."""
     li = load_table(spark, sf_dir, "lineitem")
-    keyed = li.select(
-        "l_returnflag",
-        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01")).alias(
-            "day_i"
-        ),
-        F.date_trunc("day", "l_shipdate").cast("date").alias("day"),
-        "l_quantity",
-        "l_extendedprice",
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    daily = (
+        li.groupBy(
+            "l_returnflag",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01")
+            ).alias("day_i"),
+            F.date_trunc("day", "l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
     )
     w = (
         Window.partitionBy("l_returnflag")
         .orderBy("day_i")
         .rangeBetween(-29, Window.currentRow)
     )
+    N = F.sum("n").over(w)
+    SX, SY = F.sum("sx").over(w), F.sum("sy").over(w)
+    SXY = F.sum("sxy").over(w)
+    SXX, SYY = F.sum("sxx").over(w), F.sum("syy").over(w)
+    # try_divide: a zero-variance frame (e.g. a single-row day with no
+    # 29-day history) has no defined correlation — NULL, matching what
+    # both engines' CORR returns there, instead of an ANSI error
+    corr = F.try_divide(
+        SXY - SX * SY / N,
+        F.sqrt((SXX - SX * SX / N) * (SYY - SY * SY / N)),
+    )
     return (
-        keyed.select(
+        daily.select(
             "l_returnflag",
             "day",
-            (
-                F.round(
-                    F.corr("l_quantity", "l_extendedprice").over(w), 4
-                )
-                # + 0.0 collapses IEEE negative zero (-0.0 + 0.0 = +0.0)
-                # so a frame whose corr rounds to zero hashes identically
-                # whichever sign of zero each engine produced
-                + F.lit(0.0)
-            ).alias("corr_30d"),
+            (F.round(corr, 4) + F.lit(0.0)).alias("corr_30d"),
         )
-        .distinct()
         .orderBy("l_returnflag", "day")
     )
 
 
-# ---------------------------------------------------------------------------
-# Referential-integrity audit across the star schema
-# ---------------------------------------------------------------------------
-
-@query(
-    "fk_orphans_audit",
-    """
-    SELECT 'lineitem.l_orderkey->orders' AS fk,
-           CAST((SELECT COUNT(*) FROM lineitem l
-                 WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                   WHERE o.o_orderkey = l.l_orderkey))
-                AS BIGINT) AS n_orphans
-    UNION ALL
-    SELECT 'lineitem.l_partkey->part',
-           CAST((SELECT COUNT(*) FROM lineitem l
-                 WHERE NOT EXISTS (SELECT 1 FROM part p
-                                   WHERE p.p_partkey = l.l_partkey))
-                AS BIGINT)
-    UNION ALL
-    SELECT 'lineitem.l_suppkey->supplier',
-           CAST((SELECT COUNT(*) FROM lineitem l
-                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
-                                   WHERE s.s_suppkey = l.l_suppkey))
-                AS BIGINT)
-    UNION ALL
-    SELECT 'orders.o_custkey->customer',
-           CAST((SELECT COUNT(*) FROM orders o
-                 WHERE NOT EXISTS (SELECT 1 FROM customer c
-                                   WHERE c.c_custkey = o.o_custkey))
-                AS BIGINT)
-    ORDER BY fk
-    """,
-)
-def fk_orphans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit: orphan count per foreign-key edge
-    of the star schema (facts referencing a missing dimension row) —
-    the cross-TABLE data-quality complement of the single-table
-    ``dq_rule_violations``.
-
-    Each edge is an ANTI-JOIN + count. The three lineitem edges share
-    one cached scan; every dimension side is broadcast (orders at
-    true scale falls back to a shuffle join, where Spark's runtime
-    bloom filter — plan-locked elsewhere, test_plans C3 — kills
-    non-orphans before the exchange, which is exactly the right
-    100 TB shape because orphans are rare). Counts union into one
-    4-row report."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-
-    def orphans(fact, key, dim, dim_key, label):
-        n = (
-            fact.join(
-                F.broadcast(dim.select(F.col(dim_key).alias(key)).distinct()),
-                key,
-                "left_anti",
-            )
-            .agg(F.count("*").cast("long").alias("n_orphans"))
-        )
-        return n.select(F.lit(label).alias("fk"), "n_orphans")
-
-    parts = [
-        orphans(li, "l_orderkey", o, "o_orderkey",
-                "lineitem.l_orderkey->orders"),
-        orphans(li, "l_partkey", load_table(spark, sf_dir, "part"),
-                "p_partkey", "lineitem.l_partkey->part"),
-        orphans(li, "l_suppkey", load_table(spark, sf_dir, "supplier"),
-                "s_suppkey", "lineitem.l_suppkey->supplier"),
-        orphans(o, "o_custkey", load_table(spark, sf_dir, "customer"),
-                "c_custkey", "orders.o_custkey->customer"),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("fk")
-
 
 # ---------------------------------------------------------------------------
-# Period-over-period change report
+# Cumulative distinct users (the first-occurrence rewrite)
 # ---------------------------------------------------------------------------
 
 @query(
-    "revenue_mom_change",
+    "cumulative_distinct_users",
     """
-    WITH monthly AS (
-        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
-               ROUND(SUM(o_totalprice), 2) AS rev
-        FROM orders GROUP BY 1
-    )
-    SELECT month, rev,
-           ROUND(rev - LAG(rev) OVER (ORDER BY month), 2) AS mom_delta,
-           ROUND(100.0 * (rev - LAG(rev) OVER (ORDER BY month))
-                 / LAG(rev) OVER (ORDER BY month), 2) AS mom_pct
-    FROM monthly
-    ORDER BY month
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day,
+           CAST((SELECT COUNT(DISTINCT u.user_id)
+                 FROM ud u WHERE u.day <= d.day) AS BIGINT) AS cum_users
+    FROM days d
+    ORDER BY day
     """,
 )
-def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Month-over-month revenue report: absolute and percent change
-    via lag over the month grain — the period-over-period staple.
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric.
+    COUNT(DISTINCT) over a running window cannot partial-aggregate
+    (the reducer would need every id ever seen); the Spark-first
+    REWRITE is: distinct (user, day) → first-seen day per user → new
+    users per day → running SUM — every stage partial-aggregable, the
+    cumsum window runs over the calendar-day frame.
 
-    Same shape discipline as CUSUM above: ONE fact-sized shuffle (the
-    month aggregate), then the lag window runs over the dozens-of-rows
-    month frame. Revenue is rounded to cents BEFORE the delta/percent
-    arithmetic so both engines difference identical doubles; the
-    quotient is rounded last."""
-    o = load_table(spark, sf_dir, "orders")
-    monthly = (
-        o.groupBy(
-            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
-        )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    The oracle is the NAIVE per-day correlated COUNT(DISTINCT …
+    WHERE day <= d) definition, so the differential proves the
+    first-occurrence rewrite exact — including days that add zero new
+    users (kept by the day-spine left join). At 100 TB the same shape
+    serves cumulative-distinct per tenant by adding the tenant key to
+    every grouping."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    news = (
+        ud.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("new_users"))
     )
-    w = Window.orderBy("month")
-    prev = F.lag("rev").over(w)
+    run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return (
-        monthly.select(
-            "month",
-            "rev",
-            F.round(F.col("rev") - prev, 2).alias("mom_delta"),
-            F.round(100.0 * (F.col("rev") - prev) / prev, 2).alias("mom_pct"),
+        days.join(news, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            "day",
+            F.sum("new_users").over(run).cast("long").alias("cum_users"),
         )
-        .orderBy("month")
+        .orderBy("day")
     )
