@@ -593,3 +593,128 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema
+# ---------------------------------------------------------------------------
+
+@query(
+    "fk_orphans_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    ORDER BY fk
+    """,
+)
+def fk_orphans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan count per foreign-key edge
+    of the star schema (facts referencing a missing dimension row) —
+    the cross-TABLE data-quality complement of the single-table
+    ``dq_rule_violations``.
+
+    Each edge is an ANTI-JOIN + count. The three lineitem edges share
+    one cached scan; every dimension side is broadcast (orders at
+    true scale falls back to a shuffle join, where Spark's runtime
+    bloom filter — plan-locked elsewhere, test_plans C3 — kills
+    non-orphans before the exchange, which is exactly the right
+    100 TB shape because orphans are rare). Counts union into one
+    4-row report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def orphans(fact, key, dim, dim_key, label):
+        n = (
+            fact.join(
+                F.broadcast(dim.select(F.col(dim_key).alias(key)).distinct()),
+                key,
+                "left_anti",
+            )
+            .agg(F.count("*").cast("long").alias("n_orphans"))
+        )
+        return n.select(F.lit(label).alias("fk"), "n_orphans")
+
+    parts = [
+        orphans(li, "l_orderkey", o, "o_orderkey",
+                "lineitem.l_orderkey->orders"),
+        orphans(li, "l_partkey", load_table(spark, sf_dir, "part"),
+                "p_partkey", "lineitem.l_partkey->part"),
+        orphans(li, "l_suppkey", load_table(spark, sf_dir, "supplier"),
+                "s_suppkey", "lineitem.l_suppkey->supplier"),
+        orphans(o, "o_custkey", load_table(spark, sf_dir, "customer"),
+                "c_custkey", "orders.o_custkey->customer"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period change report
+# ---------------------------------------------------------------------------
+
+@query(
+    "revenue_mom_change",
+    """
+    WITH monthly AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month, rev,
+           ROUND(rev - LAG(rev) OVER (ORDER BY month), 2) AS mom_delta,
+           ROUND(100.0 * (rev - LAG(rev) OVER (ORDER BY month))
+                 / LAG(rev) OVER (ORDER BY month), 2) AS mom_pct
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue report: absolute and percent change
+    via lag over the month grain — the period-over-period staple.
+
+    Same shape discipline as CUSUM above: ONE fact-sized shuffle (the
+    month aggregate), then the lag window runs over the dozens-of-rows
+    month frame. Revenue is rounded to cents BEFORE the delta/percent
+    arithmetic so both engines difference identical doubles; the
+    quotient is rounded last."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return (
+        monthly.select(
+            "month",
+            "rev",
+            F.round(F.col("rev") - prev, 2).alias("mom_delta"),
+            F.round(100.0 * (F.col("rev") - prev) / prev, 2).alias("mom_pct"),
+        )
+        .orderBy("month")
+    )
