@@ -560,39 +560,40 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct users per day — the growth-curve metric.
     COUNT(DISTINCT) over a running window cannot partial-aggregate
     (the reducer would need every id ever seen); the Spark-first
-    REWRITE is: distinct (user, day) → first-seen day per user → new
-    users per day → running SUM — every stage partial-aggregable, the
-    cumsum window runs over the calendar-day frame.
+    REWRITE is: distinct (user, day) → first-occurrence flag via a
+    per-user row_number → new users per day → running SUM — every
+    stage partial-aggregable, ONE scan of the fact (the per-day
+    aggregate over the distinct relation keeps every active day, so
+    no day-spine join is needed; zero-new-user days come out as
+    sum(flag)=0), and the cumsum window runs over the calendar-day
+    frame.
 
     The oracle is the NAIVE per-day correlated COUNT(DISTINCT …
     WHERE day <= d) definition, so the differential proves the
-    first-occurrence rewrite exact — including days that add zero new
-    users (kept by the day-spine left join). At 100 TB the same shape
-    serves cumulative-distinct per tenant by adding the tenant key to
-    every grouping."""
+    first-occurrence rewrite exact. At 100 TB the same shape serves
+    cumulative-distinct per tenant by adding the tenant key to every
+    grouping."""
     e = load_table(spark, sf_dir, "events")
     ud = e.select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
     ).distinct()
-    days = ud.select("day").distinct()
-    news = (
-        ud.groupBy("user_id")
-        .agg(F.min("day").alias("day"))
-        .groupBy("day")
-        .agg(F.count("*").alias("new_users"))
+    first = Window.partitionBy("user_id").orderBy("day")
+    flagged = ud.withColumn(
+        "is_first", (F.row_number().over(first) == 1).cast("long")
     )
     run = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        days.join(news, "day", "left")
-        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        flagged.groupBy("day")
+        .agg(F.sum("is_first").alias("new_users"))
         .select(
             "day",
             F.sum("new_users").over(run).cast("long").alias("cum_users"),
         )
         .orderBy("day")
     )
+
 
 
 # ---------------------------------------------------------------------------

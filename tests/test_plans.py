@@ -744,3 +744,42 @@ def test_partition_checksums_single_pass(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_cumulative_distinct_is_single_scan(spark):
+    """The first-occurrence rewrite must read the fact ONCE: the
+    distinct, the per-user first flag, and the per-day aggregate all
+    chain off one scan (the naive day-spine variant read it twice)."""
+    import re
+
+    from impala_refresher_spark.operators.profiling import cumulative_distinct_users
+
+    plan = plan_of(cumulative_distinct_users(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_revenue_mom_single_scan_month_grain_window(spark):
+    """Period-over-period must aggregate to month grain first; the lag
+    window runs over the month frame — one scan, no join."""
+    import re
+
+    from impala_refresher_spark.operators.profiling import revenue_mom_change
+
+    plan = plan_of(revenue_mom_change(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Join" not in plan
+
+
+def test_rolling_corr_windows_over_date_grain(spark):
+    """The sufficient-statistics rewrite must aggregate BEFORE the
+    window: exactly one scan, and the window input is the daily
+    aggregate (a HashAggregate below the Window in the tree), never
+    raw fact rows."""
+    import re
+
+    from impala_refresher_spark.operators.profiling import rolling_corr_qty_price
+
+    plan = plan_of(rolling_corr_qty_price(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    tree = plan[: plan.find("(1) Scan")]
+    assert 0 <= tree.find("Window") < tree.rfind("HashAggregate"), plan
