@@ -1437,3 +1437,121 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "p_partkey")
     )
+
+
+@query(
+    "seasonal_dow_anomaly",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+               CAST(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT day, dow, rev,
+               ROUND(AVG(rev) OVER (PARTITION BY dow), 2) AS dow_mean,
+               ROUND(STDDEV_SAMP(rev) OVER (PARTITION BY dow), 2) AS dow_sd
+        FROM daily
+    )
+    SELECT day, dow, rev, dow_mean,
+           ROUND((rev - dow_mean) / dow_sd, 2) AS dow_z
+    FROM scored
+    WHERE ABS(ROUND((rev - dow_mean) / dow_sd, 2)) > 2.0
+    ORDER BY day
+    """,
+)
+def seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly screen: each day's revenue scored
+    against ITS OWN day-of-week baseline (mean/stddev per dow), so a
+    quiet Sunday isn't flagged just for being a Sunday — the
+    deseasonalized complement of the global z-score in
+    ``outlier_orders_zscore``.
+
+    Same grain discipline as CUSUM/MoM: ONE fact-sized shuffle down to
+    the date grain, then both baseline windows partition BY DOW over
+    the date-grain frame (7 partitions of ~days/7 rows). Daily revs
+    and the baselines are cents-rounded before the score so the
+    quotient divides identical doubles; the score is rounded once and
+    the flag filter reuses that rounded value on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+            F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("dow")
+    scored = daily.select(
+        "day",
+        "dow",
+        "rev",
+        F.round(F.avg("rev").over(w), 2).alias("dow_mean"),
+        F.round(F.stddev_samp("rev").over(w), 2).alias("dow_sd"),
+    )
+    z = F.round((F.col("rev") - F.col("dow_mean")) / F.col("dow_sd"), 2)
+    return (
+        scored.select("day", "dow", "rev", "dow_mean", z.alias("dow_z"))
+        .filter(F.abs(F.col("dow_z")) > 2.0)
+        .orderBy("day")
+    )
+
+
+@query(
+    "top_event_paths",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               MIN(CASE WHEN rn = 1 THEN event_type END) || '>'
+               || MIN(CASE WHEN rn = 2 THEN event_type END) || '>'
+               || MIN(CASE WHEN rn = 3 THEN event_type END) AS path
+        FROM ranked
+        WHERE rn <= 3
+        GROUP BY user_id
+        HAVING COUNT(*) = 3
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    """,
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding paths: each user's first three events as a
+    'a>b>c' path string, counted across users — the product-analytics
+    path-exploration staple (where do users actually go first?).
+
+    One user_id shuffle serves the ranking window and the per-user
+    fold; the first-3 filter collapses each user to ≤3 rows right
+    after the window, so the path aggregate runs over ≤3·users rows.
+    The fold is ORDER-FREE (conditional MIN per fixed step slot, the
+    funnel_conversion trick), so no engine-specific collect_list
+    ordering enters the differential; users with fewer than 3 events
+    are excluded symmetrically by the COUNT(*)=3 gate. The final path
+    count is a small-cardinality hash aggregate (|types|³ ceiling)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    step = lambda i: F.min(F.when(F.col("rn") == i, F.col("event_type")))
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.concat_ws(">", step(1), step(2), step(3)).alias("path"),
+            F.count("*").alias("n_steps"),
+        )
+        .filter(F.col("n_steps") == 3)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+    )
