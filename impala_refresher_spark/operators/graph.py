@@ -223,3 +223,76 @@ def bfs_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         visited = visited.unionByName(frontier).localCheckpoint()
     return visited.select("node", "dist").orderBy("dist", "node")
+
+
+@query(
+    "sql_recursive_reachability",
+    """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM seq
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ),
+    walk AS (
+        SELECT 'signup' AS node, 0 AS dist
+        UNION ALL
+        SELECT e.dst, w.dist + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.dist < 3
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+    FROM walk
+    GROUP BY node
+    ORDER BY dist, node
+    """,
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BFS reachability of `bfs_event_transitions` submitted as a
+    LITERAL ``WITH RECURSIVE`` statement through Spark 4's SQL front
+    end — the declarative twin of the hand-rolled frontier loop, the
+    same way `sql_star_revenue` twins the DataFrame star join. DuckDB
+    runs the identical text (modulo nothing — same dialect here).
+
+    Spark's recursive CTEs support UNION ALL only (not UNION), so the
+    recursion is depth-bounded at 3 on BOTH engines and reduced by
+    MIN(dist): on this dense, ~|event types| transition graph every
+    node is reached within 2 hops, and the UNION ALL expansion is
+    bounded by out-degree³ rows — fine for a value-domain graph. For
+    fact-scale graphs keep the explicit frontier loop (it dedups per
+    round, which UNION ALL recursion cannot); having BOTH forms
+    oracle-checked pins that they agree."""
+    from impala_refresher_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        edges AS (
+            SELECT DISTINCT prev_type AS src, event_type AS dst
+            FROM seq
+            WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        ),
+        walk AS (
+            SELECT 'signup' AS node, 0 AS dist
+            UNION ALL
+            SELECT e.dst, w.dist + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.dist < 3
+        )
+        SELECT node, CAST(MIN(dist) AS INT) AS dist
+        FROM walk
+        GROUP BY node
+        ORDER BY dist, node
+        """
+    )
