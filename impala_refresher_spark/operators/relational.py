@@ -1091,3 +1091,41 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o2.o_totalprice > 400000)
         """
     )
+
+
+@query(
+    "sql_pipe_syntax_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (`|>` operators, SPARK-49555) driving
+    the Q1-style pricing summary: each clause is a self-contained
+    table transform applied top-to-bottom — the textual analogue of
+    DataFrame chaining, and the third front-end form pinned by this
+    registry (DataFrame ≡ classic SQL ≡ piped SQL all hit the same
+    Catalyst plan). The oracle is the classic-SQL spelling, so the
+    differential proves front-end equivalence, not just that it
+    parses."""
+    from impala_refresher_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |> AGGREGATE ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                         AS revenue,
+                     COUNT(*) AS n_items
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, revenue, n_items
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
