@@ -49,7 +49,11 @@ def _load() -> None:
 # kNN/k-means/centroid family, catalog introspection, the new DPP
 # query, plus the queries whose code changed this round
 # (tpch_q2/tpch_q11/sample_weighted_reservoir). The ~22 lowest-risk
-# analytics/pipeline names stay after slot 50 for the r04 window.
+# analytics/pipeline names stay after slot 50 for the r04 window —
+# as do the round-3 late additions (profiling/linkage/graph/sketch
+# families, the recursive-CTE and pipe-syntax front-end twins), which
+# register after the priority block and are pytest-oracle-green at
+# sf0.001 and sf0.01.
 _R03_PRIORITY = [
     # TPC-H: 21 shapes never driver-checked + the new Q20 adaptation.
     # q2/q11 changed this round (aggregate pruning / HAVING rounding).
