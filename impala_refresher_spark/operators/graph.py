@@ -263,10 +263,16 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion is depth-bounded at 3 on BOTH engines and reduced by
     MIN(dist): on this dense, ~|event types| transition graph every
     node is reached within 2 hops, and the UNION ALL expansion is
-    bounded by out-degree³ rows — fine for a value-domain graph. For
-    fact-scale graphs keep the explicit frontier loop (it dedups per
-    round, which UNION ALL recursion cannot); having BOTH forms
-    oracle-checked pins that they agree."""
+    bounded by out-degree³ rows — fine for a value-domain graph.
+
+    Plan caveat (measured): Spark INLINES the non-recursive `edges`
+    CTE into the UnionLoop's recursive branch — the physical plan
+    shows the events scan + lag window INSIDE the loop, re-derived
+    every iteration. For fact-scale graphs keep the explicit frontier
+    loop of `bfs_event_transitions`: it checkpoints the edge relation
+    once AND dedups the frontier per round, neither of which UNION
+    ALL recursion can express. Having BOTH forms oracle-checked pins
+    that they agree."""
     from impala_refresher_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)

@@ -1129,3 +1129,60 @@ def sql_pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "fn_structs",
+    """
+    WITH built AS (
+        SELECT o_orderkey,
+               {'status': o_orderstatus,
+                'cents': CAST(ROUND(o_totalprice * 100) AS BIGINT)} AS info,
+               [{'k': 'prio', 'v': o_orderpriority}] AS tags
+        FROM orders
+    )
+    SELECT o_orderkey,
+           info.status AS status_val,
+           info.cents AS cents_val,
+           CAST(LEN(tags) AS INTEGER) AS n_tags,
+           tags[1].v AS first_tag
+    FROM built
+    WHERE info.cents > 100000
+    ORDER BY o_orderkey
+    """,
+)
+def fn_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-type surface (completing the complex-type row F4/F5/fn_maps
+    trio): build nested structs and arrays-of-structs, filter on a
+    nested field, and project fields back out — the oracle checks the
+    EXTRACTED scalars, since struct renderings are engine-opaque.
+
+    Nested-field access is pure codegen, and Catalyst prunes unread
+    struct fields out of the scan schema (the same column-pruning
+    story as flat columns — at 100 TB a wide struct costs only the
+    fields you touch). The nested filter constant-folds into a plain
+    column predicate and pushes to the scan."""
+    o = _t(spark, sf_dir, "orders")
+    built = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ).alias("info"),
+        F.array(
+            F.struct(
+                F.lit("prio").alias("k"), F.col("o_orderpriority").alias("v")
+            )
+        ).alias("tags"),
+    )
+    return (
+        built.filter(F.col("info.cents") > 100_000)
+        .select(
+            "o_orderkey",
+            F.col("info.status").alias("status_val"),
+            F.col("info.cents").alias("cents_val"),
+            F.size("tags").alias("n_tags"),
+            F.element_at("tags", 1)["v"].alias("first_tag"),
+        )
+        .orderBy("o_orderkey")
+    )

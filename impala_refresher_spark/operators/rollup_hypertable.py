@@ -296,3 +296,70 @@ def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_key")
     )
+
+
+@query(
+    "linear_counting_distinct",
+    """
+    WITH hashed AS (
+        SELECT c_nationkey,
+               ((c_custkey * 2654435761 + 97) % 1000003) % 1024 AS bucket
+        FROM customer
+    ),
+    occ AS (
+        SELECT c_nationkey,
+               CAST(COUNT(DISTINCT bucket) AS BIGINT) AS occupied
+        FROM hashed GROUP BY c_nationkey
+    ),
+    exact AS (
+        SELECT c_nationkey,
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_n
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT o.c_nationkey AS nationkey, o.occupied, e.exact_n,
+           CAST(ROUND(-1024 * LN(1.0 - o.occupied / 1024.0)) AS BIGINT)
+               AS lc_estimate
+    FROM occ o JOIN exact e ON o.c_nationkey = e.c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct estimation per nation (Whang et al.
+    1990): hash ids into m=1024 buckets, count occupied buckets V,
+    estimate n̂ = −m·ln(1 − V/m). The third sketch in this module's
+    family — HLL (G14, engine-opaque bytes → rows-only) answers the
+    same question at higher compression; THIS one uses the portable
+    integer hash family (see `cms_frequency_estimate`), so bucket
+    occupancy — and hence the whole estimate — is oracle-checked
+    cross-engine, with the exact count joined alongside for a
+    self-auditing error view.
+
+    Scale shape: occupancy is a (nation, bucket) distinct → per-nation
+    count — both partial-aggregable; the sketch state is ≤m bits per
+    group and merges by bitmap OR (union the occupied-bucket sets), so
+    shard sketches fold like the HLL rollup. The ln() rounds to an
+    integer estimate; a boundary flip would need the true estimate
+    within ~1e-12 of x.5 — outside the repo's float-risk envelope."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = ((F.col("c_custkey") * 2654435761 + 97) % 1000003) % 1024
+    occ = (
+        c.select("c_nationkey", bucket.alias("bucket"))
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("bucket").alias("occupied"))
+    )
+    exact = c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_custkey").alias("exact_n")
+    )
+    est = F.round(
+        -1024 * F.log(1.0 - F.col("occupied") / F.lit(1024.0))
+    ).cast("long")
+    return (
+        occ.join(exact, "c_nationkey")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "occupied",
+            "exact_n",
+            est.alias("lc_estimate"),
+        )
+        .orderBy("nationkey")
+    )
