@@ -287,7 +287,15 @@ def view_purchase_join(
             & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"interval {horizon}")),
             how,
         )
-        .select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+        # coalesce covers full_outer's purchase-only rows; for inner /
+        # left the view side always carries the id, so this is a no-op
+        .select(
+            "view_id",
+            "purchase_id",
+            F.coalesce("user_id", "p_user_id").alias("user_id"),
+            "view_ts",
+            "purchase_ts",
+        )
     )
 
 
@@ -314,6 +322,55 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_purchase_join(
         events.filter(F.col("event_type") == "view"),
         events.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@query(
+    "stream_stream_full_outer",
+    """
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           COALESCE(v.user_id, p.user_id) AS user_id,
+           v.ts AS view_ts,
+           p.ts AS purchase_ts,
+           CASE WHEN v.event_id IS NULL THEN 'purchase_only'
+                WHEN p.event_id IS NULL THEN 'view_only'
+                ELSE 'both' END AS match_state
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18: FULL OUTER stream-stream interval join — completes the
+    join family (T6 inner = conversions, T13 left = abandonment, this
+    = the reconciliation view: abandoned views AND unattributed
+    purchases in one output, tagged by match_state).
+
+    Streaming full-outer emits each side's NULL row only when the
+    watermark proves no partner can still arrive — eviction on BOTH
+    sides' state is the emission trigger (the left-outer test's
+    machinery, both directions; exercised in tests/test_streaming.py).
+    Batch twin: one full-outer interval join, one shuffle per side,
+    the outer flag on the join itself — never a pair of anti-join
+    patch-up passes."""
+    events = load_table(spark, sf_dir, "events")
+    return view_purchase_join(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+        how="full_outer",
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        F.when(F.col("view_id").isNull(), "purchase_only")
+        .when(F.col("purchase_id").isNull(), "view_only")
+        .otherwise("both")
+        .alias("match_state"),
     )
 
 

@@ -538,3 +538,71 @@ def test_checkpoint_restart_resumes_exactly_once(spark):
     assert got[datetime(2024, 1, 1, 0, 0)] == 3
     # 10-min window 01:10 = events 3,5
     assert got[datetime(2024, 1, 1, 1, 10)] == 2
+
+
+def test_t18_full_outer_join_emits_both_sides_nulls(spark):
+    """FULL OUTER stream-stream join: an unmatched view AND an
+    unmatched purchase must each surface with NULLs on the other side
+    — and only after the watermark closes their match windows."""
+    from impala_refresher_spark.streaming import view_purchase_join
+
+    path = f"{SCRATCH}/fo_src"
+    ckpt = f"{SCRATCH}/fo_ckpt"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            mode
+        ).parquet(path)
+
+    # user 1 converts; user 2 views without buying; user 3 buys
+    # without a preceding view (the reconciliation cases)
+    write(
+        [
+            (1, t(0), 1, "view", 1.0, "{}"),
+            (2, t(10), 1, "purchase", 5.0, "{}"),
+            (3, t(0), 2, "view", 1.0, "{}"),
+            (4, t(5), 3, "purchase", 9.0, "{}"),
+        ],
+        "overwrite",
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    joined = view_purchase_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        watermark="10 minutes",
+        how="full_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t18_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark on both sides, then once more so the
+        # advance applies to state eviction
+        write([(5, t(600), 99, "view", 1.0, "{}"),
+               (6, t(600), 98, "purchase", 1.0, "{}")], "append")
+        q.processAllAvailable()
+        write([(7, t(610), 99, "view", 1.0, "{}"),
+               (8, t(610), 98, "purchase", 1.0, "{}")], "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM t18_out").collect()
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    matched = [r for r in rows if r.view_id == 1]
+    assert matched and matched[0].purchase_id == 2
+    view_only = [r for r in rows if r.view_id == 3]
+    assert view_only and view_only[0].purchase_id is None
+    assert view_only[0].user_id == 2
+    purchase_only = [r for r in rows if r.purchase_id == 4]
+    assert purchase_only and purchase_only[0].view_id is None
+    assert purchase_only[0].user_id == 3
