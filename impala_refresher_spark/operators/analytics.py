@@ -1555,3 +1555,68 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy(F.desc("n_users"), "path")
     )
+
+
+@query(
+    "clamped_running_balance",
+    """
+    SELECT user_id,
+           CAST(len(ds) AS BIGINT) AS n_txns,
+           CAST(list_reduce(list_prepend(0, ds),
+                            (acc, d) -> GREATEST(0, acc + d))
+                AS BIGINT) AS balance_cents
+    FROM (
+      SELECT user_id,
+             list(CASE event_type
+                    WHEN 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT)
+                    WHEN 'error' THEN -CAST(ROUND(value * 100) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END
+                  ORDER BY ts, event_id) AS ds
+      FROM events GROUP BY user_id
+    )
+    ORDER BY user_id
+    """,
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance per user (credits = purchases,
+    debits = errors, balance can never go below zero) — the
+    inventory/wallet/stock primitive. The clamp makes this
+    NON-ASSOCIATIVE: unlike a SUM (reorderable) or even the EWMA
+    above (linear), max(0, acc + d) cannot be partial-aggregated or
+    windowed — it is the canonical case that REQUIRES the ordered
+    fold, which is exactly the machinery `agg_ewma_per_user`
+    established (one shuffle, per-key sorted array, strict L→R
+    codegen fold).
+
+    All arithmetic is integer cents, so the fold is EXACT on both
+    engines — no rounding discipline needed anywhere. Per-key state is
+    the key's event list; at 100 TB, checkpoint period balances
+    (daily close) and fold only each period's tail."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    delta = (
+        F.when(F.col("event_type") == "purchase", cents)
+        .when(F.col("event_type") == "error", -cents)
+        .otherwise(F.lit(0).cast("long"))
+    )
+    ds = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", delta.alias("d")))
+        ),
+        lambda s: s["d"],
+    )
+    fold = F.aggregate(
+        F.col("ds"),
+        F.lit(0).cast("long"),
+        lambda acc, d: F.greatest(F.lit(0).cast("long"), acc + d),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(ds.alias("ds"))
+        .select(
+            "user_id",
+            F.size("ds").cast("bigint").alias("n_txns"),
+            fold.alias("balance_cents"),
+        )
+        .orderBy("user_id")
+    )
