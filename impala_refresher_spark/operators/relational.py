@@ -1186,3 +1186,37 @@ def fn_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "sql_parameterized_filter",
+    """
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 400000
+    ORDER BY o_orderkey
+    """,
+)
+def sql_parameterized_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named-parameter binding, Spark 3.4+/4):
+    the query text carries ``:status`` / ``:floor`` placeholders and
+    values bind server-side — the injection-safe front-end form for
+    templated dashboards and services (string-concatenated SQL is the
+    alternative this exists to kill). Fourth front-end form pinned by
+    the registry (DataFrame / classic SQL / piped SQL / parameterized
+    SQL); the oracle is the resolved constant query, so the
+    differential proves binding changes nothing semantically —
+    parameters constant-fold and the predicate still pushes to the
+    scan."""
+    from impala_refresher_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS total
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        ORDER BY o_orderkey
+        """,
+        args={"status": "F", "floor": 400000},
+    )
