@@ -1620,3 +1620,52 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "trending_decayed_counts",
+    """
+    WITH bounds AS (
+        SELECT MAX(CAST(DATE_TRUNC('day', ts) AS DATE)) AS max_day
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           ROUND(SUM(POW(0.5, DATEDIFF('day',
+                         CAST(DATE_TRUNC('day', ts) AS DATE),
+                         b.max_day) / 7.0)), 4) AS decayed_score
+    FROM events CROSS JOIN bounds b
+    GROUP BY event_type, b.max_day
+    ORDER BY decayed_score DESC, event_type
+    """,
+)
+def trending_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard: each event contributes 0.5^(age_weeks) —
+    a 7-day half-life — so recent activity dominates without a hard
+    cutoff. The deliberate CONTRAST to the ordered folds above
+    (EWMA, clamped balance): exponential decay against a fixed
+    reference time is an ASSOCIATIVE weighted sum, so at 100 TB it
+    partial-aggregates map-side like any SUM — order sensitivity
+    only appears when the state updates per event (fold), not when
+    the weight is a pure function of the row.
+
+    The reference day is a 1-row aggregate broadcast in (the
+    repo's scalar pattern, never a driver collect). pow(0.5, k/7)
+    is evaluated identically on both engines for identical integer
+    day-diffs; the sum is rounded per float discipline."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("max_day")
+    )
+    day = F.date_trunc("day", "ts").cast("date")
+    weight = F.pow(0.5, F.datediff(F.col("max_day"), day) / F.lit(7.0))
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "max_day")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.round(F.sum(weight), 4).alias("decayed_score"),
+        )
+        .drop("max_day")
+        .orderBy(F.desc("decayed_score"), "event_type")
+    )

@@ -226,3 +226,47 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(e.groupby("user_id"))
         .applyInPandas(_reconcile, _RECONCILE_SCHEMA)
     )
+
+
+@query(
+    "pandas_api_summary",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pandas_api_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (`pyspark.pandas`): the pandas-shaped
+    front end over the same distributed engine — `pandas_api()` wraps
+    the Spark DataFrame, the groupby/agg is written as pandas, and
+    `to_spark()` returns to the DataFrame world. Fifth oracle-checked
+    front-end form (DataFrame / classic SQL / piped SQL /
+    parameterized SQL / pandas API): the point is that a pandas-
+    literate user gets THE SAME Catalyst plan — the groupby compiles
+    to a hash aggregate, not a driver-side pandas operation, so the
+    100 TB story is unchanged.
+
+    (Kept to aggregate shapes: pandas-API ops that imply a global
+    row order — iloc, cumsum without keys — force a sort or
+    single-partition window and are the documented anti-pattern on
+    big tables.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    psdf = li.select("l_returnflag", "l_quantity", "l_extendedprice").pandas_api()
+    out = (
+        psdf.groupby("l_returnflag")
+        .agg({"l_quantity": "sum", "l_extendedprice": "mean"})
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return (
+        sdf.select(
+            "l_returnflag",
+            F.round(F.col("l_quantity"), 2).alias("total_qty"),
+            F.round(F.col("l_extendedprice"), 2).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
