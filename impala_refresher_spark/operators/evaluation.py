@@ -1,0 +1,203 @@
+"""Model-evaluation operators: classifier agreement (confusion matrix
++ Cohen's kappa) and rank-based AUC — the measurement half of the
+LLM-data-pipeline story (the heuristics in ``operators/text.py``
+produce predictions; these score them against labels, distributed).
+
+The reference has no data plane (impala-refresher.go:49); SURVEY.md
+§2C directs the engine surface, and a training-data pipeline that
+filters by classifier output needs these to know WHICH classifier to
+trust.
+
+Scale notes (100 TB):
+- The confusion matrix is one hash aggregate over (label, prediction)
+  — at most |classes|² groups, pure map-side combine; kappa folds out
+  of the matrix's marginals with a broadcast 1-row total, never a
+  second scan.
+- AUC via the Mann-Whitney rank statistic is one global ranking over
+  scores. Ranks need a total order: at this grain a single sort; at
+  100 TB swap in the histogram trick (bucket scores, accumulate
+  cumulative negatives per bucket — partial-aggregable) documented on
+  the operator. Ties take the average rank, computed from rank() +
+  per-score counts (deterministic, engine-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from impala_refresher_spark.registry import query
+from impala_refresher_spark.sources.tables import load_table
+
+@query(
+    "langid_confusion_kappa",
+    """
+    WITH labeled AS (
+        SELECT CASE WHEN lang IN ('en', 'de', 'es', 'fr')
+                    THEN lang ELSE 'other' END AS label,
+               CASE WHEN n_chars % 5 = 0 THEN 'other'
+                    WHEN lang IN ('en', 'de', 'es', 'fr') THEN lang
+                    ELSE 'other' END AS pred
+        FROM documents
+    ),
+    cm AS (
+        SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM labeled GROUP BY label, pred
+    ),
+    tot AS (
+        SELECT SUM(n) AS total,
+               SUM(CASE WHEN label = pred THEN n ELSE 0 END) AS agree
+        FROM cm
+    ),
+    marg AS (
+        SELECT SUM(l.row_n * p.col_n) AS exp_agree_scaled
+        FROM (SELECT label, SUM(n) AS row_n FROM cm GROUP BY label) l
+        JOIN (SELECT pred, SUM(n) AS col_n FROM cm GROUP BY pred) p
+          ON l.label = p.pred
+    )
+    SELECT cm.label, cm.pred, cm.n,
+           ROUND(CAST(t.agree AS DOUBLE) / t.total, 4) AS po,
+           ROUND(CAST(m.exp_agree_scaled AS DOUBLE) / (t.total * t.total),
+                 4) AS pe,
+           ROUND((CAST(t.agree AS DOUBLE) / t.total
+                  - CAST(m.exp_agree_scaled AS DOUBLE)
+                    / (t.total * t.total))
+                 / (1.0 - CAST(m.exp_agree_scaled AS DOUBLE)
+                          / (t.total * t.total)), 4) AS kappa
+    FROM cm CROSS JOIN tot t CROSS JOIN marg m
+    ORDER BY cm.label, cm.pred
+    """,
+)
+def langid_confusion_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-agreement report: the confusion matrix between the
+    labeled language and a (deliberately imperfect, deterministic)
+    language prediction, with observed agreement p_o, chance agreement
+    p_e from the marginals, and Cohen's κ = (p_o − p_e)/(1 − p_e)
+    replicated onto every matrix row.
+
+    One |classes|²-group hash aggregate builds the matrix; totals,
+    marginal products, and κ all derive from that matrix (broadcast
+    1-row joins), so the corpus is scanned ONCE. Expected agreement is
+    computed in exact INTEGER arithmetic (Σ row_n·col_n, scaled) and
+    divided once at the end — no per-class float accumulation to
+    diverge. The 'prediction' is a deterministic function of the
+    fixture (n_chars residue corrupts every 5th doc) so both engines
+    rebuild it identically."""
+    d = load_table(spark, sf_dir, "documents")
+    label = F.when(
+        F.col("lang").isin("en", "de", "es", "fr"), F.col("lang")
+    ).otherwise("other")
+    pred = (
+        F.when(F.col("n_chars") % 5 == 0, "other")
+        .when(F.col("lang").isin("en", "de", "es", "fr"), F.col("lang"))
+        .otherwise("other")
+    )
+    cm = (
+        d.select(label.alias("label"), pred.alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cm.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.when(F.col("label") == F.col("pred"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    rows = cm.groupBy("label").agg(F.sum("n").alias("row_n"))
+    cols = cm.groupBy("pred").agg(F.sum("n").alias("col_n"))
+    marg = (
+        rows.join(cols, rows.label == cols.pred)
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).alias("exp_agree_scaled"))
+    )
+    po = F.col("agree").cast("double") / F.col("total")
+    pe = F.col("exp_agree_scaled").cast("double") / (
+        F.col("total") * F.col("total")
+    )
+    return (
+        cm.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            "label",
+            "pred",
+            "n",
+            F.round(po, 4).alias("po"),
+            F.round(pe, 4).alias("pe"),
+            F.round((po - pe) / (1.0 - pe), 4).alias("kappa"),
+        )
+        .orderBy("label", "pred")
+    )
+
+
+@query(
+    "score_auc_quality",
+    """
+    WITH scored AS (
+        SELECT n_chars AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    ranked AS (
+        SELECT score, pos,
+               RANK() OVER (ORDER BY score) AS r,
+               COUNT(*) OVER (PARTITION BY score) AS tie_n
+        FROM scored
+    ),
+    stats AS (
+        SELECT SUM(CASE WHEN pos = 1
+                        THEN (2.0 * r + tie_n - 1) / 2.0 ELSE 0 END)
+                   AS pos_rank_sum,
+               SUM(pos) AS n_pos,
+               SUM(1 - pos) AS n_neg
+        FROM ranked
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND((pos_rank_sum - n_pos * (n_pos + 1) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * n_neg), 4) AS auc
+    FROM stats
+    """,
+)
+def score_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based AUC (Mann-Whitney): does document length separate
+    English from non-English docs? AUC = P(random positive outranks
+    random negative), computed from the rank-sum statistic with
+    average ranks for ties — the standard evaluation for any scoring
+    function feeding a quality gate (threshold-free, unlike
+    precision at a fixed cutoff).
+
+    The tie-averaged rank derives from rank() + a per-score count
+    window — both deterministic and engine-identical (no dense_rank
+    ambiguity, no float ordering). One global sort at this grain; at
+    100 TB use the bucketed form: histogram scores (map-side), then
+    AUC from cumulative negative counts per bucket — the same
+    statistic, fully partial-aggregable, with resolution set by the
+    bucket width. Ranks are integers, the rank-sum is exact in
+    doubles far below 2^53, and only the final quotient rounds."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    ranked = scored.select(
+        "score",
+        "pos",
+        F.rank().over(Window.orderBy("score")).alias("r"),
+        F.count("*").over(Window.partitionBy("score")).alias("tie_n"),
+    )
+    avg_rank = (2.0 * F.col("r") + F.col("tie_n") - 1) / 2.0
+    stats = ranked.agg(
+        F.sum(F.when(F.col("pos") == 1, avg_rank).otherwise(0.0)).alias(
+            "pos_rank_sum"
+        ),
+        F.sum("pos").alias("n_pos"),
+        F.sum(1 - F.col("pos")).alias("n_neg"),
+    )
+    return stats.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            4,
+        ).alias("auc"),
+    )

@@ -26,6 +26,7 @@ _OPERATOR_MODULES = [
     "impala_refresher_spark.operators.analytics",
     "impala_refresher_spark.operators.profiling",
     "impala_refresher_spark.operators.linkage",
+    "impala_refresher_spark.operators.evaluation",
     "impala_refresher_spark.operators.lakehouse",
     "impala_refresher_spark.operators.graph",
     "impala_refresher_spark.operators.tpch",

@@ -115,3 +115,58 @@ def test_except_all_keeps_multiplicity(spark):
     left = spark.createDataFrame([(1,), (1,), (2,)], "x int")
     right = spark.createDataFrame([(1,)], "x int")
     assert sorted(r.x for r in left.exceptAll(right).collect()) == [1, 2]
+
+
+def test_clamped_balance_floors_at_zero_and_recovers(spark):
+    """The clamp must bind mid-sequence: a debit below zero floors at
+    0 and later credits build from 0, not from the negative — the
+    exact behavior a plain windowed SUM (min-clamped at the end)
+    would get wrong."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from impala_refresher_spark.operators.analytics import clamped_running_balance
+
+    # user 1: +5.00, -20.00 (floors to 0), +3.00 -> 3.00 final.
+    # an end-clamped sum would give max(0, -12.00) = 0 -> wrong.
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    rows = [
+        (1, t(0), 1, "purchase", 5.0, "{}"),
+        (2, t(1), 1, "error", 20.0, "{}"),
+        (3, t(2), 1, "purchase", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r.user_id: r for r in clamped_running_balance(spark, d).collect()}
+    assert out[1].balance_cents == 300
+    assert out[1].n_txns == 3
+
+
+def test_pareto_keeps_duplicate_optimal_points(spark):
+    """Two parts with identical (price, size) on the frontier are
+    mutually non-dominating (no strict inequality) — BOTH must
+    survive; collapsing duplicates would under-report the frontier."""
+    from impala_refresher_spark.operators.analytics import pareto_frontier_parts
+
+    rows = [
+        (1, "a", "B", "T", 10, 100.0),
+        (2, "b", "B", "T", 10, 100.0),  # duplicate optimal point
+        (3, "c", "B", "T", 5, 100.0),   # same price, smaller -> dominated
+        (4, "d", "B", "T", 12, 200.0),  # bigger but pricier -> frontier
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/part.parquet")
+    keys = {r.p_partkey for r in pareto_frontier_parts(spark, d).collect()}
+    assert keys == {1, 2, 4}
