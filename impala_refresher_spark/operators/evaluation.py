@@ -201,3 +201,181 @@ def score_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("auc"),
     )
+
+
+@query(
+    "langid_precision_recall",
+    """
+    WITH labeled AS (
+        SELECT CASE WHEN lang IN ('en', 'de', 'es', 'fr')
+                    THEN lang ELSE 'other' END AS label,
+               CASE WHEN n_chars % 5 = 0 THEN 'other'
+                    WHEN lang IN ('en', 'de', 'es', 'fr') THEN lang
+                    ELSE 'other' END AS pred
+        FROM documents
+    ),
+    cm AS (
+        SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM labeled GROUP BY label, pred
+    ),
+    classes AS (
+        SELECT label AS cls FROM cm
+        UNION
+        SELECT pred FROM cm
+    ),
+    per_class AS (
+        SELECT c.cls,
+               COALESCE(SUM(CASE WHEN cm.label = c.cls AND cm.pred = c.cls
+                                 THEN cm.n END), 0) AS tp,
+               COALESCE(SUM(CASE WHEN cm.pred = c.cls THEN cm.n END), 0)
+                   AS pred_n,
+               COALESCE(SUM(CASE WHEN cm.label = c.cls THEN cm.n END), 0)
+                   AS label_n
+        FROM classes c LEFT JOIN cm
+          ON cm.label = c.cls OR cm.pred = c.cls
+        GROUP BY c.cls
+    )
+    SELECT cls,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(label_n AS BIGINT) AS support,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(pred_n, 0), 4) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(label_n, 0), 4) AS recall,
+           ROUND(2.0 * tp / NULLIF(pred_n + label_n, 0), 4) AS f1
+    FROM per_class
+    ORDER BY cls
+    """,
+)
+def langid_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 from the same confusion
+    matrix as `langid_confusion_kappa` — the per-class complement of
+    its single-number agreement. F1 computed as 2·tp/(pred_n+label_n)
+    (algebraically identical to the harmonic mean, but one division —
+    nothing to diverge cross-engine; NULLIF guards empty classes).
+
+    Everything derives from the |classes|²-row matrix: the class list,
+    the tp/pred/label marginals (one small join + aggregate over the
+    MATRIX, not the corpus), so the corpus is scanned once regardless
+    of class count."""
+    d = load_table(spark, sf_dir, "documents")
+    label = F.when(
+        F.col("lang").isin("en", "de", "es", "fr"), F.col("lang")
+    ).otherwise("other")
+    pred = (
+        F.when(F.col("n_chars") % 5 == 0, "other")
+        .when(F.col("lang").isin("en", "de", "es", "fr"), F.col("lang"))
+        .otherwise("other")
+    )
+    cm = (
+        d.select(label.alias("label"), pred.alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+    classes = (
+        cm.select(F.col("label").alias("cls"))
+        .union(cm.select("pred"))
+        .distinct()
+    )
+    joined = classes.join(
+        cm, (cm.label == classes.cls) | (cm.pred == classes.cls), "left"
+    )
+    per_class = joined.groupBy("cls").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("label") == F.col("cls"))
+                    & (F.col("pred") == F.col("cls")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(F.when(F.col("pred") == F.col("cls"), F.col("n"))), F.lit(0)
+        ).alias("pred_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("label") == F.col("cls"), F.col("n"))), F.lit(0)
+        ).alias("label_n"),
+    )
+    return per_class.select(
+        "cls",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("label_n").cast("long").alias("support"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("pred_n"), F.lit(0)), 4
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("label_n"), F.lit(0)), 4
+        ).alias("recall"),
+        F.round(
+            2.0 * F.col("tp") / F.nullif(F.col("pred_n") + F.col("label_n"), F.lit(0)),
+            4,
+        ).alias("f1"),
+    ).orderBy("cls")
+
+
+@query(
+    "chisq_segment_status",
+    """
+    WITH joint AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS total FROM joint),
+    rm AS (SELECT seg, SUM(n) AS row_n FROM joint GROUP BY seg),
+    cmarg AS (SELECT status, SUM(n) AS col_n FROM joint GROUP BY status)
+    SELECT j.seg, j.status, j.n,
+           ROUND(CAST(r.row_n * c.col_n AS DOUBLE) / t.total, 2) AS expected,
+           ROUND(POW(j.n - CAST(r.row_n * c.col_n AS DOUBLE) / t.total, 2)
+                 / (CAST(r.row_n * c.col_n AS DOUBLE) / t.total), 4)
+               AS chi2_term
+    FROM joint j
+    JOIN rm r ON j.seg = r.seg
+    JOIN cmarg c ON j.status = c.status
+    CROSS JOIN tot t
+    ORDER BY j.seg, j.status
+    """,
+)
+def chisq_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market segment
+    and order status: each contingency cell with its expected count
+    under independence (row·col/total) and its χ² term — the
+    categorical-association screen (is fulfillment behavior uniform
+    across segments?). Summing chi2_term gives the statistic; the
+    per-cell view localizes WHICH cells drive it.
+
+    One fact-dim join (customer broadcasts) feeding one
+    |seg|×|status| hash aggregate; marginals and the total come from
+    that small matrix — single corpus scan, exact integer products in
+    the expected-count numerators (row_n·col_n < 2^63)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joint = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), 
+               o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = joint.agg(F.sum("n").alias("total"))
+    rm = joint.groupBy("seg").agg(F.sum("n").alias("row_n"))
+    cmarg = joint.groupBy("status").agg(F.sum("n").alias("col_n"))
+    expected = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("total")
+    return (
+        joint.join(F.broadcast(rm), "seg")
+        .join(F.broadcast(cmarg), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "status",
+            "n",
+            F.round(expected, 2).alias("expected"),
+            F.round(
+                F.pow(F.col("n") - expected, 2) / expected, 4
+            ).alias("chi2_term"),
+        )
+        .orderBy("seg", "status")
+    )
