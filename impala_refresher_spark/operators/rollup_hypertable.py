@@ -302,24 +302,20 @@ def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "linear_counting_distinct",
     """
     WITH hashed AS (
-        SELECT c_nationkey,
+        SELECT c_nationkey, c_custkey,
                ((c_custkey * 2654435761 + 97) % 1000003) % 1024 AS bucket
         FROM customer
     ),
-    occ AS (
+    agg AS (
         SELECT c_nationkey,
-               CAST(COUNT(DISTINCT bucket) AS BIGINT) AS occupied
-        FROM hashed GROUP BY c_nationkey
-    ),
-    exact AS (
-        SELECT c_nationkey,
+               CAST(COUNT(DISTINCT bucket) AS BIGINT) AS occupied,
                CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_n
-        FROM customer GROUP BY c_nationkey
+        FROM hashed GROUP BY c_nationkey
     )
-    SELECT o.c_nationkey AS nationkey, o.occupied, e.exact_n,
-           CAST(ROUND(-1024 * LN(1.0 - o.occupied / 1024.0)) AS BIGINT)
+    SELECT c_nationkey AS nationkey, occupied, exact_n,
+           CAST(ROUND(-1024 * LN(1.0 - occupied / 1024.0)) AS BIGINT)
                AS lc_estimate
-    FROM occ o JOIN exact e ON o.c_nationkey = e.c_nationkey
+    FROM agg
     ORDER BY nationkey
     """,
 )
@@ -342,24 +338,22 @@ def linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     within ~1e-12 of x.5 — outside the repo's float-risk envelope."""
     c = load_table(spark, sf_dir, "customer")
     bucket = ((F.col("c_custkey") * 2654435761 + 97) % 1000003) % 1024
-    occ = (
-        c.select("c_nationkey", bucket.alias("bucket"))
+    # both distincts in ONE aggregate: single scan, one Expand (x2) --
+    # the join-of-two-aggregates alternative reads customer twice
+    agg = (
+        c.select("c_nationkey", "c_custkey", bucket.alias("bucket"))
         .groupBy("c_nationkey")
-        .agg(F.countDistinct("bucket").alias("occupied"))
-    )
-    exact = c.groupBy("c_nationkey").agg(
-        F.countDistinct("c_custkey").alias("exact_n")
+        .agg(
+            F.countDistinct("bucket").alias("occupied"),
+            F.countDistinct("c_custkey").alias("exact_n"),
+        )
     )
     est = F.round(
         -1024 * F.log(1.0 - F.col("occupied") / F.lit(1024.0))
     ).cast("long")
-    return (
-        occ.join(exact, "c_nationkey")
-        .select(
-            F.col("c_nationkey").alias("nationkey"),
-            "occupied",
-            "exact_n",
-            est.alias("lc_estimate"),
-        )
-        .orderBy("nationkey")
-    )
+    return agg.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "occupied",
+        "exact_n",
+        est.alias("lc_estimate"),
+    ).orderBy("nationkey")

@@ -783,3 +783,31 @@ def test_rolling_corr_windows_over_date_grain(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     tree = plan[: plan.find("(1) Scan")]
     assert 0 <= tree.find("Window") < tree.rfind("HashAggregate"), plan
+
+
+def test_linear_counting_single_scan_one_expand(spark):
+    """Occupancy and the exact count must fold into ONE aggregate —
+    a single customer scan with the multi-distinct Expand, not a
+    join of two separately-scanned aggregates."""
+    import re
+
+    from impala_refresher_spark.operators.rollup_hypertable import (
+        linear_counting_distinct,
+    )
+
+    plan = plan_of(linear_counting_distinct(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_cms_probe_join_broadcasts_sketch(spark):
+    """The probe lookup must broadcast the KB-sized sketch — a
+    SortMergeJoin would shuffle the probe side against 2048 cells."""
+    from impala_refresher_spark.operators.rollup_hypertable import (
+        cms_frequency_estimate,
+    )
+
+    plan = plan_of(cms_frequency_estimate(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
