@@ -92,10 +92,15 @@ def langid_confusion_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lang").isin("en", "de", "es", "fr"), F.col("lang"))
         .otherwise("other")
     )
+    # materialize the KB-sized matrix ONCE: four derivations consume
+    # it, and without the cut each would replay the corpus scan
+    # (measured: 4 scan nodes, no exchange reuse) — same localCheckpoint
+    # discipline as the CC/BFS edge relations
     cm = (
         d.select(label.alias("label"), pred.alias("pred"))
         .groupBy("label", "pred")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     tot = cm.agg(
         F.sum("n").alias("total"),
@@ -269,6 +274,7 @@ def langid_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(label.alias("label"), pred.alias("pred"))
         .groupBy("label", "pred")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # one corpus scan; see langid_confusion_kappa
     )
     classes = (
         cm.select(F.col("label").alias("cls"))

@@ -811,3 +811,23 @@ def test_cms_probe_join_broadcasts_sketch(spark):
     plan = plan_of(cms_frequency_estimate(spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_confusion_metrics_scan_corpus_once(spark):
+    """kappa / precision-recall derive everything from the
+    checkpointed confusion matrix: the documents scan must appear at
+    most once in each plan (the matrix derivations read the
+    materialized KB relation, not the corpus)."""
+    import re
+
+    from impala_refresher_spark.operators.evaluation import (
+        langid_confusion_kappa,
+        langid_precision_recall,
+    )
+
+    for fn in (langid_confusion_kappa, langid_precision_recall):
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, (
+            fn.__name__,
+            plan,
+        )  # matrix checkpointed -> no parquet scan remains in the plan
