@@ -831,3 +831,38 @@ def test_confusion_metrics_scan_corpus_once(spark):
             fn.__name__,
             plan,
         )  # matrix checkpointed -> no parquet scan remains in the plan
+
+
+def test_seasonal_anomaly_single_scan(spark):
+    """Date-grain-first discipline: one orders scan; both baseline
+    windows run over the day frame."""
+    import re
+
+    from impala_refresher_spark.operators.analytics import seasonal_dow_anomaly
+
+    plan = plan_of(seasonal_dow_anomaly(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Join" not in plan
+
+
+def test_top_event_paths_single_scan(spark):
+    """The ranking window, first-3 filter, and both aggregates chain
+    off ONE events scan."""
+    import re
+
+    from impala_refresher_spark.operators.analytics import top_event_paths
+
+    plan = plan_of(top_event_paths(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Join" not in plan
+
+
+def test_trending_reference_day_broadcasts(spark):
+    """The max-day reference must come back as a broadcast 1-row
+    frame (the repo's scalar pattern) — never a SortMergeJoin and
+    never a driver-side collect in the query path."""
+    from impala_refresher_spark.operators.analytics import trending_decayed_counts
+
+    plan = plan_of(trending_decayed_counts(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
