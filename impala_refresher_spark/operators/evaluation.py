@@ -385,3 +385,141 @@ def chisq_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "status")
     )
+
+
+@query(
+    "score_gain_deciles",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               n_chars AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    ranked AS (
+        SELECT pos,
+               NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+        FROM scored
+    ),
+    per AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM ranked GROUP BY decile
+    )
+    SELECT decile, n, n_pos,
+           ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                 / SUM(n_pos) OVER (), 4) AS cum_capture,
+           ROUND((CAST(n_pos AS DOUBLE) / n)
+                 / (CAST(SUM(n_pos) OVER () AS DOUBLE) / SUM(n) OVER ()),
+                 4) AS lift
+    FROM per
+    ORDER BY decile
+    """,
+)
+def score_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain/lift chart: rank documents by score (here n_chars, the
+    same scorer AUC'd above), cut into deciles, and report each
+    decile's positive capture and lift over the base rate — the
+    targeting question AUC doesn't answer ('how much of the good
+    stuff is in the top 10%?').
+
+    NTILE runs over a TOTAL order (score DESC, doc_id) so decile
+    assignment is deterministic and engine-identical even through
+    score ties. One global sort at this grain; the per-decile
+    aggregate and both report windows then run over 10 rows. At
+    100 TB replace NTILE with bucketing on the score histogram's
+    decile edges (`histogram_equidepth`) — map-only assignment, same
+    report."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    per = (
+        scored.select("pos", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"), F.sum("pos").cast("long").alias("n_pos"))
+    )
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    return (
+        per.select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                F.sum("n_pos").over(cum).cast("double")
+                / F.sum("n_pos").over(tot),
+                4,
+            ).alias("cum_capture"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (
+                    F.sum("n_pos").over(tot).cast("double")
+                    / F.sum("n").over(tot)
+                ),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "subsample_ci_revenue",
+    """
+    WITH bucketed AS (
+        SELECT CAST(o_orderkey % 16 AS INTEGER) AS bucket,
+               o_totalprice
+        FROM orders
+    ),
+    per_bucket AS (
+        SELECT bucket, ROUND(AVG(o_totalprice), 2) AS mean_price
+        FROM bucketed GROUP BY bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_subsamples,
+           ROUND(AVG(mean_price), 2) AS grand_mean,
+           ROUND(STDDEV_SAMP(mean_price), 2) AS between_sd,
+           ROUND(AVG(mean_price)
+                 - 2.131 * STDDEV_SAMP(mean_price) / SQRT(16), 2) AS ci_lo,
+           ROUND(AVG(mean_price)
+                 + 2.131 * STDDEV_SAMP(mean_price) / SQRT(16), 2) AS ci_hi
+    FROM per_bucket
+    """,
+)
+def subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsample (delete-d jackknife style) confidence interval for
+    mean order value: 16 disjoint key-residue subsamples, each
+    yielding a mean; the spread of those means estimates the sampling
+    error and a t-interval (t_{15,0.975} = 2.131) bounds the grand
+    mean — the error-bar companion to `aqp_revenue_estimate`'s point
+    estimates, with NO randomness (key residues are deterministic, so
+    both engines build identical subsamples).
+
+    One fact pass: the 16 per-bucket means are a single
+    partial-aggregable group-by; the CI folds out of the 16-row frame.
+    Per-bucket means are cents-rounded before the between-subsample
+    moments so accumulation order can't shift the interval."""
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            (F.col("o_orderkey") % 16).cast("int").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(F.round(F.avg("o_totalprice"), 2).alias("mean_price"))
+    )
+    t = 2.131
+    half = t * F.stddev_samp("mean_price") / F.sqrt(F.lit(16.0))
+    return per_bucket.agg(
+        F.count("*").alias("n_subsamples"),
+        F.round(F.avg("mean_price"), 2).alias("grand_mean"),
+        F.round(F.stddev_samp("mean_price"), 2).alias("between_sd"),
+        F.round(F.avg("mean_price") - half, 2).alias("ci_lo"),
+        F.round(F.avg("mean_price") + half, 2).alias("ci_hi"),
+    )
