@@ -227,3 +227,66 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(out).select(
         "event_id", "user_id", "value"
     )
+
+
+@query(
+    "source_binaryfile_ingest",
+    """
+    WITH payload AS (
+        SELECT lang,
+               string_agg(text || chr(10), '' ORDER BY doc_id) AS content
+        FROM documents GROUP BY lang
+    )
+    SELECT lang,
+           CAST(strlen(content) AS BIGINT) AS n_bytes,
+           sha256(content) AS sha_hex
+    FROM payload
+    ORDER BY lang
+    """,
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source — Spark's opaque-blob ingest path (the
+    front door for the multimodal columns in `operators/multimodal.py`:
+    images/audio arrive as whole files, not rows). The fixture stage
+    materializes one text shard per language (distributed
+    `partitionBy` write, rows in doc_id order), then the query reads
+    the files BACK as raw binary: (path, length, content bytes),
+    extracting the partition key from the path and fingerprinting the
+    bytes with sha2.
+
+    The oracle rebuilds each file's exact bytes from the documents
+    table (ordered string_agg + trailing newlines) and hashes them in
+    DuckDB — so the differential proves the whole write→binary-read
+    loop is LOSSLESS, not just that it runs. Scale notes: binaryFile
+    loads each file as ONE row (content ≤ 2 GiB); shard accordingly
+    at ingest — the per-lang partitioning here is that sharding; the
+    hash/length projection is map-only (content never shuffles)."""
+    import os
+
+    from impala_refresher_spark.sources.tables import scratch_path
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = scratch_path("/root/repo/_scratch", "binfiles", sf_dir, "documents")
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            docs.select("lang", "doc_id", "text")
+            .repartition(1)
+            .sortWithinPartitions("lang", "doc_id")
+            .select("lang", "text")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .text(path)
+        )
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "false")
+        .load(f"{path}/lang=*")
+    )
+    return (
+        files.select(
+            F.regexp_extract("path", r"lang=([^/]+)", 1).alias("lang"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.sha2("content", 256).alias("sha_hex"),
+        )
+        .orderBy("lang")
+    )
