@@ -523,3 +523,94 @@ def subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_price") - half, 2).alias("ci_lo"),
         F.round(F.avg("mean_price") + half, 2).alias("ci_hi"),
     )
+
+
+@query(
+    "survival_user_retention",
+    """
+    WITH spans AS (
+        SELECT user_id,
+               DATEDIFF('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                   AS duration,
+               CAST(MAX(ts) AS DATE) AS last_day
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(last_day) AS corpus_end FROM spans),
+    obs AS (
+        SELECT s.duration,
+               CASE WHEN DATEDIFF('day', s.last_day, h.corpus_end) >= 7
+                    THEN 1 ELSE 0 END AS churned
+        FROM spans s CROSS JOIN horizon h
+    ),
+    risk AS (
+        SELECT duration AS t,
+               CAST(SUM(churned) AS BIGINT) AS d,
+               CAST((SELECT COUNT(*) FROM obs o2
+                     WHERE o2.duration >= o.duration) AS BIGINT) AS n
+        FROM obs o
+        GROUP BY duration
+        HAVING SUM(churned) > 0
+    )
+    SELECT t, d, n,
+           ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n))
+                     OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 4) AS survival
+    FROM risk
+    ORDER BY t
+    """,
+)
+def survival_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve: S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)
+    over observed churn times, where a user churns at their
+    last-activity day unless that day is within 7 days of the corpus
+    end (then they are CENSORED — still alive, contributing to the
+    risk set but never to deaths). Survival analysis is the correct
+    tool wherever naive churn rates are biased by observation cutoff —
+    the last genuinely distinct statistical family in the evaluation
+    module.
+
+    Shape: per-user spans (one user_id aggregate over the fact), a
+    broadcast 1-row horizon, then the KM machinery runs on the
+    DURATION GRAIN: the risk set n_i = Σ_{t≥t_i} counts and the
+    running product (as exp∘Σ∘ln over the day-ordered frame) both
+    window over distinct durations — hundreds of rows regardless of
+    user count. The ln/exp round-trip accumulates identical-ordered
+    IEEE terms on both engines; the final value rounds once."""
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).alias("duration"),
+        F.max("ts").cast("date").alias("last_day"),
+    )
+    horizon = spans.agg(F.max("last_day").alias("corpus_end"))
+    obs = spans.crossJoin(F.broadcast(horizon)).select(
+        "duration",
+        F.when(
+            F.datediff(F.col("corpus_end"), F.col("last_day")) >= 7, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    # risk set per distinct duration: users with duration >= t — a
+    # reverse-cumulative count over the duration grain, not per user
+    per_t = obs.groupBy(F.col("duration").alias("t")).agg(
+        F.count("*").alias("n_at"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    rev = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t", "d", F.sum("n_at").over(rev).cast("long").alias("n")
+    ).filter(F.col("d") > 0)
+    run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = F.exp(
+        F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n"))).over(run)
+    )
+    return risk.select(
+        "t", "d", "n", F.round(km, 4).alias("survival")
+    ).orderBy("t")
