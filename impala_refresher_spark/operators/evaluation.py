@@ -614,3 +614,81 @@ def survival_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return risk.select(
         "t", "d", "n", F.round(km, 4).alias("survival")
     ).orderBy("t")
+
+
+@query(
+    "ks_statistic_status",
+    """
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS in_f
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O')
+    ),
+    per_v AS (
+        SELECT v,
+               CAST(SUM(in_f) AS BIGINT) AS nf,
+               CAST(SUM(1 - in_f) AS BIGINT) AS no
+        FROM cents GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(nf) OVER (ORDER BY v) AS cf,
+               SUM(no) OVER (ORDER BY v) AS co,
+               SUM(nf) OVER () AS tf,
+               SUM(no) OVER () AS tot_o
+        FROM per_v
+    )
+    SELECT CAST(MAX(tf) AS BIGINT) AS n_f,
+           CAST(MAX(tot_o) AS BIGINT) AS n_o,
+           ROUND(MAX(ABS(CAST(cf AS DOUBLE) / tf
+                         - CAST(co AS DOUBLE) / tot_o)), 4) AS ks_d
+    FROM cum
+    """,
+)
+def ks_statistic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: D = max |F_F(x) −
+    F_O(x)| between the order-value distributions of fulfilled vs
+    open orders — the distribution-shift detector (same tool flags
+    train/serve feature drift), answering what mean comparisons miss.
+
+    Values enter as integer cents (exact grouping); both empirical
+    CDFs come from ONE pass: per-value counts for both samples in a
+    single aggregate, then cumulative sums over the VALUE grain and a
+    max-abs-difference. The unpartitioned cumulative window is the
+    documented trade at this grain; the 100 TB form buckets values
+    first (equi-width cents buckets — D is then exact at bucket
+    resolution, the standard drift-monitor discretization) and the
+    window runs over buckets."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("in_f"),
+    )
+    per_v = cents.groupBy("v").agg(
+        F.sum("in_f").cast("long").alias("nf"),
+        F.sum(1 - F.col("in_f")).cast("long").alias("no"),
+    )
+    run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = per_v.select(
+        (F.sum("nf").over(run)).alias("cf"),
+        (F.sum("no").over(run)).alias("co"),
+        F.sum("nf").over(tot).alias("tf"),
+        F.sum("no").over(tot).alias("tot_o"),
+    )
+    return cum.agg(
+        F.max("tf").cast("long").alias("n_f"),
+        F.max("tot_o").cast("long").alias("n_o"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cf").cast("double") / F.col("tf")
+                    - F.col("co").cast("double") / F.col("tot_o")
+                )
+            ),
+            4,
+        ).alias("ks_d"),
+    )

@@ -719,3 +719,94 @@ def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical time-series decomposition (trend + day-of-week + residual)
+# ---------------------------------------------------------------------------
+
+@query(
+    "timeseries_decompose_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', o_orderdate) AS DATE) AS day,
+               CAST(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 1 AS INTEGER)
+                   AS dow,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT day, dow, rev,
+               CASE WHEN COUNT(*) OVER w = 7
+                    THEN ROUND(AVG(rev) OVER w, 2) END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seasonal AS (
+        SELECT day, dow, rev, trend,
+               ROUND(AVG(rev - trend) OVER (PARTITION BY dow), 2)
+                   AS seasonal
+        FROM trended
+    )
+    SELECT day, rev, trend, seasonal,
+           ROUND(rev - trend - seasonal, 2) AS residual
+    FROM seasonal
+    WHERE trend IS NOT NULL
+    ORDER BY day
+    """,
+)
+def timeseries_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue: trend =
+    centered 7-day moving average (full windows only — edges yield
+    NULL and drop symmetrically), seasonal = mean detrended value per
+    day-of-week, residual = the rest. The anomaly-hunting complement
+    of `seasonal_dow_anomaly`: that op SCORES days against a dow
+    baseline; this one SEPARATES the series into interpretable parts
+    (is growth trend or seasonality?).
+
+    All three components run on the date grain after one fact-sized
+    aggregate — the CUSUM/MoM discipline; the centered MA is a
+    ROWS-bounded window (calendar-dense daily grain makes rows ≡
+    days), the seasonal means partition by dow (7 partitions), and
+    every component is cents-rounded BEFORE entering the next stage
+    so cross-engine float drift cannot compound through the
+    pipeline."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+            F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    ma = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "dow",
+        "rev",
+        F.when(
+            F.count("*").over(ma) == 7, F.round(F.avg("rev").over(ma), 2)
+        ).alias("trend"),
+    )
+    seas = Window.partitionBy("dow")
+    seasonal = trended.select(
+        "day",
+        "rev",
+        "trend",
+        F.round(F.avg(F.col("rev") - F.col("trend")).over(seas), 2).alias(
+            "seasonal"
+        ),
+    )
+    return (
+        seasonal.filter(F.col("trend").isNotNull())
+        .select(
+            "day",
+            "rev",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("rev") - F.col("trend") - F.col("seasonal"), 2
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
