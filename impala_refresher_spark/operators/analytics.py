@@ -1669,3 +1669,92 @@ def trending_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("max_day")
         .orderBy(F.desc("decayed_score"), "event_type")
     )
+
+
+@query(
+    "revenue_concentration_gini",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev_cents,
+               ROW_NUMBER() OVER (ORDER BY rev_cents, o_custkey) AS i,
+               NTILE(10) OVER (ORDER BY rev_cents, o_custkey) AS decile
+        FROM per_cust
+    ),
+    g AS (
+        SELECT SUM(2 * i * rev_cents) AS wsum,
+               SUM(rev_cents) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ranked
+    )
+    SELECT r.decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(SUM(r.rev_cents)) OVER (ORDER BY r.decile)
+                      AS DOUBLE) / MAX(g.total), 4) AS lorenz_cum_share,
+           ROUND(CAST(g.wsum AS DOUBLE) / (g.n * g.total)
+                 - CAST(g.n + 1 AS DOUBLE) / g.n, 4) AS gini
+    FROM ranked r CROSS JOIN g
+    GROUP BY r.decile, g.wsum, g.total, g.n
+    ORDER BY r.decile
+    """,
+)
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Lorenz curve at customer deciles
+    (cumulative share held by the bottom k/10 of customers) and the
+    Gini coefficient G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n — the
+    whale-dependence report behind 'what fraction of revenue is our
+    top decile?'.
+
+    Revenue enters as integer CENTS and the rank weights are
+    integers, so Σ2i·xᵢ and Σx are EXACT (products < 2^63) — the
+    statistic is bit-identical cross-engine before the single final
+    rounding, the `mad_outlier_accounts` discipline applied to an
+    order statistic. The ranking is a total order (rev, custkey) so
+    ties cannot wobble deciles. One customer-grain aggregate, one
+    sort at the customer grain (not the fact), then 10-row windows;
+    the at-scale variant ranks within equi-width revenue buckets
+    (same two-level trick as the AUC histogram form)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    order = Window.orderBy("rev_cents", "o_custkey")
+    ranked = per_cust.select(
+        "rev_cents",
+        F.row_number().over(order).alias("i"),
+        F.ntile(10).over(order).alias("decile"),
+    )
+    g = ranked.agg(
+        F.sum(2 * F.col("i") * F.col("rev_cents")).alias("wsum"),
+        F.sum("rev_cents").alias("total"),
+        F.count("*").cast("long").alias("n"),
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    gini = (
+        F.col("wsum").cast("double") / (F.col("n") * F.col("total"))
+        - (F.col("n") + 1).cast("double") / F.col("n")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(g))
+        .groupBy("decile", "wsum", "total", "n")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("rev_cents").alias("dec_rev"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            F.round(
+                F.sum("dec_rev").over(cum).cast("double") / F.col("total"), 4
+            ).alias("lorenz_cum_share"),
+            F.round(gini, 4).alias("gini"),
+        )
+        .orderBy("decile")
+    )

@@ -692,3 +692,79 @@ def ks_statistic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ks_d"),
     )
+
+
+@query(
+    "anova_segment_acctbal",
+    """
+    WITH g AS (
+        SELECT c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(c_acctbal) AS s,
+               SUM(c_acctbal * c_acctbal) AS ss
+        FROM customer GROUP BY c_mktsegment
+    ),
+    tot AS (
+        SELECT SUM(n) AS n_tot, SUM(s) AS s_tot, SUM(ss) AS ss_tot,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    )
+    SELECT g.seg, g.n,
+           ROUND(g.s / g.n, 2) AS group_mean,
+           ROUND((SUM(g.s * g.s / g.n) OVER ()
+                  - t.s_tot * t.s_tot / t.n_tot) / (t.k - 1), 2)
+               AS ms_between,
+           ROUND((t.ss_tot - SUM(g.s * g.s / g.n) OVER ())
+                 / (t.n_tot - t.k), 2) AS ms_within,
+           ROUND(((SUM(g.s * g.s / g.n) OVER ()
+                   - t.s_tot * t.s_tot / t.n_tot) / (t.k - 1))
+                 / ((t.ss_tot - SUM(g.s * g.s / g.n) OVER ())
+                    / (t.n_tot - t.k)), 4) AS f_stat
+    FROM g CROSS JOIN tot t
+    ORDER BY g.seg
+    """,
+)
+def anova_segment_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean account balance differ across market
+    segments? F = MS_between / MS_within from the three sufficient
+    statistics per group (n, Σx, Σx²) — the categorical×NUMERIC
+    association test completing the family (χ² covers
+    categorical×categorical, corr covers numeric×numeric).
+
+    The `ols_per_nation` discipline: one partial-aggregable pass
+    collects the per-group sufficient statistics; every sum of
+    squares folds out of the |segments|-row frame (windows over ≤5
+    rows + a broadcast 1-row total) — the corpus is scanned once and
+    the F statistic costs nothing more than a GROUP BY. The same
+    F/MS values replicate onto each group row alongside its mean, so
+    one result serves both the test and the group report."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c_acctbal").alias("s"),
+        F.sum(F.col("c_acctbal") * F.col("c_acctbal")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.count("*").cast("long").alias("k"),
+    )
+    w = Window.partitionBy()
+    explained = F.sum(F.col("s") * F.col("s") / F.col("n")).over(w)
+    ms_between = (
+        explained - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    ) / (F.col("k") - 1)
+    ms_within = (F.col("ss_tot") - explained) / (F.col("n_tot") - F.col("k"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "n",
+            F.round(F.col("s") / F.col("n"), 2).alias("group_mean"),
+            F.round(ms_between, 2).alias("ms_between"),
+            F.round(ms_within, 2).alias("ms_within"),
+            F.round(ms_between / ms_within, 4).alias("f_stat"),
+        )
+        .orderBy("seg")
+    )
