@@ -1758,3 +1758,78 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "hhi_supplier_concentration",
+    """
+    WITH per_supp AS (
+        SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT nationkey, SUM(rev_cents) AS nation_rev,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM per_supp GROUP BY nationkey
+    )
+    SELECT t.nationkey, t.n_suppliers,
+           ROUND(SUM(10000.0 * p.rev_cents * p.rev_cents)
+                 / (CAST(t.nation_rev AS DOUBLE) * t.nation_rev), 2)
+               AS hhi
+    FROM per_supp p JOIN tot t ON p.nationkey = t.nationkey
+    GROUP BY t.nationkey, t.n_suppliers, t.nation_rev
+    ORDER BY t.nationkey
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration
+    per nation (HHI = 10000·Σ shareᵢ², the antitrust 0-10000 scale) —
+    the per-market companion to the global Lorenz/Gini report: Gini
+    asks 'how unequal overall', HHI asks 'is THIS market dominated'.
+
+    Revenue in integer cents, but the SQUARES run in doubles on both
+    engines: rev_cents² (and the nation total's square) exceed 2^63,
+    so 64-bit integer products would ANSI-overflow in Spark while
+    DuckDB silently widened to HUGEINT — the explicit double cast
+    makes the two engines run the same arithmetic. Each product is
+    exact to 2^53 and the result rounds at 2 decimals on a 0-10000
+    scale, far outside float-noise range. Two partial-aggregable
+    aggregates (supplier grain, then nation grain) + one
+    nation-keyed join of supplier-grain rows — no window, no sort;
+    every stage keyed and combinable at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    per_supp = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == s.s_suppkey,
+        )
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    tot = per_supp.groupBy("nationkey").agg(
+        F.sum("rev_cents").alias("nation_rev"),
+        F.count("*").cast("long").alias("n_suppliers"),
+    )
+    return (
+        per_supp.join(F.broadcast(tot), "nationkey")
+        .groupBy("nationkey", "n_suppliers", "nation_rev")
+        .agg(
+            F.round(
+                F.sum(
+                    10000.0 * F.col("rev_cents") * F.col("rev_cents")
+                )
+                / (F.col("nation_rev").cast("double") * F.col("nation_rev")),
+                2,
+            ).alias("hhi")
+        )
+        .drop("nation_rev")
+        .orderBy("nationkey")
+    )
