@@ -768,3 +768,78 @@ def anova_segment_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "mutual_information_lang_source",
+    """
+    WITH joint AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT SUM(n) AS total FROM joint),
+    lm AS (SELECT lang, SUM(n) AS n_lang FROM joint GROUP BY lang),
+    sm AS (SELECT source, SUM(n) AS n_src FROM joint GROUP BY source)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((CAST(j.n AS DOUBLE) / t.total)
+                     * LOG2(CAST(j.n AS DOUBLE) * t.total
+                            / (CAST(l.n_lang AS DOUBLE) * s.n_src))), 4)
+               AS mi_bits,
+           ROUND(-MAX(DISTINCT_H.h), 4) AS h_lang
+    FROM joint j
+    JOIN lm l ON j.lang = l.lang
+    JOIN sm s ON j.source = s.source
+    CROSS JOIN tot t
+    CROSS JOIN (
+        SELECT SUM((CAST(n_lang AS DOUBLE) / t2.total)
+                   * LOG2(CAST(n_lang AS DOUBLE) / t2.total)) AS h
+        FROM lm CROSS JOIN (SELECT SUM(n) AS total FROM joint) t2
+    ) DISTINCT_H
+    """,
+)
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in bits, with the lang
+    entropy H(lang) alongside (so the normalized share I/H is one
+    division away) — the information-theoretic association measure
+    completing the family: χ² tests significance, Cramér-style
+    effect needs the same table, MI measures the INFORMATION one
+    column carries about the other, the criterion feature selection
+    and dedup-key audits actually want.
+
+    Everything folds off ONE |lang|×|source| joint aggregate: the
+    marginals are aggregates OVER the joint matrix, and the MI sum
+    runs over its cells (≤ a few hundred rows). p·log2 terms are
+    computed from exact integer counts on both engines and only the
+    final sums round; zero-count cells never appear (GROUP BY emits
+    observed cells only), so no log(0) guards are needed."""
+    d = load_table(spark, sf_dir, "documents")
+    joint = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    joint = joint.localCheckpoint()  # one corpus scan feeds 4 derivations
+    tot = joint.agg(F.sum("n").alias("total"))
+    lm = joint.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    sm = joint.groupBy("source").agg(F.sum("n").alias("n_src"))
+    h_lang = (
+        lm.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n_lang").cast("double") / F.col("total"))
+                * F.log2(F.col("n_lang").cast("double") / F.col("total"))
+            ).alias("h")
+        )
+    )
+    mi_term = (F.col("n").cast("double") / F.col("total")) * F.log2(
+        F.col("n").cast("double")
+        * F.col("total")
+        / (F.col("n_lang").cast("double") * F.col("n_src"))
+    )
+    return (
+        joint.join(lm, "lang")
+        .join(sm, "source")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(h_lang))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.round(F.sum(mi_term), 4).alias("mi_bits"),
+            F.round(-F.max("h"), 4).alias("h_lang"),
+        )
+    )
