@@ -1628,14 +1628,22 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bounds AS (
         SELECT MAX(CAST(DATE_TRUNC('day', ts) AS DATE)) AS max_day
         FROM events
+    ),
+    pre AS (
+        SELECT event_type,
+               LEAST(CAST(FLOOR(DATEDIFF('day',
+                          CAST(DATE_TRUNC('day', ts) AS DATE),
+                          b.max_day) / 7.0) AS INTEGER), 62) AS wk,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events CROSS JOIN bounds b
+        GROUP BY 1, 2
     )
     SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_raw,
-           ROUND(SUM(POW(0.5, DATEDIFF('day',
-                         CAST(DATE_TRUNC('day', ts) AS DATE),
-                         b.max_day) / 7.0)), 4) AS decayed_score
-    FROM events CROSS JOIN bounds b
-    GROUP BY event_type, b.max_day
+           CAST(SUM(n) AS BIGINT) AS n_raw,
+           ROUND(SUM(n / CAST(CAST(1 AS BIGINT) << wk AS DOUBLE)), 4)
+               AS decayed_score
+    FROM pre
+    GROUP BY event_type
     ORDER BY decayed_score DESC, event_type
     """,
 )
@@ -1650,23 +1658,37 @@ def trending_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weight is a pure function of the row.
 
     The reference day is a 1-row aggregate broadcast in (the
-    repo's scalar pattern, never a driver collect). pow(0.5, k/7)
-    is evaluated identically on both engines for identical integer
-    day-diffs; the sum is rounded per float discipline."""
+    repo's scalar pattern, never a driver collect). Float
+    discipline: the weight is 1/2^wk for INTEGER wk — an exactly
+    representable double built by bit shift, never pow() (Java
+    Math.pow and libm are not correctly rounded for fractional
+    exponents; the repo avoids pow everywhere for this reason).
+    Events pre-aggregate to (type, age_week) counts first, so the
+    weighted sum folds over the tiny distinct-age domain with
+    per-term-exact n/2^wk values; wk clamps at 62 (2^62 < 2^63,
+    residual weight < 3e-19). One extra keyed partial-aggregable
+    pass buys a cross-engine-stable statistic."""
     e = load_table(spark, sf_dir, "events")
     bounds = e.agg(
         F.max(F.date_trunc("day", "ts").cast("date")).alias("max_day")
     )
     day = F.date_trunc("day", "ts").cast("date")
-    weight = F.pow(0.5, F.datediff(F.col("max_day"), day) / F.lit(7.0))
-    return (
+    wk = F.least(
+        F.floor(F.datediff(F.col("max_day"), day) / F.lit(7.0)).cast("int"),
+        F.lit(62),
+    )
+    pre = (
         e.crossJoin(F.broadcast(bounds))
-        .groupBy("event_type", "max_day")
+        .groupBy("event_type", wk.alias("wk"))
+        .agg(F.count("*").alias("n"))
+    )
+    weight = F.lit(1.0) / F.expr("shiftleft(1L, wk)").cast("double")
+    return (
+        pre.groupBy("event_type")
         .agg(
-            F.count("*").alias("n_raw"),
-            F.round(F.sum(weight), 4).alias("decayed_score"),
+            F.sum("n").cast("long").alias("n_raw"),
+            F.round(F.sum(F.col("n") * weight), 4).alias("decayed_score"),
         )
-        .drop("max_day")
         .orderBy(F.desc("decayed_score"), "event_type")
     )
 
@@ -1711,10 +1733,19 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     top decile?'.
 
     Revenue enters as integer CENTS and the rank weights are
-    integers, so Σ2i·xᵢ and Σx are EXACT (products < 2^63) — the
-    statistic is bit-identical cross-engine before the single final
-    rounding, the `mad_outlier_accounts` discipline applied to an
-    order statistic. The ranking is a total order (rev, custkey) so
+    integers, so Σ2i·xᵢ and Σx are EXACT — the statistic is
+    bit-identical cross-engine before the single final rounding,
+    the `mad_outlier_accounts` discipline applied to an order
+    statistic. SCALE BOUND, stated explicitly: the exactness
+    contract (Σ2i·rev_cents and n·total < 2^63) holds through
+    roughly sf1 (n ≈ 150k customers, wsum ≈ 2·n²·avg_rev_cents ≈
+    2^61); at sf10 the int64 products overflow (ANSI error in
+    Spark, silent HUGEINT widening in DuckDB). Above that bound,
+    cast the weighted sum to DOUBLE (Gini needs ~6 significant
+    digits; 2^53 of double precision is ample) or rank within
+    equi-width buckets as noted below — the integer form is the
+    ≤sf1 differential-testing configuration, not an unconditional
+    claim. The ranking is a total order (rev, custkey) so
     ties cannot wobble deciles. One customer-grain aggregate, one
     sort at the customer grain (not the fact), then 10-row windows;
     the at-scale variant ranks within equi-width revenue buckets

@@ -478,7 +478,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup clustering: connected components over the similarity pairs
 # ---------------------------------------------------------------------------
 
-def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 20,
+    round_stats: list | None = None,
+) -> DataFrame:
     """Min-label propagation over an undirected edge list → (node,
     component) where component = the smallest node id reachable.
 
@@ -488,7 +494,14 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iter:
     shuffle (join on node + groupBy); ``localCheckpoint`` truncates the
     growing lineage so round N's plan doesn't replay rounds 1..N-1.
     The per-round convergence count is a legitimate driver-side scalar
-    (one long), not a data collect."""
+    (one long), not a data collect.
+
+    ``round_stats``: optional instrumentation list — one entry per
+    round with the PRE-checkpoint optimized-plan size of that round's
+    label update. The lineage-blowup failure mode (forgetting the
+    checkpoint makes round N replay rounds 1..N-1, invisible at
+    sf0.01, fatal at scale) shows up here as monotonically growing
+    plans; ``tests/test_plans.py`` locks the bound."""
     # Checkpoint the (symmetrized) edge list ONCE: it feeds the join in
     # every round, and without the cut each round would re-execute the
     # upstream pair-generation plan (the expensive similarity join).
@@ -509,7 +522,7 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iter:
         # Carry the convergence flag in-row: the checkpointed result
         # answers "did anything change?" with a cheap filter-count over
         # materialized partitions instead of a third join per round.
-        new_labels = (
+        pre = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
                 "node",
@@ -523,8 +536,14 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iter:
                 F.col("new_label").alias("label"),
                 (F.col("new_label") != F.col("old_label")).alias("chg"),
             )
-            .localCheckpoint()
         )
+        if round_stats is not None:
+            # pre-checkpoint plan size: constant across rounds iff the
+            # checkpoint actually truncates lineage each round
+            round_stats.append(
+                len(pre._jdf.queryExecution().optimizedPlan().toString())
+            )
+        new_labels = pre.localCheckpoint()
         labels = new_labels.select("node", "label")
         if new_labels.filter("chg").count() == 0:
             break

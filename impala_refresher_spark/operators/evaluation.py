@@ -552,10 +552,18 @@ def subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING SUM(churned) > 0
     )
     SELECT t, d, n,
-           ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n))
+           CASE WHEN MAX(CASE WHEN d >= n THEN 1 ELSE 0 END)
                      OVER (ORDER BY t
                            ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW)), 4) AS survival
+                           AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(CASE WHEN d < n
+                                        THEN LN(1.0 - CAST(d AS DOUBLE) / n)
+                                   END)
+                          OVER (ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)), 4)
+           END AS survival
     FROM risk
     ORDER BY t
     """,
@@ -576,7 +584,16 @@ def survival_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     running product (as exp∘Σ∘ln over the day-ordered frame) both
     window over distinct durations — hundreds of rows regardless of
     user count. The ln/exp round-trip accumulates identical-ordered
-    IEEE terms on both engines; the final value rounds once."""
+    IEEE terms on both engines; the final value rounds once.
+
+    Degenerate-factor guard: when d_i == n_i at some duration (every
+    at-risk user churned — reachable whenever the max-duration user
+    churns alone), the factor (1 − d/n) is 0 and survival is EXACTLY
+    0 from that point on. ln(0) must never reach the fold: Spark's
+    F.log(0) yields NULL (silently skipped by SUM) while DuckDB's
+    LN(0) raises — the engines would disagree. Both sides therefore
+    guard the term with d < n and emit survival = 0.0 via a running
+    MAX(d >= n) cutover flag instead of evaluating the log."""
     e = load_table(spark, sf_dir, "events")
     spans = e.groupBy("user_id").agg(
         F.datediff(
@@ -608,11 +625,21 @@ def survival_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    km = F.exp(
-        F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n"))).over(run)
+    # d == n means a zero factor: survival is exactly 0 from there on.
+    # Guard the log term (F.log(0) -> NULL, silently skipped by SUM)
+    # and cut over explicitly via a running "zero factor seen" flag.
+    term = F.when(
+        F.col("d") < F.col("n"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n")),
+    )
+    hit_zero = F.max(
+        F.when(F.col("d") >= F.col("n"), 1).otherwise(0)
+    ).over(run)
+    km = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(term).over(run)), 4)
     )
     return risk.select(
-        "t", "d", "n", F.round(km, 4).alias("survival")
+        "t", "d", "n", km.alias("survival")
     ).orderBy("t")
 
 

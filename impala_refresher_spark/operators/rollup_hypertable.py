@@ -313,8 +313,8 @@ def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hashed GROUP BY c_nationkey
     )
     SELECT c_nationkey AS nationkey, occupied, exact_n,
-           CAST(ROUND(-1024 * LN(1.0 - occupied / 1024.0)) AS BIGINT)
-               AS lc_estimate
+           CAST(ROUND(-1024 * LN(1.0 - LEAST(occupied, 1023) / 1024.0))
+                AS BIGINT) AS lc_estimate
     FROM agg
     ORDER BY nationkey
     """,
@@ -335,7 +335,14 @@ def linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     group and merges by bitmap OR (union the occupied-bucket sets), so
     shard sketches fold like the HLL rollup. The ln() rounds to an
     integer estimate; a boundary flip would need the true estimate
-    within ~1e-12 of x.5 — outside the repo's float-risk envelope."""
+    within ~1e-12 of x.5 — outside the repo's float-risk envelope.
+
+    Saturation: at occupied == m (certain per-nation at sf >= 1 with
+    m=1024) the raw formula hits ln(0) — NULL in Spark vs error/-inf
+    in DuckDB. Both sides clamp occupancy to m-1 (the standard LC
+    saturated fallback), capping the estimate at -m*ln(1/m) ≈ 7098
+    and signalling "switch to a bigger m or HLL" rather than
+    diverging. At small SF occupied < 1024, so the clamp is inert."""
     c = load_table(spark, sf_dir, "customer")
     bucket = ((F.col("c_custkey") * 2654435761 + 97) % 1000003) % 1024
     # both distincts in ONE aggregate: single scan, one Expand (x2) --
@@ -348,8 +355,11 @@ def linear_counting_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("exact_n"),
         )
     )
+    # clamp occupancy to m-1: saturated sketches cap the estimate
+    # instead of hitting ln(0) (NULL on Spark, error on DuckDB)
     est = F.round(
-        -1024 * F.log(1.0 - F.col("occupied") / F.lit(1024.0))
+        -1024
+        * F.log(1.0 - F.least(F.col("occupied"), F.lit(1023)) / F.lit(1024.0))
     ).cast("long")
     return agg.select(
         F.col("c_nationkey").alias("nationkey"),

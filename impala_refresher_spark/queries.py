@@ -42,103 +42,104 @@ def _load() -> None:
 
 
 # The driver's correctness pass walks the registry in order and checks
-# ~50 entries per round (r01: first 50, r02: first 50 after reorder).
-# Cumulative r01+r02 coverage = 98 names, 93 green / 5 rows-only / 0
-# fails; 72 declared queries have never been in a driver window. The
-# r03 order puts exactly those first: all TPC-H shapes, the lakehouse
-# MERGE/SCD2/Z-order ops, the parked sinks, streaming T6-T12, the
-# kNN/k-means/centroid family, catalog introspection, the new DPP
-# query, plus the queries whose code changed this round
-# (tpch_q2/tpch_q11/sample_weighted_reservoir). The ~22 lowest-risk
-# analytics/pipeline names stay after slot 50 for the r04 window —
-# as do the round-3 late additions (profiling/linkage/graph/sketch
-# families, the recursive-CTE and pipe-syntax front-end twins), which
-# register after the priority block and are pytest-oracle-green at
-# sf0.001 and sf0.01.
-_R03_PRIORITY = [
-    # TPC-H: 21 shapes never driver-checked + the new Q20 adaptation.
-    # q2/q11 changed this round (aggregate pruning / HAVING rounding).
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_stock_parts",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "tpch_q22_global_sales_opportunity",
-    # Lakehouse M1-M3.
-    "merge_upsert_orders",
-    "scd2_user_value_history",
-    "zorder_cluster_stats",
-    # Sinks parked since r01 + format ops.
-    "sink_json_roundtrip",
-    "sink_orc_roundtrip",
-    "multi_format_union",
-    "compact_small_files",
-    # Streaming T6-T12 (multi-batch readStream shapes).
-    "stream_dedup_within_wm_counts",
-    "stream_stream_join",
-    "stream_static_enrich",
-    "stream_windowed_topk",
-    "stream_stateful_ewma",
-    "hypertable_rollup_incremental",
-    # Similarity/clustering family.
-    "knn_join_topk",
-    "kmeans_refine_assignments",
-    "label_centroids",
-    # Catalog introspection C1.
-    "catalog_list_tables",
-    "catalog_describe_table",
-    # New this round: dynamic partition pruning demonstration.
-    "dpp_partitioned_events",
-    # Changed this round (ln-key rounding) — re-verify under driver.
-    "sample_weighted_reservoir",
-    # New this round: map-only Gopher rule battery + hypertable-style
-    # linear interpolation — new code, verify in the r03 window.
-    "quality_gopher_rules",
-    "timeseries_interpolate_linear",
-    "dup_span_ngrams",
-    "text_bm25_score",
-    "stream_stream_left_outer",
-    "pagerank_bipartite",
-    "pit_feature_join",
-    "range_join_count_orderstat",
-    "pca_power_iteration",
-    "dedup_cluster_survivors",
-    "ols_per_nation",
-    "fn_try_safe",
+# the FIRST 50 entries per round (r01/r02/r03 each covered exactly the
+# first 50 after that round's reorder). Cumulative r01+r02+r03
+# coverage = 148 names (143 oracle-green, 5 rows-only `no_oracle`
+# markers, 0 fails); 87 SQL-oracled queries have never been in a
+# driver window. The r04 order puts exactly those 87 first, riskiest
+# code first, so the r04 window (slots 1-50) verifies the entire
+# late-round-3 surface — the five SQL front ends, the two never-
+# checked streaming shapes, the binaryFile source, the four queries
+# whose code changed THIS round (ADVICE float-edge fixes), the
+# linkage/graph/evaluation/profiling/statistics families — plus the
+# three riskiest r03 leftovers. Slots 51-87 (the remaining r03
+# leftovers and the parked-since-r02 analytics/pipeline names, all
+# older lower-risk code) land in the r05 window, completing driver
+# coverage of all 230 oracled queries. The 3 rows-only queries
+# (`hll_sketch_rollup`, `agg_approx_percentiles`, `ann_pq_topk`) sit
+# AFTER the oracled backlog so they never burn a window slot as
+# `err: no_oracle`; their accuracy/determinism contracts live in
+# pytest (tests/test_llm_ops.py).
+_R04_PRIORITY = [
+    # -- slots 1-50: the r04 driver window -------------------------
+    # Five SQL front ends (exercise Spark 4 parser paths no other
+    # query touches; a version bump breaks these first).
+    "sql_recursive_reachability",
+    "sql_pipe_syntax_summary",
+    "sql_parameterized_filter",
+    "pandas_api_summary",
+    "fn_structs",
+    # Streaming shapes never driver-checked.
+    "stream_cdc_merge",
+    "stream_stream_full_outer",
+    # Opaque-blob source.
+    "source_binaryfile_ingest",
+    # Changed THIS round (ADVICE guards: KM d==n cutover, linear-
+    # counting saturation clamp, pow-free integer-week decay, Gini
+    # scale bound) — verify the new code under the driver.
+    "survival_user_retention",
+    "linear_counting_distinct",
+    "trending_decayed_counts",
+    "revenue_concentration_gini",
+    # Record linkage + graph.
+    "fuzzy_join_part_names",
+    "entity_resolution_clusters",
+    "bfs_event_transitions",
+    # Evaluation family E1-E10 (minus survival, above).
+    "langid_confusion_kappa",
+    "langid_precision_recall",
+    "score_auc_quality",
+    "score_gain_deciles",
+    "chisq_segment_status",
+    "anova_segment_acctbal",
+    "mutual_information_lang_source",
+    "subsample_ci_revenue",
+    "ks_statistic_status",
+    # Profiling / statistics family.
+    "profile_table_stats",
+    "benford_first_digit",
+    "mad_outlier_accounts",
+    "cusum_daily_revenue",
+    "time_weighted_avg_value",
+    "gap_islands_active_days",
+    "rolling_corr_qty_price",
+    "cumulative_distinct_users",
+    "fk_orphans_audit",
+    "revenue_mom_change",
+    "timeseries_decompose_daily",
+    "snapshot_diff_orders",
+    "partition_checksums",
+    # Remaining late-r03 analytics / pipeline.
+    "semdedup_embeddings",
+    "corpus_mixture_temperature",
+    "cms_frequency_estimate",
+    "market_basket_pairs",
+    "markov_event_transitions",
+    "pareto_frontier_parts",
+    "seasonal_dow_anomaly",
+    "top_event_paths",
+    "clamped_running_balance",
+    "hhi_supplier_concentration",
+    # Three riskiest r03 leftovers fill the window to 50.
     "pipeline_training_corpus_v2",
-    "hll_sketch_rollup",
-    "schema_evolution_merge",
-    "inverted_index_serve",
     "fn_variant_shred",
+    "schema_evolution_merge",
+    # -- slots 51-87: the r05 window (older, lower-risk code) ------
+    "inverted_index_serve",
+    "dedup_cluster_components",
+    "dedup_cluster_survivors",
     "nearest_event_join",
     "merge_overlapping_intervals",
-    # Remaining never-checked, highest-value first.
+    "ols_per_nation",
+    "fn_try_safe",
     "sql_exists_subquery",
     "cogroup_reconcile",
-    "dedup_cluster_components",
     "dedup_incremental_batch",
     "decontaminate_train_set",
     "text_redact_pii",
     "window_dedup_keep_first",
     "aqp_revenue_estimate",
     "train_val_test_split",
-    # ---- slot ~51+: r04 candidates (driver window ends near here) ----
-    "text_tfidf",  # changed this round (broadcast n_docs); r02 green
     "outlier_orders_zscore",
     "agg_ewma_per_user",
     "funnel_conversion",
@@ -161,14 +162,16 @@ _R03_PRIORITY = [
     "quality_lm_trigram",
     "text_keyword_in_context",
     "embed_int8_quantize",
+    # -- rows-only by design: kept out of every driver window ------
+    "hll_sketch_rollup",
     "agg_approx_percentiles",
     "ann_pq_topk",
 ]
 
 
 def _reorder() -> None:
-    known = set(_R03_PRIORITY)
-    ordered = [n for n in _R03_PRIORITY if n in QUERIES]
+    known = set(_R04_PRIORITY)
+    ordered = [n for n in _R04_PRIORITY if n in QUERIES]
     ordered += [n for n in QUERIES if n not in known]
     for reg in (QUERIES, ORACLES):
         snap = {n: reg[n] for n in ordered if n in reg}

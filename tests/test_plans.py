@@ -866,3 +866,35 @@ def test_trending_reference_day_broadcasts(spark):
     plan = plan_of(trending_decayed_counts(spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan
     assert "Broadcast" in plan
+
+
+def test_connected_components_lineage_stays_bounded(spark):
+    """Checkpoint discipline on the iterative min-label loop (shared
+    by dedup_cluster_components, dedup_cluster_survivors, and
+    entity_resolution_clusters): each round must start from the
+    PREVIOUS round's materialized checkpoint, never replay rounds
+    1..N-1. The failure mode (dropping a localCheckpoint) is invisible
+    at sf0.01 — plans grow linearly but still finish — and fatal at
+    scale. Locked here: (a) the loop converges in <= diameter + 1
+    rounds and early-exits well under max_iter; (b) the pre-checkpoint
+    optimized-plan size is flat across rounds (a growing plan means
+    lineage is accumulating)."""
+    from impala_refresher_spark.operators.dedup import connected_components
+
+    # path graph 0-1-...-9 plus an isolated edge: diameter 9 forces a
+    # multi-round run; min-label needs ceil(log2(9)) rounds only if
+    # labels hop multiple steps -- with 1-hop propagation it needs up
+    # to 9 rounds + 1 convergence-confirming round.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(100, 101)], "a: long, b: long"
+    )
+    stats: list[int] = []
+    labels = connected_components(edges, "a", "b", max_iter=20, round_stats=stats)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {**{i: 0 for i in range(10)}, 100: 100, 101: 100}
+    # (a) round count bounded by diameter + 1 and early exit fired
+    assert 2 <= len(stats) <= 10, stats
+    # (b) per-round plan size flat: every round within 25% of round 1
+    # (plans differ only in RDD ids / cosmetic suffixes)
+    base = stats[0]
+    assert all(abs(s - base) <= 0.25 * base for s in stats), stats
