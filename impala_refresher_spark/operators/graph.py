@@ -93,27 +93,28 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
-        e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(e0.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        # The raw edge list feeds the degree aggregate and the weight-
-        # attach join; without lineage truncation each consumer re-runs
-        # the orders⋈lineitem distinct (measured: collapsing this into
-        # the edges_w checkpoint alone re-computes e0 and costs ~15%).
-        .localCheckpoint()
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
     # Attach the out-degree to the edge relation ONCE, outside the
-    # loop: the per-iteration work drops from two joins (rank, degree)
-    # to one. The contribution stays pr / outdeg — the same IEEE
-    # division the oracle performs — only the join that DELIVERS
-    # outdeg moves out of the loop. Checkpointed: both iteration joins
-    # consume it (the CC/minhash checkpoint discipline — a production
-    # PageRank materializes exactly this relation before iterating).
-    edges_w = edges.join(deg, "src").localCheckpoint()
-    # deg is already one row per node (every node has out-edges after
-    # the undirected doubling) — reuse it instead of a second distinct.
-    n = deg.agg(F.count("*").cast("double").alias("n_nodes"))
+    # loop, as a COUNT window over the src partition: one shuffle on
+    # src produces the weighted edge relation directly. (The earlier
+    # aggregate-then-join form shuffled edges twice — once for the
+    # degree aggregate, once for the attach join — and materialized
+    # the edge list twice; the window form halves the pre-loop cost.)
+    # The contribution stays pr / outdeg — the same IEEE division the
+    # oracle performs. Checkpointed ONCE: both iteration joins consume
+    # it, and without the cut each would re-run the orders⋈lineitem
+    # distinct (a production PageRank materializes exactly this
+    # relation before iterating).
+    from pyspark.sql import Window
+
+    edges_w = edges.withColumn(
+        "outdeg", F.count("*").over(Window.partitionBy("src")).cast("double")
+    ).localCheckpoint()
+    # every node has out-edges after the undirected doubling, so the
+    # node count is the distinct src count over the materialized edges
+    n = edges_w.agg(F.count_distinct("src").cast("double").alias("n_nodes"))
     # Iteration 1 constant-folded: the initial rank vector is the
     # uniform 1/n, so the first contribution sum needs NO rank join —
     # the per-edge term (1/n)/outdeg is computable from the edge

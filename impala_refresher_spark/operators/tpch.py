@@ -662,7 +662,17 @@ def tpch_q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFram
     — the supplier-part association comes from lineitem (no partsupp in
     the fixture). All three part predicates push into the part scan
     before the join; COUNT(DISTINCT) expands to a two-phase exact
-    distinct aggregate; top-40 is TakeOrdered with full tie-break."""
+    distinct aggregate; top-40 is TakeOrdered with full tie-break.
+
+    Plan audited (r04, after the r02→r03 0.79→0.96 s wobble flag): a
+    single COUNT(DISTINCT) lowers to the two-level aggregate — keys
+    (brand,type,size,suppkey) partial-dedup map-side, then the count —
+    with NO Expand (Expand appears only for multiple distinct
+    aggregates); the join is BroadcastHashJoin(filtered part) and the
+    sort is TakeOrderedAndProject. Min-of-4 warm runs: 0.92 s at
+    sf0.1, dominated by the full lineitem scan — no lineitem-side
+    predicate exists to push. The r03 delta was shared-box noise, not
+    a plan change."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#13")
         & ~F.col("p_type").like("PROMO%")

@@ -170,3 +170,55 @@ def test_pareto_keeps_duplicate_optimal_points(spark):
     df.write.mode("overwrite").parquet(f"{d}/part.parquet")
     keys = {r.p_partkey for r in pareto_frontier_parts(spark, d).collect()}
     assert keys == {1, 2, 4}
+
+
+def test_km_survival_zero_factor_cutover(spark, tmp_path):
+    """Kaplan-Meier degenerate factor (ADVICE r03): when d == n at a
+    duration — here the longest-surviving user churned, so the final
+    risk set is exactly the deaths — survival must be EXACTLY 0.0 from
+    that point, on BOTH engines. Unguarded, Spark's F.log(0) -> NULL
+    silently vanishes from the SUM (survival stays positive — wrong)
+    while DuckDB's LN(0) errors; this pins the guarded cutover and the
+    Spark/oracle agreement on a manufactured d == n input the fixture
+    may never produce."""
+    import sys
+
+    from impala_refresher_spark.operators.evaluation import survival_user_retention
+    from impala_refresher_spark.registry import ORACLES
+
+    sys.path.insert(0, "tests")
+    from oracle_util import compare
+
+    from datetime import timedelta
+
+    def ev(eid, day, uid):
+        return (eid, datetime(2024, 1, 1) + timedelta(days=day), uid, "click", 1.0, "{}")
+
+    rows = [
+        # user 10: single event at corpus end -> duration 0, censored
+        ev(1, 40, 10),
+        # user 20: span 30 days, last seen day 30 -> churned; risk set
+        # at t=30 is only user 20 => d == n == 1 (the zero factor)
+        ev(2, 0, 20), ev(3, 30, 20),
+        # user 30: span 10 days, churned -> ordinary factor 1 - 1/2
+        ev(4, 0, 30), ev(5, 10, 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    out = {r["t"]: r for r in survival_user_retention(spark, d).collect()}
+    assert out[10]["survival"] == 0.5 and out[10]["n"] == 2
+    assert out[30]["d"] == 1 and out[30]["n"] == 1
+    assert out[30]["survival"] == 0.0  # cutover, not NULL / not 0.5
+    # and the DuckDB oracle agrees on the same degenerate input
+    # (register just the events view; the tmpdir has no other tables)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    compare(survival_user_retention(spark, d), con, ORACLES["survival_user_retention"])

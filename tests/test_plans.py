@@ -898,3 +898,23 @@ def test_connected_components_lineage_stays_bounded(spark):
     # (plans differ only in RDD ids / cosmetic suffixes)
     base = stats[0]
     assert all(abs(s - base) <= 0.25 * base for s in stats), stats
+
+
+def test_bfs_frontier_loop_lineage_truncated(spark):
+    """Same checkpoint discipline for the Pregel-style BFS frontier
+    loop: every round's frontier and visited set are localCheckpoint-
+    materialized, so the FINAL plan must read only checkpointed RDDs —
+    zero parquet scans and no replay of the window/edge derivation.
+    Without the per-round cuts the final plan would embed the events
+    scan + lag-window + joins once per hop."""
+    import re
+
+    from impala_refresher_spark.operators.graph import bfs_event_transitions
+
+    df = bfs_event_transitions(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    assert "Window" not in plan, plan  # lag-window never replayed
+    # the whole plan is sort + project over checkpointed RDDs — a few
+    # dozen lines, not O(hops * subplan)
+    assert len(plan.splitlines()) < 60, len(plan.splitlines())
