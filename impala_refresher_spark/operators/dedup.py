@@ -335,10 +335,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, hamming) candidate pairs, verified.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
-    h = F.xxhash64("token")
+    # hash ONCE per token in the projection: the 64 per-bit aggregates
+    # below each reference the hash, and leaving xxhash64 inline makes
+    # codegen evaluate it per bit expression (64x per row)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).select("doc_id", F.xxhash64("token").alias("h"))
     bit_sums = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
         for i in range(64)
     ]
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
@@ -381,16 +387,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    cand = (
-        buckets.select(pair.alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # Hamming-filter BEFORE the dedup shuffle: a pair sharing k>1
+    # chunks appears k times, but the distinct only needs to dedup
+    # VERIFIED near-dups (tiny) — filtering is map-side, so the
+    # shuffle input drops from all candidates to the true positives.
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        buckets.select(pair.alias("p"))
+        .select(
+            "p.doc_a",
+            "p.doc_b",
+            F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
         .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
