@@ -857,12 +857,25 @@ def gopher_gate_ids(d: DataFrame) -> DataFrame:
     w = F.split("text", " ")
     n = F.size(w)
     stop = F.array(*[F.lit(x) for x in STOPWORDS])
-    tok = d.select("doc_id", n.alias("n"), F.explode(w).alias("token"))
+    # Shuffle-byte discipline: every per-token fact the aggregates
+    # need (length, stop membership, distinct identity) is projected
+    # to fixed-width ints BEFORE the exchange — the token/bigram
+    # STRINGS never shuffle. Distinct identity rides as xxhash64; a
+    # within-doc 64-bit collision (the only kind that could perturb a
+    # count) needs two distinct tokens of ONE document colliding —
+    # ~n²/2^65, negligible at any document length.
+    tok = d.select("doc_id", n.alias("n"), F.explode(w).alias("token")).select(
+        "doc_id",
+        "n",
+        F.length("token").alias("len"),
+        F.xxhash64("token").alias("th"),
+        F.array_contains(stop, F.col("token")).cast("int").alias("is_stop"),
+    )
     tokf = tok.groupBy("doc_id").agg(
         F.first("n").alias("n"),
-        F.sum(F.length("token")).alias("chars"),
-        F.count_distinct("token").alias("n_distinct"),
-        F.sum(F.array_contains(stop, F.col("token")).cast("int")).alias("n_stop"),
+        F.sum("len").alias("chars"),
+        F.count_distinct("th").alias("n_distinct"),
+        F.sum("is_stop").alias("n_stop"),
     )
     bg = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -873,9 +886,9 @@ def gopher_gate_ids(d: DataFrame) -> DataFrame:
         F.explode(
             F.when(n < 2, F.array().cast("array<string>")).otherwise(bg)
         ).alias("bigram"),
-    )
+    ).select("doc_id", F.xxhash64("bigram").alias("bh"))
     b2 = (
-        b.groupBy("doc_id", "bigram")
+        b.groupBy("doc_id", "bh")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
