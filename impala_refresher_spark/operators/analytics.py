@@ -468,9 +468,13 @@ def outlier_orders_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
     w = Window.partitionBy("c_mktsegment")
-    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
-        "o_totalprice"
-    ).over(w)
+    # try_divide: a constant-price segment has stddev 0.0 — ANSI Spark
+    # errors on /0 where DuckDB yields NULL; NULL z-scores fail the
+    # |z| filter identically on both engines.
+    z = F.try_divide(
+        F.col("o_totalprice") - F.avg("o_totalprice").over(w),
+        F.stddev_samp("o_totalprice").over(w),
+    )
     return (
         o.join(F.broadcast(c), "o_custkey")
         .withColumn("zscore", z)
@@ -1157,8 +1161,12 @@ def ols_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("x") * F.col("y")), 2).alias("sxy"),
         F.round(F.sum(F.col("x") * F.col("x")), 2).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # try_divide: zero x-variance (e.g. a single-customer nation, where
+    # n·Σx² − (Σx)² is exactly 0) must yield a NULL slope on both
+    # engines — ANSI Spark would error on the division, DuckDB NULLs.
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
     # Outputs stay UNROUNDED: the quotients divide identical pinned
     # operands, so the doubles match bitwise; a ROUND here would
@@ -1490,7 +1498,13 @@ def seasonal_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rev").over(w), 2).alias("dow_mean"),
         F.round(F.stddev_samp("rev").over(w), 2).alias("dow_sd"),
     )
-    z = F.round((F.col("rev") - F.col("dow_mean")) / F.col("dow_sd"), 2)
+    # try_divide: a dow whose days all have identical rounded revenue
+    # gives sd = 0.0 — ANSI Spark would ERROR on the division while
+    # DuckDB yields NULL; try_divide makes both engines drop the row
+    # (same for the 1-day dow where stddev_samp is NULL).
+    z = F.round(
+        F.try_divide(F.col("rev") - F.col("dow_mean"), F.col("dow_sd")), 2
+    )
     return (
         scored.select("day", "dow", "rev", "dow_mean", z.alias("dow_z"))
         .filter(F.abs(F.col("dow_z")) > 2.0)

@@ -127,7 +127,10 @@ def langid_confusion_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.round(po, 4).alias("po"),
             F.round(pe, 4).alias("pe"),
-            F.round((po - pe) / (1.0 - pe), 4).alias("kappa"),
+            # try_divide: pe = 1 (single-cell matrix — one class,
+            # always-right classifier) zeroes the denominator; ANSI
+            # Spark errors where DuckDB yields NULL
+            F.round(F.try_divide(po - pe, 1.0 - pe), 4).alias("kappa"),
         )
         .orderBy("label", "pred")
     )
@@ -200,9 +203,15 @@ def score_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
+        # try_divide: if either class is absent (a filtered corpus can
+        # plausibly be all-positive), n_pos*n_neg = 0 — ANSI Spark
+        # errors on the division while DuckDB yields NULL; try_divide
+        # emits the same NULL AUC on both engines.
         F.round(
-            (F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            F.try_divide(
+                F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0,
+                F.col("n_pos").cast("double") * F.col("n_neg"),
+            ),
             4,
         ).alias("auc"),
     )
@@ -452,16 +461,21 @@ def score_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n",
             "n_pos",
+            # try_divide: a corpus with zero positives (plausible after
+            # an upstream filter) zeroes both the capture denominator
+            # and the overall rate — ANSI Spark errors, DuckDB NULLs
             F.round(
-                F.sum("n_pos").over(cum).cast("double")
-                / F.sum("n_pos").over(tot),
+                F.try_divide(
+                    F.sum("n_pos").over(cum).cast("double"),
+                    F.sum("n_pos").over(tot),
+                ),
                 4,
             ).alias("cum_capture"),
             F.round(
-                (F.col("n_pos").cast("double") / F.col("n"))
-                / (
+                F.try_divide(
+                    F.col("n_pos").cast("double") / F.col("n"),
                     F.sum("n_pos").over(tot).cast("double")
-                    / F.sum("n").over(tot)
+                    / F.sum("n").over(tot),
                 ),
                 4,
             ).alias("lift"),
@@ -709,11 +723,14 @@ def ks_statistic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.agg(
         F.max("tf").cast("long").alias("n_f"),
         F.max("tot_o").cast("long").alias("n_o"),
+        # try_divide: an input where one status class is absent zeroes
+        # that CDF's denominator — ANSI Spark errors, DuckDB NULLs; the
+        # guarded form yields a NULL D on both engines
         F.round(
             F.max(
                 F.abs(
-                    F.col("cf").cast("double") / F.col("tf")
-                    - F.col("co").cast("double") / F.col("tot_o")
+                    F.try_divide(F.col("cf").cast("double"), F.col("tf"))
+                    - F.try_divide(F.col("co").cast("double"), F.col("tot_o"))
                 )
             ),
             4,
@@ -779,10 +796,18 @@ def anova_segment_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy()
     explained = F.sum(F.col("s") * F.col("s") / F.col("n")).over(w)
-    ms_between = (
-        explained - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
-    ) / (F.col("k") - 1)
-    ms_within = (F.col("ss_tot") - explained) / (F.col("n_tot") - F.col("k"))
+    # try_divide on every data-dependent denominator: k-1 = 0 (one
+    # segment), n_tot-k = 0 (every group a singleton), and ms_within
+    # = 0 (zero within-group variance) are all reachable on plausible
+    # inputs — ANSI Spark errors on /0 where DuckDB yields NULL, so
+    # the guarded form emits the oracle's NULL on both engines.
+    ms_between = F.try_divide(
+        explained - F.col("s_tot") * F.col("s_tot") / F.col("n_tot"),
+        F.col("k") - 1,
+    )
+    ms_within = F.try_divide(
+        F.col("ss_tot") - explained, F.col("n_tot") - F.col("k")
+    )
     return (
         g.crossJoin(F.broadcast(tot))
         .select(
@@ -791,7 +816,7 @@ def anova_segment_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s") / F.col("n"), 2).alias("group_mean"),
             F.round(ms_between, 2).alias("ms_between"),
             F.round(ms_within, 2).alias("ms_within"),
-            F.round(ms_between / ms_within, 4).alias("f_stat"),
+            F.round(F.try_divide(ms_between, ms_within), 4).alias("f_stat"),
         )
         .orderBy("seg")
     )

@@ -973,7 +973,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("l_partkey").alias("c_partkey"), F.col("l_suppkey").alias("c_suppkey")
         )
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        # try_divide: a zero-quantity line (dirty ingest) must become a
+        # NULL unit cost skipped by MIN on both engines — DuckDB's /0
+        # yields NULL while ANSI Spark would error the whole query
+        .agg(
+            F.min(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+            ).alias("unit_cost")
+        )
     )
     best = costs.groupBy(F.col("c_partkey").alias("b_partkey")).agg(
         F.min("unit_cost").alias("best_cost")

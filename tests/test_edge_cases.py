@@ -222,3 +222,42 @@ def test_km_survival_zero_factor_cutover(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
     )
     compare(survival_user_retention(spark, d), con, ORACLES["survival_user_retention"])
+
+
+def test_zscore_zero_variance_group_yields_no_rows_not_error(spark, tmp_path):
+    """Division-by-zero discipline (r04 sweep): ANSI Spark ERRORS on
+    double x/0 while DuckDB 1.0 yields NULL, so every data-dependent
+    denominator (stddev, class counts, variance terms, 1-pe, k-1) is
+    guarded with try_divide. This pins the canonical case: a segment
+    whose prices are all identical has stddev 0.0 — the z-score must
+    come back NULL (row filtered) on BOTH engines, never raise."""
+    from impala_refresher_spark.operators.analytics import outlier_orders_zscore
+    from impala_refresher_spark.registry import ORACLES
+
+    d = str(tmp_path)
+    # segment A: constant price (sd = 0); segment B: varied prices
+    orders = [(i, 100 + i % 3, 50.0 if i < 6 else float(10 * i), "O") for i in range(12)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string"
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(100, "CONST"), (101, "CONST"), (102, "VAR")],
+        "c_custkey long, c_mktsegment string",
+    ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+
+    rows = outlier_orders_zscore(spark, d).collect()  # must not raise
+    # no order from a zero-variance group can be flagged
+    assert all(r.o_custkey == 102 or r.zscore is not None for r in rows)
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_util import compare
+
+    compare(outlier_orders_zscore(spark, d), con, ORACLES["outlier_orders_zscore"])
