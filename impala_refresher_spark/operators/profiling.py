@@ -520,10 +520,18 @@ def rolling_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     SXX, SYY = F.sum("sxx").over(w), F.sum("syy").over(w)
     # try_divide: a zero-variance frame (e.g. a single-row day with no
     # 29-day history) has no defined correlation — NULL, matching what
-    # both engines' CORR returns there, instead of an ANSI error
+    # both engines' CORR returns there, instead of an ANSI error.
+    # greatest(0, ·): the n·Var factors are mathematically >= 0 but
+    # float cancellation can leave -1e-9 residue on a zero-variance
+    # frame; Spark's sqrt(neg) is NaN (poisoning try_divide into NaN,
+    # not NULL) while the oracle's CORR returns NULL — clamping to 0
+    # routes both engines to the same NULL and is a no-op otherwise.
     corr = F.try_divide(
         SXY - SX * SY / N,
-        F.sqrt((SXX - SX * SX / N) * (SYY - SY * SY / N)),
+        F.sqrt(
+            F.greatest(F.lit(0.0), SXX - SX * SX / N)
+            * F.greatest(F.lit(0.0), SYY - SY * SY / N)
+        ),
     )
     return (
         daily.select(
