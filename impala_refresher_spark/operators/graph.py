@@ -102,6 +102,12 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate-then-join form shuffled edges twice — once for the
     # degree aggregate, once for the attach join — and materialized
     # the edge list twice; the window form halves the pre-loop cost.)
+    # Scale trade, stated: the window buffers one src's edges per
+    # partition group (sort-spill for a power-law hub, never OOM);
+    # on a graph with 10^8-degree hubs prefer the two-shuffle
+    # aggregate+join form whose degree count partial-aggregates
+    # map-side — for this bipartite purchase graph (degree ≤ orders
+    # per customer) the single-shuffle window wins.
     # The contribution stays pr / outdeg — the same IEEE division the
     # oracle performs. Checkpointed ONCE: both iteration joins consume
     # it, and without the cut each would re-run the orders⋈lineitem
