@@ -320,38 +320,105 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash near-dup (bitwise fingerprint; rows-only check)
 # ---------------------------------------------------------------------------
 
-@query("dedup_simhash")  # rows-only: xxhash64-based fingerprint is engine-specific
+def _simhash_oracle() -> str:
+    """Generated DuckDB twin of `dedup_simhash` — possible because the
+    bit source is md5 (identical hex on both engines), the portable-
+    hash discipline of `cms_frequency_estimate` applied to strings."""
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    weights = "\n               + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashed GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             {weights} AS simhash
+      FROM bits
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, t.c AS chunk_id,
+             (simhash >> (15 * t.c)) & 32767 AS chunk
+      FROM fp CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS c) AS t
+    ),
+    ok_buckets AS (
+      SELECT chunk_id, chunk
+      FROM chunks GROUP BY chunk_id, chunk
+      HAVING COUNT(*) > 1 AND COUNT(*) <= 1000
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM chunks a
+      JOIN ok_buckets o ON o.chunk_id = a.chunk_id AND o.chunk = a.chunk
+      JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: 64-bit fingerprint where bit i is the sign of the sum
-    over tokens of ±1 (from bit i of xxhash64(token)). Near-dups =
+    """SimHash: 60-bit fingerprint where bit i is the sign of the sum
+    over tokens of ±1 (from bit i of the token's hash). Near-dups =
     pairs within Hamming distance 3, found by exact match on 4
-    16-bit chunks (any pair at distance ≤3 shares ≥1 exact chunk —
+    15-bit chunks (any pair at distance ≤3 shares ≥1 exact chunk —
     the pigeonhole trick that makes SimHash joinable at scale).
 
-    All 64 bits are real: bit 63 is set by adding the min-long weight
-    (two's complement — addition of disjoint bit weights == OR), since
-    a ``1 << 63`` literal overflows LongType.
+    The bit source is the first 15 hex chars of md5(token) — 60 bits,
+    ENGINE-PORTABLE (both engines produce identical md5 hex), so the
+    ENTIRE fingerprint/bucket/verify pipeline is oracle-checked,
+    upgrading this query from rows-only to SQL-differential (the
+    `cms_frequency_estimate` portable-hash trade: a costlier hash
+    buys a checkable answer; at raw-throughput scale swap xxhash64
+    back in — the plan shape is hash-agnostic). 60 bits also keep
+    every weight a positive long (no two's-complement bit-63 trick).
 
     Output: (doc_a, doc_b, hamming) candidate pairs, verified.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    # hash ONCE per token in the projection: the 64 per-bit aggregates
-    # below each reference the hash, and leaving xxhash64 inline makes
-    # codegen evaluate it per bit expression (64x per row)
+    # hash ONCE per token in the projection: the 60 per-bit aggregates
+    # below each reference the hash, and leaving it inline makes
+    # codegen evaluate it per bit expression (60x per row)
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    ).select("doc_id", F.xxhash64("token").alias("h"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(60)
     ]
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
     bit_weights = [
-        F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0)
-        for i in range(63)
-    ] + [F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(0)]
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+        for i in range(60)
+    ]
     fp = per_doc.select(
         "doc_id",
         sum(bit_weights, F.lit(0).cast("long")).alias("simhash"),
@@ -360,7 +427,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         F.posexplode(
-            F.array(*[F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+            F.array(*[F.shiftright("simhash", 15 * c).bitwiseAND(F.lit(0x7FFF)) for c in range(4)])
         ).alias("chunk_id", "chunk"),
     )
     # Posting-list pair generation (cf. dedup_ngram_jaccard): group each
