@@ -207,9 +207,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sig: array<long>) — k minhash values per document.
 
-    Shingle hashing uses xxhash64 (JVM built-in); each of the k
-    permutations is (a*h + b) mod Mersenne31. All codegen — the only
-    shuffle is the final groupBy(doc_id).
+    Shingle hashing is the first 60 bits of md5 (engine-portable hex,
+    the `dedup_simhash` discipline) reduced mod Mersenne31; each of
+    the k permutations is (a*h + b) mod Mersenne31 with every
+    intermediate < 2^62 (ANSI-safe, identical integer arithmetic on
+    both engines — which is what makes the LSH pipeline
+    oracle-checkable). All codegen — the only shuffle is the final
+    groupBy(doc_id). At raw-throughput scale swap xxhash64 back in;
+    the plan shape is hash-agnostic.
 
     Measured note: a shuffle-free alternative (array_min over
     higher-order transforms of the shingle array) is 3x SLOWER here
@@ -218,7 +223,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     fully inside whole-stage codegen. Prefer the codegen'd shuffle.
     """
     sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    h = F.pmod(
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long"),
+        F.lit(_MERSENNE),
+    )
     mins = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)).alias(f"h{i}")
         for i, (a, b) in enumerate(zip(_AS, _BS))
@@ -227,7 +235,77 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(_MINHASH_K)]).alias("sig"))
 
 
-@query("dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic by design
+def _minhash_lsh_oracle() -> str:
+    """Generated DuckDB twin of `dedup_minhash_lsh`: the md5-based
+    shingle hash and exact-tuple banding make the ENTIRE LSH pipeline
+    deterministic integer arithmetic both engines agree on."""
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE}) AS h{i}"
+        for i, (a, b) in enumerate(zip(_AS, _BS))
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + ", ".join(
+            f"h{b * _ROWS_PER_BAND + r} AS x{r}" for r in range(_ROWS_PER_BAND)
+        )
+        + " FROM sig"
+        for b in range(_BANDS)
+    )
+    on_tuple = " AND ".join(
+        ["a.band_id = {t}.band_id"] + [f"a.x{r} = {{t}}.x{r}" for r in range(_ROWS_PER_BAND)]
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(list_zip(toks[1:-3], toks[2:-2], toks[3:-1]),
+                              p -> p[1] || ' ' || p[2] || ' ' || p[3]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MERSENNE} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    ok_buckets AS (
+      SELECT band_id, x0, x1, x2, x3
+      FROM bands GROUP BY band_id, x0, x1, x2, x3
+      HAVING COUNT(*) > 1 AND COUNT(*) <= {_MAX_DF}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN ok_buckets o ON {on_tuple.format(t="o")}
+      JOIN bands b ON {on_tuple.format(t="b")} AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.4
+    ORDER BY i.doc_a, i.doc_b
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: MinHash-LSH near-dup pairs, verified by exact Jaccard on
     the candidates.
@@ -235,10 +313,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: shingle → 32 minhashes → 8 bands of 4 → band-bucket
     self-join → exact-Jaccard verify ≥ 0.4. Candidate generation cost
     is bounded by bucket sizes (not corpus²); at 100 TB you salt hot
-    buckets and cap bucket width. Deterministic given the fixed hash
-    constants, but not SQL-expressible (xxhash64 is engine-specific)
-    → rows-only driver check; tests/test_llm_ops.py asserts recall
-    against dedup_ngram_jaccard's exact pairs.
+    buckets and cap bucket width.
+
+    Oracle-checkable since r04: the shingle hash is md5-derived (the
+    portable-hash discipline — see `minhash_signatures`), and bands
+    bucket on the EXACT 4-tuple of minhash values rather than a
+    compressed band hash. Tuple banding is what the band hash only
+    approximated (a band collision now IS equality of the band's
+    signature slice, with zero false-positive bucket collisions), and
+    it is expressible on both engines, so the whole
+    shingle→signature→band→verify pipeline runs under the SQL
+    differential. The recall contract vs `dedup_ngram_jaccard`'s
+    exact pairs stays in tests/test_llm_ops.py.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
     sig = minhash_signatures(d)
@@ -248,8 +334,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(band), *[F.element_at("sig", band * _ROWS_PER_BAND + r + 1) for r in range(_ROWS_PER_BAND)]
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.element_at("sig", band * _ROWS_PER_BAND + r + 1)
+                            for r in range(_ROWS_PER_BAND)
+                        ],
                     )
                     for band in range(_BANDS)
                 ]
