@@ -161,38 +161,150 @@ def hypertable_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# Mergeable-sketch rollup: daily HLL sketches → union → estimate
+# Mergeable-sketch rollup: daily HLL register tables → MAX-merge → estimate
 # ---------------------------------------------------------------------------
 
-@query("hll_sketch_rollup")  # rows-only: sketch binaries are engine-specific
+# Portable HyperLogLog parameters. The bit source is the first 60 bits
+# of md5(user_id-as-string) — the `dedup_simhash`/`minhash_signatures`
+# portable-hash discipline (identical hex on both engines; an affine
+# (k*a+b) mod p hash of SEQUENTIAL ids is lattice-structured and wrecks
+# the leading-zero rank distribution, measured 3x overestimates). The
+# low 10 bits pick one of m=1024 registers; the remaining 50 bits feed
+# the leading-zero rank, so every register value is identical integer
+# arithmetic on Spark and DuckDB and the WHOLE sketch is oracle-checked
+# (Spark's native `hll_sketch_agg` DataSketches bytes are engine-opaque
+# and would force a rows-only check; it remains the production drop-in —
+# same algebra, same plan shape — demonstrated in tests/test_llm_ops.py).
+_HLL_M = 1024          # registers (2^10) → rse ≈ 1.04/√m ≈ 3.3%
+_HLL_REST_BITS = 50    # bits feeding the rank after the 10 bucket bits
+_HLL_RHO_MAX = _HLL_REST_BITS + 1
+_HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+
+# bit_length as a CASE ladder (no log2 floats — float-discipline rule):
+# both engines evaluate the same integer comparisons top-down.
+_HLL_BITLEN_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN rest >= {1 << (k - 1)} THEN {k}"
+        for k in range(_HLL_REST_BITS, 0, -1)
+    )
+    + " ELSE 0 END"
+)
+
+
+def _hll_bitlen_col(c):
+    expr = F.when(c >= (1 << (_HLL_REST_BITS - 1)), _HLL_REST_BITS)
+    for k in range(_HLL_REST_BITS - 1, 0, -1):
+        expr = expr.when(c >= (1 << (k - 1)), k)
+    return expr.otherwise(0)
+
+
+@query(
+    "hll_sketch_rollup",
+    f"""
+    WITH hashed AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    ranked AS (
+        SELECT day, event_type, h % {_HLL_M} AS bucket,
+               {_HLL_RHO_MAX} - ({_HLL_BITLEN_SQL.replace("rest", f"(h >> 10)")}) AS rho
+        FROM hashed
+    ),
+    daily AS (
+        SELECT day, event_type, bucket, MAX(rho) AS r
+        FROM ranked GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT event_type, bucket, MAX(r) AS r
+        FROM daily GROUP BY 1, 2
+    ),
+    days AS (
+        SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS occupied,
+               SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - r)) AS s_occ
+        FROM merged GROUP BY 1
+    ),
+    raw AS (
+        SELECT event_type, occupied,
+               ({_HLL_M} - occupied) AS v,
+               ({_HLL_ALPHA_M2!r} * CAST({1 << _HLL_RHO_MAX} AS DOUBLE))
+                 / CAST(s_occ + ({_HLL_M} - occupied) * {1 << _HLL_RHO_MAX} AS DOUBLE)
+                 AS raw_est
+        FROM est
+    )
+    SELECT raw.event_type AS event_type, days.n_days AS n_days,
+           CAST(ROUND(CASE WHEN raw_est <= {2.5 * _HLL_M!r} AND v > 0
+                           THEN {_HLL_M} * LN({float(_HLL_M)!r} / v)
+                           ELSE raw_est END) AS BIGINT) AS approx_users
+    FROM raw JOIN days ON raw.event_type = days.event_type
+    ORDER BY event_type
+    """,
+)
 def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct-count rollup with MERGEABLE sketches: build a
-    per-(day, event_type) HyperLogLog sketch of user_ids (DataSketches
-    `hll_sketch_agg`), then answer the per-type question by UNIONING
-    the daily sketches (`hll_union_agg`) — never re-touching raw data.
+    per-(day, event_type) HyperLogLog register table of user_ids, then
+    answer the per-type question by MERGING the daily registers
+    (element-wise MAX) — never re-touching raw data.
 
     This is the materialized-aggregate pattern `hypertable_rollup_daily`
     uses for sums, extended to DISTINCT counts, which plain partial
     aggregation cannot merge (yesterday's distinct + today's distinct
-    ≠ total distinct). At 100 TB the daily sketch layer is the stored
-    rollup (KBs per bucket); serving any date range is a sketch union
-    over bucket rows. Engine-specific sketch bytes → rows-only driver
-    check; accuracy vs exact distinct is asserted in pytest.
+    ≠ total distinct). At 100 TB the daily register layer is the stored
+    rollup (≤m rows per bucket, KBs); serving any date range is a
+    MAX-merge over bucket rows — the same algebra DataSketches
+    `hll_union_agg` implements over opaque bytes, laid out here as
+    plain relational state so the DuckDB oracle replays it bit-for-bit
+    (md5 bit source → register index + leading-zero rank via an
+    integer CASE ladder; see module constants).
+
+    Estimator: Flajolet's raw harmonic mean, computed in scaled INTEGER
+    arithmetic — Σ 2^(rho_max − r) with a FIXED exponent, so there is
+    no per-group float accumulation at all; one double multiply+divide
+    at the end. Small-range correction (raw ≤ 2.5m, empty registers
+    V > 0) switches to linear counting m·ln(m/V): ln is the single
+    libm call, and over its finite domain (V ∈ 1..m−1) the nearest
+    integer-rounding boundary is 6.7e-6 away — 9 orders above 1-ulp
+    cross-engine ln jitter (checked exhaustively in
+    tests/test_llm_ops.py).
     """
-    e = load_table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            F.date_trunc("day", "ts").alias("day"),
-            "event_type",
-        )
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ranked = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        (h % _HLL_M).alias("bucket"),
+        (F.lit(_HLL_RHO_MAX) - _hll_bitlen_col(F.shiftright(h, 10))).alias("rho"),
     )
+    daily = ranked.groupBy("day", "event_type", "bucket").agg(F.max("rho").alias("r"))
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("r").alias("r"))
+    days = daily.groupBy("event_type").agg(F.countDistinct("day").alias("n_days"))
+    est = merged.groupBy("event_type").agg(
+        F.count("*").alias("occupied"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - r)")).alias("s_occ"),
+    )
+    v = F.lit(_HLL_M) - F.col("occupied")
+    raw_est = (F.lit(_HLL_ALPHA_M2) * F.lit(float(1 << _HLL_RHO_MAX))) / (
+        F.col("s_occ") + v * (1 << _HLL_RHO_MAX)
+    ).cast("double")
+    corrected = F.when(
+        (raw_est <= 2.5 * _HLL_M) & (v > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / v),
+    ).otherwise(raw_est)
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.count("*").alias("n_days"),
+        est.select(
+            "event_type",
+            F.round(corrected).cast("long").alias("approx_users"),
         )
+        .join(F.broadcast(days), "event_type")
+        .select("event_type", "n_days", "approx_users")
         .orderBy("event_type")
     )
 

@@ -241,7 +241,60 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-@query("ann_lsh_topk")  # rows-only: ANN recall is probabilistic by design
+def _ann_lsh_oracle() -> str:
+    """Generated DuckDB twin of `ann_lsh_topk`. Possible because the
+    whole pipeline is deterministic double arithmetic over SHARED
+    literals: the hyperplanes come from one seeded generator, embedded
+    as list literals here and as F.lit columns in the Spark plan (repr
+    round-trips doubles exactly), and every dot product is the same
+    strict L→R fold both engines execute bit-identically (`_sql_dot`).
+    Sign bits, the weakest-plane argmin, and the XOR probe are then
+    integer ops on identical doubles, so bucket membership — not just
+    the re-ranked output — is oracle-checked."""
+    planes = _hyperplanes(8, _DIM)
+    plane_rows = ",\n             ".join(
+        f"({i}, [{', '.join(repr(v) for v in p)}])" for i, p in enumerate(planes)
+    )
+    cos = _sql_cosine("c.embedding", "c.qv")
+    return f"""
+    WITH planes(i, pv) AS (VALUES {plane_rows}),
+    marg AS (
+      SELECT e.vec_id, p.i, {_sql_dot("e.embedding", "p.pv")} AS m
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN m >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS bucket,
+             list(m ORDER BY i) AS margins
+      FROM marg GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS q_id,
+             unnest([bucket,
+                     xor(bucket, CAST(1 AS BIGINT) <<
+                         (list_position(list_transform(margins, x -> abs(x)),
+                                        list_min(list_transform(margins, x -> abs(x)))) - 1))])
+               AS q_bucket
+      FROM sig WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT p.q_id, s.vec_id, ce.embedding, qe.embedding AS qv
+      FROM probes p
+      JOIN sig s ON s.bucket = p.q_bucket AND s.vec_id <> p.q_id
+      JOIN embeddings ce ON ce.vec_id = s.vec_id
+      JOIN embeddings qe ON qe.vec_id = p.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, ROUND({cos}, 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY ROUND({cos}, 6) DESC, vec_id ASC) AS INTEGER) AS rk
+      FROM cand c
+    )
+    SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 10
+    """
+
+
+@query("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH (8 planes → 256 buckets,
     2 bucket probes per query via sign-flip of the weakest plane).
@@ -252,8 +305,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — its own, plus the bucket reached by flipping its weakest
     plane (the plane with the smallest |margin|, i.e. the sign most
     likely to disagree for a true neighbour); exact cosine re-rank of
-    candidates; top-10 per query. Deterministic given the seed;
-    recall vs brute force is asserted in tests, not SQL-checkable.
+    candidates; top-10 per query. RECALL is probabilistic by design
+    (asserted vs brute force in tests) — but the COMPUTATION is
+    deterministic shared-literal double arithmetic, so since r04 the
+    full pipeline is SQL-oracled (see `_ann_lsh_oracle`).
     """
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
     planes = _hyperplanes(8, _DIM)
@@ -320,7 +375,56 @@ _IVF_CELLS = 16
 _IVF_PROBES = 2
 
 
-@query("ann_ivf_topk")  # rows-only: ANN recall is probabilistic by design
+def _ann_ivf_oracle() -> str:
+    """Generated DuckDB twin of `ann_ivf_topk`. The centroid set is a
+    deterministic data SAMPLE (every 61st vector, first 16), so the
+    oracle derives the identical index from the table itself — no
+    literals needed. Cell assignment dots are fold-exact: the Spark
+    side's Arrow UDF accumulates dimensions SEQUENTIALLY in float64
+    (see `cell_ranking`), the same IEEE op sequence as this L→R
+    list_reduce, so cell membership — the index structure itself —
+    is oracle-checked, not just the re-ranked output."""
+    return f"""
+    WITH cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             embedding AS cent
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % 61 = 0 ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ),
+    dots AS (
+      SELECT e.vec_id, c.cid, {_sql_dot("e.embedding", "c.cent")} AS m
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cell_rank AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY m DESC, cid ASC) AS rn
+      FROM dots
+    ),
+    sig AS (SELECT vec_id, cid AS cell FROM cell_rank WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, cid AS probe_cell
+      FROM cell_rank WHERE vec_id < 5 AND rn <= {_IVF_PROBES}
+    ),
+    cand AS (
+      SELECT p.q_id, s.vec_id, ce.embedding, qe.embedding AS qv
+      FROM probes p
+      JOIN sig s ON s.cell = p.probe_cell AND s.vec_id <> p.q_id
+      JOIN embeddings ce ON ce.vec_id = s.vec_id
+      JOIN embeddings qe ON qe.vec_id = p.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, ROUND({_sql_cosine("c.embedding", "c.qv")}, 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY ROUND({_sql_cosine("c.embedding", "c.qv")}, 6) DESC,
+                           vec_id ASC) AS INTEGER) AS rk
+      FROM cand c
+    )
+    SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 10
+    """
+
+
+@query("ann_ivf_topk", _ann_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via IVF: partition vectors into cells around coarse
     centroids; queries probe only the nearest _IVF_PROBES cells and
@@ -331,11 +435,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index-build stage that at scale runs as its own job (sampled
     kmeans over a fraction of the corpus) and broadcasts ~kB of
     centroids. Cell assignment is argmax-dot against the broadcast
-    centroids: pure map-side codegen arithmetic, no shuffle. The
-    probe join is an equi-join on cell id, so candidate cost is the
-    probed cells' sizes — sublinear in the corpus, same shape as the
-    LSH plan above but with learned, data-shaped buckets (better
-    recall per candidate at equal probe budget)."""
+    centroids: an Arrow-batched pandas UDF, vectorized across the
+    batch but accumulating DIMENSIONS sequentially in float64 — the
+    same IEEE op sequence as the repo's L→R dot fold, which is what
+    lets the DuckDB oracle (`_ann_ivf_oracle`) replay cell membership
+    bit-for-bit (a BLAS matmul's blocked summation would diverge in
+    the last ulp and flip near-tie cells). The probe join is an
+    equi-join on cell id, so candidate cost is the probed cells'
+    sizes — sublinear in the corpus, same shape as the LSH plan above
+    but with learned, data-shaped buckets (better recall per
+    candidate at equal probe budget). RECALL stays probabilistic
+    (tested vs brute force); the computation is SQL-oracled since r04.
+    """
     e = load_table(spark, sf_dir, "embeddings")
     cent_rows = (
         e.filter(F.col("vec_id") % 61 == 0)
@@ -346,14 +457,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = np.array([[float(x) for x in r.embedding] for r in cent_rows])
 
-    # Cell ranking = one BLAS matmul per Arrow batch against the
-    # broadcast centroid matrix — exactly how a production IVF assigns
-    # cells; interpreted per-element expressions would walk 16 x dim
-    # lambda evals per row instead.
+    # Cell ranking per Arrow batch against the broadcast centroid
+    # matrix. Vectorized over ROWS; the dimension loop pins the
+    # accumulation order to the strict L→R fold (init 0.0) so every
+    # dot is bit-identical to _dot/_sql_dot.
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def cell_ranking(emb: pd.Series) -> pd.Series:
-        m = np.vstack(emb.to_numpy())  # (batch, dim)
-        order = np.argsort(-(m @ cents.T), axis=1, kind="stable")
+        m = np.vstack(emb.to_numpy()).astype("float64")  # (batch, dim)
+        dots = np.zeros((m.shape[0], cents.shape[0]))
+        for d in range(m.shape[1]):
+            dots += m[:, d, None] * cents[None, :, d]
+        order = np.argsort(-dots, axis=1, kind="stable")
         return pd.Series(list(order[:, :_IVF_PROBES].astype("int32")))
 
     ef = fan_out(e)
@@ -463,10 +577,94 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M = 8          # subspaces (64-dim -> 8 sub-vectors of 8 dims)
 _PQ_K = 16         # centroids per subspace codebook
-_PQ_CAND = 32      # ADC candidates kept per query before exact rerank
+_PQ_CAND = 64      # ADC candidates kept per query before exact rerank
 
 
-@query("ann_pq_topk")  # rows-only: ANN recall is probabilistic by design
+def _pq_oracle() -> str:
+    """Generated DuckDB twin of `ann_pq_topk`. Portable because every
+    stage is shared deterministic arithmetic: the codebook sample is
+    md5-hash-ordered (identical hex both engines), the subspace
+    distances and LUT dots accumulate dimensions sequentially (the
+    Spark UDF pins its loops to the L→R fold order), and the ADC score
+    folds the 8 per-subspace LUT values in subspace order with init
+    0.0 — so codes, candidates, and the reranked output all match
+    bit-for-bit."""
+    d_sub = _DIM // _PQ_M
+    sq = "p -> (p[1] - p[2]) * (p[1] - p[2])"
+    prod = "p -> p[1] * p[2]"
+    fold = lambda items, lam: (
+        f"list_reduce(list_prepend(0.0, list_transform({items}, {lam})), "
+        f"(acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH ms AS (SELECT CAST(unnest(range({_PQ_M})) AS INTEGER) AS m),
+    sample AS (
+      SELECT embedding,
+             CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id + 2 AS VARCHAR)), vec_id) - 1
+                  AS INTEGER) AS k
+      FROM embeddings
+      QUALIFY k < {_PQ_K}
+    ),
+    books AS (
+      SELECT ms.m, s.k,
+             list_transform(list_slice(s.embedding, ms.m * {d_sub} + 1,
+                                       ms.m * {d_sub} + {d_sub}),
+                            x -> CAST(x AS DOUBLE)) AS bc
+      FROM sample s CROSS JOIN ms
+    ),
+    vec_sub AS (
+      SELECT vec_id, ms.m,
+             list_transform(list_slice(embedding, ms.m * {d_sub} + 1,
+                                       ms.m * {d_sub} + {d_sub}),
+                            x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings CROSS JOIN ms
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT v.vec_id, v.m, b.k,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {fold("list_zip(v.xs, b.bc)", sq)} ASC,
+                                           b.k ASC) AS rn
+        FROM vec_sub v JOIN books b ON v.m = b.m
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS q_id, q.m, b.k,
+             {fold("list_zip(q.xs, b.bc)", prod)} AS val
+      FROM vec_sub q JOIN books b ON q.m = b.m
+      WHERE q.vec_id < 5
+    ),
+    adc AS (
+      SELECT l.q_id, c.vec_id,
+             list_reduce(list_prepend(0.0, list(l.val ORDER BY l.m)),
+                         (acc, x) -> acc + x) AS adc_score
+      FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.k
+      WHERE c.vec_id <> l.q_id
+      GROUP BY l.q_id, c.vec_id
+    ),
+    cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adc_score DESC, vec_id ASC) AS crk
+        FROM adc
+      ) WHERE crk <= {_PQ_CAND}
+    ),
+    ranked AS (
+      SELECT c.q_id, c.vec_id,
+             ROUND({_sql_cosine("ce.embedding", "qe.embedding")}, 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.q_id
+                  ORDER BY ROUND({_sql_cosine("ce.embedding", "qe.embedding")}, 6) DESC,
+                           c.vec_id ASC) AS INTEGER) AS rk
+      FROM cand c
+      JOIN embeddings ce ON ce.vec_id = c.vec_id
+      JOIN embeddings qe ON qe.vec_id = c.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 10
+    """
+
+
+@query("ann_pq_topk", _pq_oracle())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via product quantization: each vector is compressed
     to _PQ_M codebook indices (8 bytes vs 256 — 32x), queries scan the
@@ -484,20 +682,28 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     - train: per-subspace codebooks from a deterministic corpus sample
       (stand-in for sampled k-means, like IVF's centroid build) —
       broadcast-sized model state (_PQ_M x _PQ_K x 8 floats).
-    - encode: one Arrow-batched argmax matmul per subspace — map-only.
+    - encode: Arrow-batched per-subspace argmin distance — map-only,
+      with the dimension loop pinned to L→R fold order (see comment).
     - ADC: lut[m][k] = <q_sub m, codebook[m][k]> per query; the
       approximate dot is a pure JVM fold over the code array
       (zip_with + element_at into the broadcast LUT) — no Python, no
       shuffle, scan-bound on 8-byte rows.
     - rerank: exact cosine on candidates only; top-10 per query.
+
+    RECALL is probabilistic by design (tested vs brute force); the
+    computation is fully SQL-oracled since r04 (`_pq_oracle`): the
+    md5-ordered sample, fold-exact codes, LUT, ADC scores, and rerank
+    are all shared deterministic arithmetic.
     """
     e = load_table(spark, sf_dir, "embeddings")
     d_sub = _DIM // _PQ_M
     # Codebooks from a deterministic pseudo-random sample of exactly
     # _PQ_K vectors (hash-ordered limit, corpus-size independent — a
     # stride sample would collapse to <K centroids on small corpora).
+    # md5 ordering, not xxhash64: identical hex on both engines lets
+    # the oracle rebuild the SAME codebook from the table itself.
     sample = (
-        e.orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(97)), "vec_id")
+        e.orderBy(F.md5((F.col("vec_id") + 2).cast("string")), "vec_id")
         .limit(_PQ_K)
         .select("embedding")
         .collect()
@@ -506,13 +712,20 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [[float(x) for x in r.embedding] for r in sample]
     ).reshape(_PQ_K, _PQ_M, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)
 
+    # Arrow-batched encode, vectorized over rows; the explicit
+    # (x-c)^2 dimension loop pins accumulation to the strict L→R
+    # fold (init 0.0) so codes match the oracle bit-for-bit — the
+    # -2<x,c>+||c||^2 BLAS shortcut is monotone-equivalent in exact
+    # arithmetic but flips near-tie argmins in floats.
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def encode(emb: pd.Series) -> pd.Series:
-        mat = np.vstack(emb.to_numpy()).reshape(-1, _PQ_M, d_sub)  # (n, m, d)
-        # argmin squared distance per subspace: ||x-c||² ~ -2<x,c>+||c||²
+        mat = np.vstack(emb.to_numpy()).astype("float64").reshape(-1, _PQ_M, d_sub)
         codes = np.empty((mat.shape[0], _PQ_M), dtype="int32")
         for m in range(_PQ_M):
-            d2 = -2.0 * (mat[:, m, :] @ books[m].T) + (books[m] ** 2).sum(axis=1)
+            d2 = np.zeros((mat.shape[0], _PQ_K))
+            for d in range(d_sub):
+                diff = mat[:, m, d, None] - books[m, :, d][None, :]
+                d2 += diff * diff
             codes[:, m] = np.argmin(d2, axis=1)
         return pd.Series(list(codes))
 
@@ -525,7 +738,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_luts = []
     for r in q_rows:
         q = np.array([float(x) for x in r.embedding]).reshape(_PQ_M, d_sub)
-        lut = np.einsum("md,mkd->mk", q, books)  # (m, k)
+        # sequential dimension loop = the oracle's L→R dot fold
+        lut = np.zeros((_PQ_M, _PQ_K))
+        for d in range(d_sub):
+            lut += q[:, d, None] * books[:, :, d]
         q_luts.append((r.vec_id, [[float(v) for v in row] for row in lut]))
     queries = spark.createDataFrame(
         q_luts, "q_id long, lut array<array<double>>"

@@ -54,12 +54,15 @@ def _load() -> None:
 # linkage/graph/evaluation/profiling/statistics families — plus the
 # three riskiest r03 leftovers. Slots 51-87 (the remaining r03
 # leftovers and the parked-since-r02 analytics/pipeline names, all
-# older lower-risk code) land in the r05 window, completing driver
-# coverage of all 230 oracled queries. The 3 rows-only queries
-# (`hll_sketch_rollup`, `agg_approx_percentiles`, `ann_pq_topk`) sit
-# AFTER the oracled backlog so they never burn a window slot as
-# `err: no_oracle`; their accuracy/determinism contracts live in
-# pytest (tests/test_llm_ops.py).
+# older lower-risk code) plus slots 88-93 (the six queries whose
+# oracles are NEW in r04: md5-SimHash, md5-MinHash-LSH, the portable-
+# register HLL, and the three fold-exact ANN indexes) land in the r05
+# window (43 of 50 slots), completing driver coverage of all 236
+# oracled queries. The 2 rows-only queries (`agg_approx_percentiles`,
+# `agg_approx_distinct` — native GK/HLL++ sketch API demos, engine-
+# specific by definition) sit AFTER the oracled backlog so they never
+# burn a window slot as `err: no_oracle`; their accuracy contracts
+# live in pytest (tests/test_llm_ops.py).
 _R04_PRIORITY = [
     # -- slots 1-50: the r04 driver window -------------------------
     # Five SQL front ends (exercise Spark 4 parser paths no other
@@ -162,10 +165,24 @@ _R04_PRIORITY = [
     "quality_lm_trigram",
     "text_keyword_in_context",
     "embed_int8_quantize",
-    # -- rows-only by design: kept out of every driver window ------
+    # -- slots 88-93: oracles NEW in r04 (portable-hash / fold-exact
+    # upgrades from rows-only to SQL-oracled) — never driver-checked,
+    # so they join the r05 rotation with the block above (37 + 6 = 43
+    # of the 50-slot r05 window).
+    "dedup_simhash",
+    "dedup_minhash_lsh",
     "hll_sketch_rollup",
-    "agg_approx_percentiles",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "ann_pq_topk",
+    # -- rows-only by design: kept out of every driver window ------
+    # (both exist to demonstrate Spark's NATIVE sketch APIs — GK
+    # approx_percentile and HLL++ approx_count_distinct — whose
+    # internals are engine-specific by definition; accuracy contracts
+    # live in pytest. Portable twins ARE oracled: percentile_exact
+    # shapes, linear_counting_distinct, hll_sketch_rollup.)
+    "agg_approx_percentiles",
+    "agg_approx_distinct",
 ]
 
 

@@ -213,10 +213,10 @@ def test_weighted_reservoir_favors_long_docs(spark, sf_dir):
 
 
 def test_hll_sketch_rollup_matches_exact_distinct(spark, sf_dir):
-    """The union of daily HLL sketches must estimate per-type distinct
-    users within HLL's error envelope (lgK=12 default → ~1.6% rse; 5%
-    bound leaves slack), proving the two-level sketch rollup loses no
-    more accuracy than a single-pass sketch."""
+    """The MAX-merge of daily HLL register tables must estimate
+    per-type distinct users within the sketch's error envelope
+    (m=1024 → rse ≈ 3.3%; the 10% bound is ~3σ), proving the
+    two-level rollup loses no accuracy vs a single-pass sketch."""
     from pyspark.sql import functions as F
 
     from impala_refresher_spark.operators.rollup_hypertable import hll_sketch_rollup
@@ -232,7 +232,55 @@ def test_hll_sketch_rollup_matches_exact_distinct(spark, sf_dir):
     }
     assert set(got) == set(exact)
     for et, est in got.items():
-        assert abs(est - exact[et]) / exact[et] <= 0.05, (et, est, exact[et])
+        assert abs(est - exact[et]) / exact[et] <= 0.10, (et, est, exact[et])
+
+
+def test_hll_small_range_correction_boundary_margin():
+    """The only float in the portable HLL estimator is the linear-
+    counting term m*ln(m/V). Its domain is FINITE (V in 1..m-1), so
+    exhaustively prove no value sits near an integer-rounding .5
+    boundary: the closest approach must exceed cross-engine libm
+    jitter by orders of magnitude (docstring claims 6.7e-6)."""
+    import math
+
+    from impala_refresher_spark.operators.rollup_hypertable import _HLL_M
+
+    worst = min(
+        abs((_HLL_M * math.log(_HLL_M / v)) % 1.0 - 0.5) for v in range(1, _HLL_M)
+    )
+    assert worst > 1e-9, worst
+
+
+def test_hll_native_sketch_agrees_with_portable(spark, sf_dir):
+    """Spark's native DataSketches path (`hll_sketch_agg` per day →
+    `hll_union_agg` across days) is the production drop-in for the
+    portable register table — same mergeable algebra over opaque
+    bytes. Both estimators must land within their combined error
+    envelopes of each other (native lgK=12 ~1.6% + portable ~3.3%;
+    10% bound is generous), keeping the native API demonstrated even
+    though its engine-specific bytes cannot be DuckDB-oracled."""
+    from pyspark.sql import functions as F
+
+    from impala_refresher_spark.operators.rollup_hypertable import hll_sketch_rollup
+    from impala_refresher_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    native = {
+        r.event_type: r.approx_users
+        for r in e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .collect()
+    }
+    portable = {
+        r.event_type: r.approx_users for r in hll_sketch_rollup(spark, sf_dir).collect()
+    }
+    assert set(native) == set(portable)
+    for et in native:
+        assert abs(native[et] - portable[et]) <= max(0.10 * native[et], 3.0), (
+            et, native[et], portable[et],
+        )
 
 
 def test_gopher_gate_plan_matches_battery_flags(spark, sf_dir):
