@@ -283,7 +283,15 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h % _HLL_M).alias("bucket"),
         (F.lit(_HLL_RHO_MAX) - _hll_bitlen_col(F.shiftright(h, 10))).alias("rho"),
     )
-    daily = ranked.groupBy("day", "event_type", "bucket").agg(F.max("rho").alias("r"))
+    # The daily register table IS the stored rollup at scale; localCheckpoint
+    # materializes it once so BOTH serving aggregates (register merge and
+    # day count) read the KB-sized state — without it, each branch re-scans
+    # the raw events (2x the 100 TB scan for one query).
+    daily = (
+        ranked.groupBy("day", "event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .localCheckpoint()
+    )
     merged = daily.groupBy("event_type", "bucket").agg(F.max("r").alias("r"))
     days = daily.groupBy("event_type").agg(F.countDistinct("day").alias("n_days"))
     est = merged.groupBy("event_type").agg(

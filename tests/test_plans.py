@@ -918,3 +918,18 @@ def test_bfs_frontier_loop_lineage_truncated(spark):
     # the whole plan is sort + project over checkpointed RDDs — a few
     # dozen lines, not O(hops * subplan)
     assert len(plan.splitlines()) < 60, len(plan.splitlines())
+
+
+def test_hll_rollup_serves_from_materialized_registers(spark):
+    """The portable-register HLL rollup materializes the daily register
+    layer (the stored rollup at scale) with localCheckpoint; BOTH
+    serving aggregates — the MAX-merge and the day count — must read
+    that KB-sized state, so the final plan contains zero parquet scans
+    (without the cut, each branch re-scans the raw events: 2x the
+    100 TB scan for one query)."""
+    import re
+
+    from impala_refresher_spark.operators.rollup_hypertable import hll_sketch_rollup
+
+    plan = plan_of(hll_sketch_rollup(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
