@@ -933,3 +933,23 @@ def test_hll_rollup_serves_from_materialized_registers(spark):
 
     plan = plan_of(hll_sketch_rollup(spark, SF_SMOKE))
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+
+
+def test_ann_bucket_joins_broadcast_queries_no_cartesian(spark):
+    """LSH and IVF candidate generation must be an equi-join on the
+    bucket/cell id with the KB-sized query side BROADCAST — the shape
+    whose cost is the probed buckets' sizes. A refactor that loses the
+    equi-key degenerates to a corpus-wide nested-loop join: fatal at
+    scale, invisible at sf0.001."""
+    from impala_refresher_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+    )
+
+    for fn in (ann_lsh_topk, ann_ivf_topk):
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        # the corpus side must never be the broadcast side of a
+        # nested-loop fallback
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
