@@ -261,3 +261,64 @@ def test_zscore_zero_variance_group_yields_no_rows_not_error(spark, tmp_path):
     from oracle_util import compare
 
     compare(outlier_orders_zscore(spark, d), con, ORACLES["outlier_orders_zscore"])
+
+
+def test_char_entropy_degenerate_texts(spark, tmp_path):
+    """Empty and single-symbol texts sit outside the fixture's 44+-char
+    floor, and they are exactly where the engines could split: Spark's
+    split('', '') and DuckDB's string_split('', '') BOTH yield [''] (one
+    empty element, n=1), so entropy is 0.0 — but only measurement proves
+    it. Pin the parity plus the hand-computable values (uniform text ->
+    0.0, two balanced symbols -> 1.0 bit)."""
+    import duckdb
+
+    from impala_refresher_spark.operators.text import quality_char_entropy
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    docs = [
+        (1, "", "en", "web", 0),
+        (2, "aaaa", "en", "web", 4),
+        (3, "abab", "en", "web", 4),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = {r.doc_id: r.char_entropy for r in quality_char_entropy(spark, d).collect()}
+    assert got == {1: 0.0, 2: 0.0, 3: 1.0}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    compare(quality_char_entropy(spark, d), con, ORACLES["quality_char_entropy"])
+
+
+def test_int8_quantize_zero_vector_excluded(spark, tmp_path):
+    """An all-zero embedding has max|x| = 0: the scale divide would be
+    0/0 (ANSI error on Spark, NULL on DuckDB) — both sides must filter
+    it BEFORE the divide, and the surviving codes must be exact."""
+    import duckdb
+
+    from impala_refresher_spark.operators.similarity import embed_int8_quantize
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0], 0), (2, [1.5, -3.0, 0.75], 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    out = embed_int8_quantize(spark, d)
+    rows = out.collect()
+    assert [r.vec_id for r in rows] == [2]  # zero vector filtered, no error
+    assert rows[0].q == [64, -127, 32]  # round(x/3.0*127)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    compare(out, con, ORACLES["embed_int8_quantize"])
