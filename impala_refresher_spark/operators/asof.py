@@ -254,8 +254,14 @@ def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     |Δt|), so the differential proves the two-window rewrite exact,
     same method as `range_join_count_orderstat`. Purchases of users
     with no clicks drop (inner semantics, both sides). Fixture
-    timestamps are unique per user at µs grain, so the tie branch is
-    unreachable here; the tie rule is still pinned in both plans."""
+    timestamps are unique per user at µs grain, so the tie branches are
+    unreachable here; the tie rules are still pinned in both plans —
+    including clicks SHARING a timestamp (second-grain logs make this
+    plausible): the winner is the smallest click_id, which needs
+    opposite event_id sort directions in the two windows (a running
+    ``last`` keeps the final row of the frame, a running ``first`` the
+    initial one, so "min id at the boundary ts" is event_id DESC
+    backward but ASC forward; edge-pinned in test_edge_cases)."""
     e = load_table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.lit(0).alias("side"), F.col("event_id")
@@ -264,15 +270,14 @@ def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.lit(1).alias("side"), F.col("event_id")
     )
     u = clicks.unionByName(purchases)
-    order = [F.col("ts").asc(), F.col("side").asc(), F.col("event_id").asc()]
     wb = (
         W.partitionBy("user_id")
-        .orderBy(*order)
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("event_id").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     wf = (
         W.partitionBy("user_id")
-        .orderBy(*order)
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("event_id").asc())
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     is_click = F.col("side") == 0

@@ -322,3 +322,49 @@ def test_int8_quantize_zero_vector_excluded(spark, tmp_path):
         f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
     )
     compare(out, con, ORACLES["embed_int8_quantize"])
+
+
+def test_nearest_event_same_ts_clicks_pick_min_id(spark, tmp_path):
+    """Two clicks at the IDENTICAL timestamp (plausible in second-grain
+    logs; fixture ts are µs-unique) must resolve to the smallest
+    click_id on both engines — the backward running-last needs event_id
+    DESC in its window order to agree with the oracle's ORDER BY cid."""
+    import duckdb
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.asof import nearest_event_join
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    d = str(tmp_path)
+    events = [
+        # user 1: two clicks share ts=8 (before), expect click_id 100
+        (100, t(8), 1, "click", 0.0, "{}"),
+        (101, t(8), 1, "click", 0.0, "{}"),
+        (300, t(10), 1, "purchase", 9.9, "{}"),
+        # user 2: two clicks share ts=12 (after), expect click_id 200
+        (201, t(12), 2, "click", 0.0, "{}"),
+        (200, t(12), 2, "click", 0.0, "{}"),
+        (301, t(10), 2, "purchase", 9.9, "{}"),
+        # user 3: equidistant before/after -> prefer the EARLIER click
+        (400, t(7), 3, "click", 0.0, "{}"),
+        (401, t(13), 3, "click", 0.0, "{}"),
+        (302, t(10), 3, "purchase", 9.9, "{}"),
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    out = nearest_event_join(spark, d)
+    got = {r.purchase_id: r.click_id for r in out.collect()}
+    assert got == {300: 100, 301: 200, 302: 400}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    compare(out, con, ORACLES["nearest_event_join"])
