@@ -953,3 +953,20 @@ def test_ann_bucket_joins_broadcast_queries_no_cartesian(spark):
         # the corpus side must never be the broadcast side of a
         # nested-loop fallback
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_pagerank_iterations_read_checkpointed_edges_once(spark):
+    """pagerank_bipartite materializes the degree-weighted edge relation
+    ONCE (localCheckpoint) before iterating; the constant-folded first
+    contribution AND the second iteration's rank join must BOTH consume
+    that RDD, so the final plan contains zero parquet scans — without
+    the cut each iteration replays the orders⋈lineitem distinct (2x the
+    fact-table scan per extra iteration at 100 TB)."""
+    import re
+
+    from impala_refresher_spark.operators.graph import pagerank_bipartite
+
+    plan = plan_of(pagerank_bipartite(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+    # degree window computed before the cut, never replayed per round
+    assert "Window" not in plan, plan
