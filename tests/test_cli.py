@@ -43,3 +43,21 @@ def test_cli_any_failure_exits_1():
     assert p.returncode == 1, p.stderr[-2000:]
     assert "region: refreshed" in p.stdout
     assert "ghost: FAILED" in p.stdout
+
+
+def test_driver_entry_contract(spark):
+    """The driver smoke-checks `__spark_entry__.entry(spark)` each
+    round: it must run against sf0.001, return a DataFrame with a
+    stable schema, and produce >= 0 rows (ours returns one row per
+    (region, year)). Pin the contract so an entry regression is caught
+    by pytest before the driver sees it."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"region"} or len(df.columns) >= 2
+    # queries()/oracle_sql() stay consistent: every oracle key resolves
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) == 238 and len(o) == 236
