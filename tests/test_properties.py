@@ -344,3 +344,60 @@ def test_pareto_frontier_is_mutually_nondominated(spark):
     for p in allpts:
         if p not in fset:
             assert any(dom(b, p) for b in front), (p,)
+
+
+@st.composite
+def nearest_event_case(draw):
+    """Random clicks/purchases per user at MINUTE grain with duplicate
+    timestamps ALLOWED — the collision branch the µs-unique fixture
+    never reaches (shared-ts clicks, click exactly at the purchase)."""
+    rows, eid = [], 0
+    for user in draw(st.lists(st.integers(1, 3), min_size=1, max_size=3, unique=True)):
+        for m in draw(st.lists(st.integers(0, 12), min_size=0, max_size=6)):
+            eid += 1
+            rows.append((eid, _BASE + timedelta(minutes=m), user, "click", 0.0, "{}"))
+        for m in draw(st.lists(st.integers(0, 12), min_size=1, max_size=3)):
+            eid += 1
+            rows.append((eid, _BASE + timedelta(minutes=m), user, "purchase", 1.0, "{}"))
+    return rows
+
+
+@given(nearest_event_case())
+@settings(**_SETTINGS)
+def test_nearest_event_join_matches_bruteforce(spark, rows):
+    """The two-window rewrite must equal the quadratic rank: per
+    purchase, the click minimizing (|dt|, click_ts, click_id) — the
+    oracle's ORDER BY ad, cts, cid — including every tie class:
+    shared-ts clicks, click at the purchase instant, equidistant
+    before/after."""
+    from impala_refresher_spark.operators.asof import nearest_event_join
+    import impala_refresher_spark.operators.asof as asof_mod
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = asof_mod.load_table
+    asof_mod.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.purchase_id: (r.click_id, r.abs_us)
+            for r in nearest_event_join(spark, "x").collect()
+        }
+    finally:
+        asof_mod.load_table = orig
+
+    clicks = [(e, ts, u) for (e, ts, u, t, _, _) in rows if t == "click"]
+    want = {}
+    for pe, pts, pu, t, _, _ in rows:
+        if t != "purchase":
+            continue
+        cands = [
+            (abs((pts - cts).total_seconds()), cts, ce)
+            for (ce, cts, cu) in clicks
+            if cu == pu
+        ]
+        if cands:
+            ad, _, cid = min(cands)
+            want[pe] = (cid, int(ad * 1_000_000))
+    assert got == want
