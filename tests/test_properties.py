@@ -401,3 +401,92 @@ def test_nearest_event_join_matches_bruteforce(spark, rows):
             ad, _, cid = min(cands)
             want[pe] = (cid, int(ad * 1_000_000))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_match_union_find(spark, raw_edges):
+    """The iterative min-label loop must produce exactly the classic
+    union-find components (label = min node id per component) on random
+    small graphs — self-loops, parallel edges, and multi-chain merges
+    included."""
+    from impala_refresher_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in raw_edges]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.label for r in connected_components(df, "a", "b").collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@st.composite
+def interval_case(draw):
+    rows, eid = [], 0
+    for user in draw(st.lists(st.integers(1, 2), min_size=1, max_size=2, unique=True)):
+        for m in draw(st.lists(st.integers(0, 25), min_size=1, max_size=8)):
+            eid += 1
+            rows.append((eid, _BASE + timedelta(minutes=m), user, "view", 0.0, "{}"))
+    return rows
+
+
+@given(interval_case())
+@settings(**_SETTINGS)
+def test_interval_merge_matches_sweep(spark, rows):
+    """The two-window islands plan must equal the sequential sweep:
+    5-minute spans per user, a new island iff start > running max(end)
+    (touching spans MERGE, duplicates both counted)."""
+    from impala_refresher_spark.operators.analytics import merge_overlapping_intervals
+    import impala_refresher_spark.operators.analytics as an_mod
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = an_mod.load_table
+    an_mod.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.user_id, r.span_start, r.span_end, r.n_events)
+            for r in merge_overlapping_intervals(spark, "x").collect()
+        )
+    finally:
+        an_mod.load_table = orig
+
+    spans: dict[int, list] = {}
+    for _, ts, u, _, _, _ in rows:
+        spans.setdefault(u, []).append((ts, ts + timedelta(minutes=5)))
+    want = []
+    for u, sp in spans.items():
+        sp.sort()
+        cur = None  # [min_s, max_e, count]
+        for s, e in sp:
+            if cur is None or s > cur[1]:
+                if cur:
+                    want.append((u, cur[0], cur[1], cur[2]))
+                cur = [s, e, 1]
+            else:
+                cur[1] = max(cur[1], e)
+                cur[2] += 1
+        want.append((u, cur[0], cur[1], cur[2]))
+    assert got == sorted(want)
