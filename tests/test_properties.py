@@ -490,3 +490,55 @@ def test_interval_merge_matches_sweep(spark, rows):
                 cur[2] += 1
         want.append((u, cur[0], cur[1], cur[2]))
     assert got == sorted(want)
+
+
+@st.composite
+def balance_case(draw):
+    rows, eid = [], 0
+    for user in draw(st.lists(st.integers(1, 2), min_size=1, max_size=2, unique=True)):
+        n = draw(st.integers(1, 8))
+        for i in range(n):
+            eid += 1
+            etype = draw(st.sampled_from(["purchase", "error", "view"]))
+            cents = draw(st.integers(0, 500))
+            # duplicate timestamps allowed: event_id breaks the fold order
+            m = draw(st.integers(0, 4))
+            rows.append((eid, _BASE + timedelta(minutes=m), user, etype, cents / 100.0, "{}"))
+    return rows
+
+
+@given(balance_case())
+@settings(**_SETTINGS)
+def test_clamped_balance_matches_python_fold(spark, rows):
+    """max(0, acc+d) is non-associative — the distributed ordered-fold
+    must equal the sequential python fold over (ts, event_id)-sorted
+    deltas, including duplicate timestamps and zero-delta rows."""
+    from impala_refresher_spark.operators.analytics import clamped_running_balance
+    import impala_refresher_spark.operators.analytics as an_mod
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = an_mod.load_table
+    an_mod.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.user_id: (r.n_txns, r.balance_cents)
+            for r in clamped_running_balance(spark, "x").collect()
+        }
+    finally:
+        an_mod.load_table = orig
+
+    want: dict[int, tuple] = {}
+    by_user: dict[int, list] = {}
+    for eid, ts, u, t, v, _ in rows:
+        d = round(v * 100)
+        d = d if t == "purchase" else (-d if t == "error" else 0)
+        by_user.setdefault(u, []).append((ts, eid, int(d)))
+    for u, evs in by_user.items():
+        acc = 0
+        for _, _, d in sorted(evs):
+            acc = max(0, acc + d)
+        want[u] = (len(evs), acc)
+    assert got == want
