@@ -542,3 +542,59 @@ def test_clamped_balance_matches_python_fold(spark, rows):
             acc = max(0, acc + d)
         want[u] = (len(evs), acc)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 200)),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_python_sweep(spark, pts):
+    """Gaps-and-islands sessionization (30-min gap, >= boundary) must
+    equal the sequential sweep — duplicate timestamps and exact-gap
+    boundaries included (a gap of EXACTLY 1800 s starts a new
+    session)."""
+    from impala_refresher_spark.operators.analytics import sessionize_user_activity
+    import impala_refresher_spark.operators.analytics as an_mod
+
+    rows = [
+        (i + 1, _BASE + timedelta(minutes=m), u, "view", 0.0, "{}")
+        for i, (u, m) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = an_mod.load_table
+    an_mod.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.user_id: (r.n_sessions, r.max_session_events, r.longest_span_s)
+            for r in sessionize_user_activity(spark, "x").collect()
+        }
+    finally:
+        an_mod.load_table = orig
+
+    by_user: dict[int, list] = {}
+    for u, m in pts:
+        by_user.setdefault(u, []).append(m * 60)
+    want = {}
+    for u, secs in by_user.items():
+        secs.sort()
+        sessions, cur = [], [secs[0]]
+        for s in secs[1:]:
+            if s - cur[-1] >= 1800:
+                sessions.append(cur)
+                cur = [s]
+            else:
+                cur.append(s)
+        sessions.append(cur)
+        want[u] = (
+            len(sessions),
+            max(len(s) for s in sessions),
+            float(max(s[-1] - s[0] for s in sessions)),
+        )
+    assert got == want
