@@ -598,3 +598,48 @@ def test_sessionize_matches_python_sweep(spark, pts):
             float(max(s[-1] - s[0] for s in sessions)),
         )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 6), st.integers(1, 5)),  # (orderkey, partkey)
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_market_basket_pairs_match_bruteforce(spark, rows):
+    """The posting-list pair expansion (apriori prune + in-array pair
+    emit) must produce exactly the naive basket self-join's pair
+    support counts — duplicate lineitem rows collapse first, support
+    floor 2 applies to pairs AND the pruned parts."""
+    from impala_refresher_spark.operators.analytics import market_basket_pairs
+    import impala_refresher_spark.operators.analytics as an_mod
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    orig = an_mod.load_table
+    an_mod.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.part_a, r.part_b): r.n_orders
+            for r in market_basket_pairs(spark, "x").collect()
+        }
+    finally:
+        an_mod.load_table = orig
+
+    baskets: dict[int, set] = {}
+    for o, p in set(rows):
+        baskets.setdefault(o, set()).add(p)
+    from collections import Counter
+
+    support = Counter(p for parts in baskets.values() for p in parts)
+    counts: Counter = Counter()
+    for parts in baskets.values():
+        keep = sorted(p for p in parts if support[p] >= 2)
+        for i, a in enumerate(keep):
+            for b in keep[i + 1:]:
+                counts[(a, b)] += 1
+    want = {k: v for k, v in counts.items() if v >= 2}
+    assert got == want
