@@ -643,3 +643,43 @@ def test_market_basket_pairs_match_bruteforce(spark, rows):
                 counts[(a, b)] += 1
     want = {k: v for k, v in counts.items() if v >= 2}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 6)),  # (user, day offset)
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_cumulative_distinct_matches_set_sweep(spark, pts):
+    """The first-occurrence rewrite (row_number flag -> per-day sum ->
+    running cumsum) must equal the growing-set sweep — users active on
+    many days count once, at their FIRST day; days whose actives are
+    all returning users still appear with an unchanged total."""
+    from impala_refresher_spark.operators.profiling import cumulative_distinct_users
+    import impala_refresher_spark.operators.profiling as prof_mod
+
+    rows = [
+        (i + 1, _BASE + timedelta(days=d, minutes=i), u, "view", 0.0, "{}")
+        for i, (u, d) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = prof_mod.load_table
+    prof_mod.load_table = lambda spark, sf, name: df
+    try:
+        got = [(r.day, r.cum_users) for r in cumulative_distinct_users(spark, "x").collect()]
+    finally:
+        prof_mod.load_table = orig
+
+    days = sorted({d for _, d in pts})
+    seen: set = set()
+    want = []
+    for d in days:
+        seen |= {u for u, dd in pts if dd == d}
+        want.append(((_BASE + timedelta(days=d)).date(), len(seen)))
+    assert got == want
