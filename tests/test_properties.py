@@ -683,3 +683,194 @@ def test_cumulative_distinct_matches_set_sweep(spark, pts):
         seen |= {u for u, dd in pts if dd == d}
         want.append(((_BASE + timedelta(days=d)).date(), len(seen)))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash sketches: the md5-derived MinHash / SimHash / HLL
+# pipelines are oracle-checked against DuckDB, but both engines could
+# in principle share a misreading of the spec. These tests add a THIRD
+# independent witness — a pure-python reference over arbitrary inputs —
+# so the sketch arithmetic (hex slicing, modular permutations, bit
+# ranks) is pinned by implementation-independent math, not engine
+# agreement.
+# ---------------------------------------------------------------------------
+
+
+def _md5_60(s: str) -> int:
+    """First 60 bits of md5 — the engine-portable bit source (first 15
+    hex chars), mirroring `conv(substring(md5(x), 1, 15), 16, 10)`."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_minhash_signatures_match_python(spark, texts):
+    """Each of the 32 minhash slots must equal min over shingles of
+    (a*h + b) mod M with h = md5-60(shingle) mod M — computed here
+    from the spec, not from either engine. Docs with < 3 tokens have
+    no shingles and must be ABSENT (not null-signed)."""
+    from impala_refresher_spark.operators.dedup import (
+        _AS,
+        _BS,
+        _MERSENNE,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: list(r.sig) for r in minhash_signatures(df).collect()}
+
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        shingles = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        if not shingles:
+            continue
+        hs = [_md5_60(s) % _MERSENNE for s in shingles]
+        want[i] = [min((a * h + b) % _MERSENNE for h in hs) for a, b in zip(_AS, _BS)]
+    assert got == want
+
+
+@st.composite
+def simhash_corpus(draw):
+    """Docs drawn from a tiny shared vocabulary, with forced exact and
+    near-duplicate copies so the hamming<=3 pairs actually occur."""
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    base = [
+        draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=6).map(" ".join))
+        for _ in range(draw(st.integers(1, 3)))
+    ]
+    docs = list(base)
+    for t in base:
+        if draw(st.booleans()):
+            docs.append(t)  # exact dup -> hamming 0
+        if draw(st.booleans()):
+            docs.append((t + " " + draw(st.sampled_from(vocab))).strip())
+    return docs
+
+
+@given(simhash_corpus())
+@settings(**_SETTINGS)
+def test_simhash_pipeline_matches_python(spark, texts):
+    """End-to-end SimHash differential vs a from-spec python model:
+    60-bit majority fingerprint from md5 token bits, 4x15-bit chunk
+    buckets (pigeonhole for hamming<=3), bucket pair expansion,
+    popcount verify. Ties in the bit-majority (sum == 0) must go to 0
+    on both sides."""
+    from impala_refresher_spark.operators.dedup import _MAX_DF, dedup_simhash
+    import impala_refresher_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.doc_a, r.doc_b, r.hamming) for r in dedup_simhash(spark, "x").collect()
+        )
+    finally:
+        dd.load_table = orig
+
+    def fingerprint(t: str) -> int:
+        hs = [_md5_60(tok) for tok in set(t.split(" "))]
+        s = 0
+        for i in range(60):
+            if sum(1 if (h >> i) & 1 else -1 for h in hs) > 0:
+                s |= 1 << i
+        return s
+
+    fps = {i: fingerprint(t) for i, t in enumerate(texts)}
+    buckets: dict[tuple, list] = {}
+    for i, s in fps.items():
+        for c in range(4):
+            buckets.setdefault((c, (s >> (15 * c)) & 0x7FFF), []).append(i)
+    want = set()
+    for members in buckets.values():
+        if 1 < len(members) <= _MAX_DF:
+            members.sort()
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, b = members[x], members[y]
+                    hd = bin(fps[a] ^ fps[b]).count("1")
+                    if hd <= 3:
+                        want.add((a, b, hd))
+    assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # day offset
+            st.one_of(st.none(), st.integers(1, 60)),  # user_id (None filtered)
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_hll_rollup_matches_python(spark, pts):
+    """The portable-register HLL (md5 bucket+rank, daily MAX-merge,
+    scaled-integer harmonic sum, linear-counting cutover) must equal a
+    from-spec python HyperLogLog on arbitrary small inputs — including
+    null user_ids (filtered) and event types whose users are ALL null
+    (type absent from the output)."""
+    import math
+
+    from impala_refresher_spark.operators.rollup_hypertable import (
+        _HLL_ALPHA_M2,
+        _HLL_M,
+        _HLL_RHO_MAX,
+        hll_sketch_rollup,
+    )
+    import impala_refresher_spark.operators.rollup_hypertable as rh
+
+    rows = [
+        (i + 1, _BASE + timedelta(days=d, minutes=i), u, t, 0.0, "{}")
+        for i, (d, u, t) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = rh.load_table
+    rh.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.event_type: (r.n_days, r.approx_users)
+            for r in hll_sketch_rollup(spark, "x").collect()
+        }
+    finally:
+        rh.load_table = orig
+
+    regs: dict[tuple, int] = {}  # (etype, bucket) -> max rho (post day-merge)
+    days: dict[str, set] = {}
+    for d, u, t in pts:
+        if u is None:
+            continue
+        h = _md5_60(str(u))
+        bucket, rest = h % _HLL_M, h >> 10
+        rho = _HLL_RHO_MAX - rest.bit_length()
+        regs[(t, bucket)] = max(regs.get((t, bucket), 0), rho)
+        days.setdefault(t, set()).add(d)
+    want = {}
+    for t in days:
+        occ = [r for (tt, _), r in regs.items() if tt == t]
+        occupied, v = len(occ), _HLL_M - len(occ)
+        s_occ = sum(1 << (_HLL_RHO_MAX - r) for r in occ)
+        raw = (_HLL_ALPHA_M2 * float(1 << _HLL_RHO_MAX)) / float(
+            s_occ + v * (1 << _HLL_RHO_MAX)
+        )
+        est = _HLL_M * math.log(_HLL_M / v) if (raw <= 2.5 * _HLL_M and v > 0) else raw
+        want[t] = (len(days[t]), int(math.floor(est + 0.5)))  # F.round = HALF_UP
+    assert got == want
