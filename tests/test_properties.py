@@ -874,3 +874,168 @@ def test_hll_rollup_matches_python(spark, pts):
         est = _HLL_M * math.log(_HLL_M / v) if (raw <= 2.5 * _HLL_M and v > 0) else raw
         want[t] = (len(days[t]), int(math.floor(est + 0.5)))  # F.round = HALF_UP
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Statistics rewrites (the ADVICE-hardened family): each windowed /
+# sufficient-statistics form must equal the naive textbook algorithm
+# on arbitrary inputs — including the degenerate cases the guards
+# exist for (d == n risk sets, single-class samples).
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def survival_case(draw):
+    """Per-user activity day-sets over a 3-week horizon: late-active
+    users get censored, early-stoppers churn, and a lone max-duration
+    churner drives d == n at the curve tail (the zero-factor cutover
+    the ADVICE guard exists for)."""
+    users = draw(st.lists(st.integers(1, 6), min_size=1, max_size=5, unique=True))
+    rows, eid = [], 0
+    for u in users:
+        days = draw(st.lists(st.integers(0, 20), min_size=1, max_size=4, unique=True))
+        for d in days:
+            eid += 1
+            rows.append((eid, _BASE + timedelta(days=d, hours=u), u))
+    return rows
+
+
+@given(survival_case())
+@settings(**_SETTINGS)
+def test_km_survival_matches_python(spark, rows):
+    """Kaplan-Meier via the exp-sum-log window must equal the
+    sequential product fold, and the d == n zero-factor cutover must
+    pin survival to EXACTLY 0.0 from that duration on (the guarded
+    F.log(0) path)."""
+    from impala_refresher_spark.operators.evaluation import survival_user_retention
+    import impala_refresher_spark.operators.evaluation as ev
+
+    df = spark.createDataFrame(
+        [(e, ts, u, "view", 0.0, "{}") for e, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = ev.load_table
+    ev.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.t, r.d, r.n, r.survival)
+            for r in survival_user_retention(spark, "x").collect()
+        ]
+    finally:
+        ev.load_table = orig
+
+    spans = {}
+    for _, ts, u in rows:
+        lo, hi = spans.get(u, (ts, ts))
+        spans[u] = (min(lo, ts), max(hi, ts))
+    corpus_end = max(hi for _, hi in spans.values()).date()
+    obs = [
+        ((hi.date() - lo.date()).days, (corpus_end - hi.date()).days >= 7)
+        for lo, hi in spans.values()
+    ]
+    per_t: dict[int, list] = {}
+    for dur, churned in obs:
+        per_t.setdefault(dur, [0, 0])
+        per_t[dur][0] += 1
+        per_t[dur][1] += int(churned)
+    surv, hit_zero, want = 1.0, False, []
+    for t in sorted(per_t):
+        n_at, d = per_t[t]
+        n = sum(na for tt, (na, _) in per_t.items() if tt >= t)
+        if d == 0:
+            continue
+        if d >= n:
+            hit_zero = True
+        else:
+            surv *= 1.0 - d / n
+        want.append((t, d, n, 0.0 if hit_zero else surv))
+    assert [(t, d, n) for t, d, n, _ in got] == [(t, d, n) for t, d, n, _ in want]
+    for (_, _, _, gs), (_, _, _, ws) in zip(got, want):
+        if ws == 0.0:
+            assert gs == 0.0  # cutover is exact, not approximately-zero
+        else:
+            # exp(sum(log ...)) vs the direct product: 1-ulp libm wobble
+            # plus the 4dp rounding step
+            assert abs(gs - ws) <= 1.1e-4
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["F", "O", "P"]), st.integers(1, 40)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_ks_statistic_matches_python_sweep(spark, rows):
+    """The one-pass windowed KS must equal the naive per-value CDF
+    sweep — ties across samples, 'P' rows filtered, and a single-class
+    input yielding NULL D (the try_divide guard) included."""
+    from impala_refresher_spark.operators.evaluation import ks_statistic_status
+    import impala_refresher_spark.operators.evaluation as ev
+
+    df = spark.createDataFrame(
+        [(s, float(v)) for s, v in rows], "o_orderstatus string, o_totalprice double"
+    )
+    orig = ev.load_table
+    ev.load_table = lambda spark, sf, name: df
+    try:
+        r = ks_statistic_status(spark, "x").collect()[0]
+    finally:
+        ev.load_table = orig
+
+    fs = sorted(v * 100 for s, v in rows if s == "F")
+    os_ = sorted(v * 100 for s, v in rows if s == "O")
+    if not fs and not os_:
+        # fully-filtered input: the global agg emits one all-NULL row
+        # (identical on DuckDB — MAX/SUM over zero rows)
+        assert (r.n_f, r.n_o, r.ks_d) == (None, None, None)
+        return
+    assert (r.n_f, r.n_o) == (len(fs), len(os_))
+    if not fs or not os_:
+        assert r.ks_d is None
+        return
+    vals = sorted(set(fs) | set(os_))
+    d = max(
+        abs(
+            sum(1 for x in fs if x <= v) / len(fs)
+            - sum(1 for x in os_ if x <= v) / len(os_)
+        )
+        for v in vals
+    )
+    assert abs(r.ks_d - d) <= 1.1e-4
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de", "fr"]), st.integers(1, 12)),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(**_SETTINGS)
+def test_auc_rank_sum_matches_naive_pair_count(spark, rows):
+    """The tie-averaged rank-sum AUC must equal the naive
+    P(pos > neg) + P(pos == neg)/2 pair count — a genuinely different
+    algorithm — including all-one-class inputs (NULL AUC via
+    try_divide)."""
+    from impala_refresher_spark.operators.evaluation import score_auc_quality
+    import impala_refresher_spark.operators.evaluation as ev
+
+    df = spark.createDataFrame(rows, "lang string, n_chars int")
+    orig = ev.load_table
+    ev.load_table = lambda spark, sf, name: df
+    try:
+        r = score_auc_quality(spark, "x").collect()[0]
+    finally:
+        ev.load_table = orig
+
+    pos = [n for lang, n in rows if lang == "en"]
+    neg = [n for lang, n in rows if lang != "en"]
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    if not pos or not neg:
+        assert r.auc is None
+        return
+    wins = sum(1.0 for p in pos for n in neg if p > n)
+    ties = sum(1.0 for p in pos for n in neg if p == n)
+    assert abs(r.auc - (wins + ties / 2) / (len(pos) * len(neg))) <= 1.1e-4
