@@ -342,8 +342,8 @@ def cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
            ROUND(SUM(t_next - t_us) / 1e6, 1) AS span_sec,
-           ROUND(SUM(value * (t_next - t_us)) / SUM(t_next - t_us), 4)
-               AS twa_value
+           ROUND(SUM(value * (t_next - t_us))
+                 / NULLIF(SUM(t_next - t_us), 0), 4) AS twa_value
     FROM stepped
     WHERE t_next IS NOT NULL
     GROUP BY user_id
@@ -376,7 +376,12 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_intervals"),
             F.round(F.sum(dt) / F.lit(1e6), 1).alias("span_sec"),
-            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 4).alias(
+            # try_divide: a user whose events ALL share one timestamp
+            # has a zero total span — ANSI Spark errors on the division
+            # while DuckDB's NULLIF form yields NULL; unreachable on
+            # µs-unique fixtures, real on second-grain logs (found by
+            # the hypothesis differential in tests/test_properties.py)
+            F.round(F.try_divide(F.sum(F.col("value") * dt), F.sum(dt)), 4).alias(
                 "twa_value"
             ),
         )

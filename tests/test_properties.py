@@ -1039,3 +1039,249 @@ def test_auc_rank_sum_matches_naive_pair_count(spark, rows):
     wins = sum(1.0 for p in pos for n in neg if p > n)
     ties = sum(1.0 for p in pos for n in neg if p == n)
     assert abs(r.auc - (wins + ties / 2) / (len(pos) * len(neg))) <= 1.1e-4
+
+
+@st.composite
+def lineitem_days(draw):
+    """(flag, day, qty, price-cents) rows clustered on few days so the
+    30-day range frames overlap, with constant-value days possible
+    (zero-variance frames -> NULL correlation)."""
+    rows = []
+    for _ in range(draw(st.integers(1, 14))):
+        rows.append(
+            (
+                draw(st.sampled_from(["A", "R"])),
+                draw(st.integers(0, 45)),
+                draw(st.integers(1, 5)),
+                draw(st.integers(1, 8)) * 25,
+            )
+        )
+    return rows
+
+
+@given(lineitem_days())
+@settings(**_SETTINGS)
+def test_rolling_corr_sufficient_stats_match_naive_pearson(spark, rows):
+    """The daily-sufficient-statistics rewrite must equal naive Pearson
+    over each 30-day value-range frame — zero-variance frames (NULL),
+    single-row frames (NULL), and negative-zero normalization
+    included."""
+    from impala_refresher_spark.operators.profiling import rolling_corr_qty_price
+    import impala_refresher_spark.operators.profiling as pf
+    from datetime import date
+
+    df = spark.createDataFrame(
+        [
+            (f, date(2024, 1, 1) + timedelta(days=d), float(q), c / 100.0)
+            for f, d, q, c in rows
+        ],
+        "l_returnflag string, l_shipdate date, l_quantity double, l_extendedprice double",
+    )
+    orig = pf.load_table
+    pf.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.l_returnflag, r.day): r.corr_30d
+            for r in rolling_corr_qty_price(spark, "x").collect()
+        }
+    finally:
+        pf.load_table = orig
+
+    import math
+
+    want = {}
+    for f, d, _, _ in rows:
+        frame = [(q, c / 100.0) for ff, dd, q, c in rows if ff == f and d - 29 <= dd <= d]
+        n = len(frame)
+        sx = sum(q for q, _ in frame)
+        sy = sum(p for _, p in frame)
+        sxy = sum(q * p for q, p in frame)
+        sxx = sum(q * q for q, _ in frame)
+        syy = sum(p * p for _, p in frame)
+        den = math.sqrt(max(0.0, sxx - sx * sx / n) * max(0.0, syy - sy * sy / n))
+        want[(f, date(2024, 1, 1) + timedelta(days=d))] = (
+            None if den == 0.0 else (sxy - sx * sy / n) / den
+        )
+    assert set(got) == set(want)
+    for k, w in want.items():
+        if w is None:
+            assert got[k] is None, k
+        else:
+            assert abs(got[k] - w) <= 1.1e-4, k
+            assert math.copysign(1.0, got[k]) > 0 or got[k] != 0.0  # no -0.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user
+            st.integers(0, 5),  # second offset (collisions allowed)
+            st.integers(0, 40),  # value quarters
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_time_weighted_avg_matches_python_fold(spark, pts):
+    """The lead-window TWA must equal the sequential hold-until-next
+    fold — duplicate timestamps (zero-width intervals), single-event
+    users (absent), and ALL-same-timestamp users (zero total span)
+    included."""
+    from impala_refresher_spark.operators.profiling import time_weighted_avg_value
+    import impala_refresher_spark.operators.profiling as pf
+
+    rows = [
+        (i + 1, _BASE + timedelta(seconds=s), u, "view", v / 4.0, "{}")
+        for i, (u, s, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = pf.load_table
+    pf.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.user_id: (r.n_intervals, r.span_sec, r.twa_value)
+            for r in time_weighted_avg_value(spark, "x").collect()
+        }
+    finally:
+        pf.load_table = orig
+
+    by_user: dict[int, list] = {}
+    for eid, ts, u, _, v, _ in rows:
+        by_user.setdefault(u, []).append((ts, eid, v))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        if len(evs) < 2:
+            continue
+        dts = [
+            ((evs[i + 1][0] - evs[i][0]).total_seconds(), evs[i][2])
+            for i in range(len(evs) - 1)
+        ]
+        span = sum(dt for dt, _ in dts)
+        twa = (
+            None
+            if span == 0
+            else round(sum(v * dt for dt, v in dts) / span, 4)
+        )
+        want[u] = (len(dts), round(span, 1), twa)
+    assert set(got) == set(want)
+    for u, (n, span, twa) in want.items():
+        gn, gspan, gtwa = got[u]
+        assert (gn, gspan) == (n, span), u
+        if twa is None:
+            assert gtwa is None, u
+        else:
+            assert abs(gtwa - twa) <= 1.1e-4, u
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(1, 40)),  # (day, price quarters)
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_cusum_matches_python_fold(spark, rows):
+    """The windowed CUSUM must equal the sequential centered cumsum
+    (quarter-exact inputs keep the float sums order-independent)."""
+    from impala_refresher_spark.operators.profiling import cusum_daily_revenue
+    import impala_refresher_spark.operators.profiling as pf
+    from datetime import date
+
+    df = spark.createDataFrame(
+        [
+            (i + 1, date(2024, 1, 1) + timedelta(days=d), q / 4.0)
+            for i, (d, q) in enumerate(rows)
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    orig = pf.load_table
+    pf.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.day, r.rev, r.cusum) for r in cusum_daily_revenue(spark, "x").collect()
+        ]
+    finally:
+        pf.load_table = orig
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r2(x: float) -> float:
+        # F.round / DuckDB ROUND are HALF_UP (away from zero) over the
+        # double's shortest decimal repr; python's round() is banker's
+        # and WOULD diverge (e.g. mean 0.625 -> 0.63 vs 0.62)
+        return float(Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+    daily: dict[int, float] = {}
+    for d, q in rows:
+        daily[d] = daily.get(d, 0.0) + q / 4.0
+    mean = r2(sum(daily[d] for d in sorted(daily)) / len(daily))
+    acc, want = 0.0, []
+    for d in sorted(daily):
+        rev = r2(daily[d])
+        acc += rev - mean
+        want.append((date(2024, 1, 1) + timedelta(days=d), rev, r2(acc)))
+    assert [(d, r) for d, r, _ in got] == [(d, r) for d, r, _ in want]
+    for (_, _, gc), (_, _, wc) in zip(got, want):
+        assert abs(gc - wc) <= 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 10)),  # (user, day)
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_gap_islands_match_python_sweep(spark, pts):
+    """day - row_number() anchoring must produce exactly the
+    consecutive-day islands of the sequential sweep (duplicate
+    same-day events collapse first)."""
+    from impala_refresher_spark.operators.profiling import gap_islands_active_days
+    import impala_refresher_spark.operators.profiling as pf
+
+    rows = [
+        (i + 1, _BASE + timedelta(days=d, minutes=i), u, "view", 0.0, "{}")
+        for i, (u, d) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = pf.load_table
+    pf.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.user_id, r.island_start, r.island_end, r.n_days)
+            for r in gap_islands_active_days(spark, "x").collect()
+        ]
+    finally:
+        pf.load_table = orig
+
+    want = []
+    by_user: dict[int, set] = {}
+    for u, d in pts:
+        by_user.setdefault(u, set()).add(d)
+    for u in sorted(by_user):
+        days = sorted(by_user[u])
+        start = prev = days[0]
+        for d in days[1:] + [None]:
+            if d is None or d != prev + 1:
+                want.append(
+                    (
+                        u,
+                        (_BASE + timedelta(days=start)).date(),
+                        (_BASE + timedelta(days=prev)).date(),
+                        prev - start + 1,
+                    )
+                )
+                if d is not None:
+                    start = d
+            prev = d if d is not None else prev
+    assert got == want
