@@ -1285,3 +1285,205 @@ def test_gap_islands_match_python_sweep(spark, pts):
                     start = d
             prev = d if d is not None else prev
     assert got == want
+
+
+def _r4(x: float) -> float:
+    """HALF_UP 4dp — what F.round / DuckDB ROUND do to a double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(0, 100),  # day offset before the corpus max
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_trending_decay_matches_exact_fractions(spark, pts):
+    """The pow-free 1/2^week weighting must equal EXACT Fraction
+    arithmetic (the ADVICE rewrite's whole point: dyadic weights over
+    integer age-week counts, no libm pow anywhere)."""
+    from fractions import Fraction
+
+    from impala_refresher_spark.operators.analytics import trending_decayed_counts
+    import impala_refresher_spark.operators.analytics as an
+
+    rows = [
+        (i + 1, _BASE + timedelta(days=d, minutes=i), 1, t, 0.0, "{}")
+        for i, (t, d) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.event_type, r.n_raw, r.decayed_score)
+            for r in trending_decayed_counts(spark, "x").collect()
+        ]
+    finally:
+        an.load_table = orig
+
+    max_day = max(d for _, d in pts)
+    counts: dict[tuple, int] = {}
+    for t, d in pts:
+        wk = min((max_day - d) // 7, 62)
+        counts[(t, wk)] = counts.get((t, wk), 0) + 1
+    want = {}
+    for t in {t for t, _ in pts}:
+        n_raw = sum(n for (tt, _), n in counts.items() if tt == t)
+        score = sum(
+            Fraction(n, 1 << wk) for (tt, wk), n in counts.items() if tt == t
+        )
+        want[t] = (n_raw, float(score))
+    assert {t: n for t, n, _ in got} == {t: n for t, (n, _) in want.items()}
+    for t, _, gs in got:
+        assert abs(gs - _r4(want[t][1])) <= 1.1e-4, t
+    # leaderboard order: rounded score DESC, type ASC
+    assert [t for t, _, _ in got] == [
+        t for t, _, s in sorted(got, key=lambda r: (-r[2], r[0]))
+    ]
+
+
+def _ntile(n_rows: int, n_buckets: int) -> list:
+    """SQL NTILE bucket assignment for rows 0..n_rows-1."""
+    base, extra = divmod(n_rows, n_buckets)
+    out, row = [], 0
+    for b in range(1, n_buckets + 1):
+        size = base + (1 if b <= extra else 0)
+        out += [b] * size
+        row += size
+        if row >= n_rows:
+            break
+    return out[:n_rows]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 30), st.integers(1, 400)),  # (custkey, quarters)
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_gini_lorenz_match_exact_integer_reference(spark, rows):
+    """Gini G = 2·Σi·x_i/(n·Σx) − (n+1)/n and the decile Lorenz curve
+    must equal exact integer-cents arithmetic, with NTILE bucket-size
+    semantics reproduced from the SQL spec (n < 10 customers -> one
+    per decile 1..n)."""
+    from impala_refresher_spark.operators.analytics import revenue_concentration_gini
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(c, q / 4.0) for c, q in rows], "o_custkey long, o_totalprice double"
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.decile, r.n_customers, r.lorenz_cum_share, r.gini)
+            for r in revenue_concentration_gini(spark, "x").collect()
+        ]
+    finally:
+        an.load_table = orig
+
+    rev: dict[int, int] = {}
+    for c, q in rows:
+        rev[c] = rev.get(c, 0) + q * 25  # quarters -> cents, exact
+    ranked = sorted((v, c) for c, v in rev.items())
+    n = len(ranked)
+    total = sum(v for v, _ in ranked)
+    wsum = sum(2 * (i + 1) * v for i, (v, _) in enumerate(ranked))
+    gini = _r4(wsum / (n * total) - (n + 1) / n)
+    deciles = _ntile(n, 10)
+    per_dec: dict[int, list] = {}
+    for (v, _), b in zip(ranked, deciles):
+        per_dec.setdefault(b, []).append(v)
+    cum, want = 0, []
+    for b in sorted(per_dec):
+        cum += sum(per_dec[b])
+        want.append((b, len(per_dec[b]), _r4(cum / total), gini))
+    assert [(b, nc) for b, nc, _, _ in got] == [(b, nc) for b, nc, _, _ in want]
+    for (_, _, gl, gg), (_, _, wl, wg) in zip(got, want):
+        assert abs(gl - wl) <= 1.1e-4 and abs(gg - wg) <= 1.1e-4
+
+
+@st.composite
+def ols_case(draw):
+    """Per-nation customer (spend, balance) points — INTEGER-valued so
+    the operator's 2dp-rounding of the sufficient statistics (sums of
+    products) is an identity and the closed form is comparable to
+    numpy — with single-customer and zero-x-variance nations
+    possible."""
+    custs = draw(st.lists(st.integers(1, 12), min_size=1, max_size=8, unique=True))
+    customer = [
+        (c, draw(st.integers(0, 2)), float(draw(st.integers(-40, 40)))) for c in custs
+    ]
+    orders = []
+    for c in custs:
+        for _ in range(draw(st.integers(0, 2))):
+            orders.append((c, float(draw(st.integers(1, 40)))))
+    return customer, orders
+
+
+@given(ols_case())
+@settings(**_SETTINGS)
+def test_ols_closed_form_matches_numpy(spark, case):
+    """The sufficient-statistics OLS must equal numpy's least-squares
+    fit per group; zero-x-variance groups (single customer, or equal
+    spends) must yield NULL slope AND intercept via try_divide."""
+    import numpy as np
+
+    from impala_refresher_spark.operators.analytics import ols_per_nation
+    import impala_refresher_spark.operators.analytics as an
+
+    customer, orders = case
+    tables = {
+        "orders": spark.createDataFrame(
+            orders or [(999, 1.0)], "o_custkey long, o_totalprice double"
+        ),
+        "customer": spark.createDataFrame(
+            customer, "c_custkey long, c_nationkey long, c_acctbal double"
+        ),
+        "nation": spark.createDataFrame(
+            [(k, f"NATION_{k}") for k in range(3)], "n_nationkey long, n_name string"
+        ),
+    }
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: tables[name]
+    try:
+        got = {
+            r.n_name: (r.n_customers, r.slope, r.intercept)
+            for r in ols_per_nation(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    spend: dict[int, float] = {}
+    for c, p in orders:
+        spend[c] = spend.get(c, 0.0) + p
+    pts: dict[int, list] = {}
+    for c, nk, bal in customer:
+        if c in spend:
+            pts.setdefault(nk, []).append((spend[c], bal))
+    want_keys = {f"NATION_{nk}" for nk in pts}
+    assert set(got) == want_keys
+    for nk, xy in pts.items():
+        gn, gs, gi = got[f"NATION_{nk}"]
+        assert gn == len(xy)
+        x = np.array([p for p, _ in xy])
+        y = np.array([b for _, b in xy])
+        if len(xy) < 2 or np.ptp(x) == 0.0:
+            assert gs is None and gi is None, nk
+        else:
+            slope, intercept = np.polyfit(x, y, 1)
+            assert abs(gs - slope) <= 1e-8 * max(1.0, abs(slope)), nk
+            assert abs(gi - intercept) <= 1e-8 * max(1.0, abs(intercept)), nk
