@@ -1487,3 +1487,169 @@ def test_ols_closed_form_matches_numpy(spark, case):
             slope, intercept = np.polyfit(x, y, 1)
             assert abs(gs - slope) <= 1e-8 * max(1.0, abs(slope)), nk
             assert abs(gi - intercept) <= 1e-8 * max(1.0, abs(intercept)), nk
+
+
+@given(event_sequences())
+@settings(**_SETTINGS)
+def test_markov_transitions_match_python_counts(spark, rows):
+    """The lead-window transition matrix must equal sequential bigram
+    counting over each user's (ts, event_id)-ordered stream, with
+    row-normalized probabilities."""
+    from impala_refresher_spark.operators.analytics import markov_event_transitions
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.src, r.dst): (r.n, r.p)
+            for r in markov_event_transitions(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    by_user: dict[int, list] = {}
+    for e, ts, u, t, _ in rows:
+        by_user.setdefault(u, []).append((ts, e, t))
+    counts: dict[tuple, int] = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    row_tot: dict[str, int] = {}
+    for (a, _), n in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    assert {k: n for k, (n, _) in got.items()} == counts
+    for (a, _), (n, p) in got.items():
+        assert abs(p - n / row_tot[a]) <= 1.1e-6
+
+
+@given(event_sequences())
+@settings(**_SETTINGS)
+def test_top_event_paths_match_python(spark, rows):
+    """The order-free conditional-MIN path fold must equal taking each
+    user's literal first three events; <3-event users are excluded."""
+    from impala_refresher_spark.operators.analytics import top_event_paths
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = [(r.path, r.n_users) for r in top_event_paths(spark, "x").collect()]
+    finally:
+        an.load_table = orig
+
+    by_user: dict[int, list] = {}
+    for e, ts, u, t, _ in rows:
+        by_user.setdefault(u, []).append((ts, e, t))
+    counts: dict[str, int] = {}
+    for seq in by_user.values():
+        seq.sort()
+        if len(seq) >= 3:
+            path = ">".join(t for _, _, t in seq[:3])
+            counts[path] = counts.get(path, 0) + 1
+    assert sorted(got) == sorted(counts.items())
+    assert got == sorted(got, key=lambda r: (-r[1], r[0]))
+
+
+@given(
+    st.lists(st.integers(1, 4000), min_size=1, max_size=20)  # price quarters
+)
+@settings(**_SETTINGS)
+def test_benford_digit_extraction_matches_python(spark, quarters):
+    """The string-based first-digit extraction must equal python's
+    str(floor(x))[0] — including sub-1 prices (filtered) and exact
+    powers of ten (where a floor(log10) approach could flip)."""
+    import math
+
+    from impala_refresher_spark.operators.profiling import benford_first_digit
+    import impala_refresher_spark.operators.profiling as pf
+
+    df = spark.createDataFrame(
+        [(i + 1, q / 4.0) for i, q in enumerate(quarters)],
+        "o_orderkey long, o_totalprice double",
+    )
+    orig = pf.load_table
+    pf.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.digit, r.n, r.obs_freq, r.benford_freq, r.abs_dev)
+            for r in benford_first_digit(spark, "x").collect()
+        ]
+    finally:
+        pf.load_table = orig
+
+    counts: dict[int, int] = {}
+    for q in quarters:
+        x = q / 4.0
+        if x >= 1:
+            d = int(str(int(math.floor(x)))[0])
+            counts[d] = counts.get(d, 0) + 1
+    total = sum(counts.values())
+    assert [(d, n) for d, n, _, _, _ in got] == sorted(counts.items())
+    for d, n, obs, ben, dev in got:
+        assert abs(obs - n / total) <= 1.1e-4
+        want_ben = math.log10(1.0 + 1.0 / d)
+        assert abs(ben - want_ben) <= 1.1e-4
+        assert abs(dev - abs(n / total - want_ben)) <= 2.1e-4
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-500, 500)),  # (nation, cents)
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_mad_outliers_match_python_medians(spark, pts):
+    """The two-level grouped-median MAD screen must equal python's
+    statistics.median in integer cents — even-count interpolation,
+    zero-MAD nations dropped, and the strict 3*1.4826*MAD threshold
+    compared on identical doubles."""
+    from statistics import median
+
+    from impala_refresher_spark.operators.profiling import mad_outlier_accounts
+    import impala_refresher_spark.operators.profiling as pf
+
+    rows = [(i + 1, nk, cents / 100.0) for i, (nk, cents) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_acctbal double"
+    )
+    orig = pf.load_table
+    pf.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.c_custkey, r.nationkey, r.acctbal, r.robust_z)
+            for r in mad_outlier_accounts(spark, "x").collect()
+        ]
+    finally:
+        pf.load_table = orig
+
+    by_nation: dict[int, list] = {}
+    for ck, nk, bal in rows:
+        by_nation.setdefault(nk, []).append((ck, round(bal * 100)))
+    want = {}
+    for nk, mem in by_nation.items():
+        med = median(c for _, c in mem)
+        mad = median(abs(c - med) for _, c in mem)
+        if mad <= 0:
+            continue
+        for ck, c in mem:
+            dev = abs(c - med)
+            if dev > 3 * 1.4826 * mad:
+                want[ck] = (nk, c / 100.0, dev / (1.4826 * mad))
+    assert {ck: (nk, bal) for ck, nk, bal, _ in got} == {
+        ck: (nk, round(bal, 2)) for ck, (nk, bal, _) in want.items()
+    }
+    for ck, _, _, gz in got:
+        assert abs(gz - want[ck][2]) <= 1.1e-3
+    assert got == sorted(got, key=lambda r: (-r[3], r[0]))
