@@ -1653,3 +1653,151 @@ def test_mad_outliers_match_python_medians(spark, pts):
     for ck, _, _, gz in got:
         assert abs(gz - want[ck][2]) <= 1.1e-3
     assert got == sorted(got, key=lambda r: (-r[3], r[0]))
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.sampled_from(["F", "O", "P"])),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_chisq_cells_match_python(spark, pairs):
+    """Each contingency cell's expected count (row*col/total) and chi2
+    term must equal the textbook computation from the joint counts."""
+    from impala_refresher_spark.operators.evaluation import chisq_segment_status
+    import impala_refresher_spark.operators.evaluation as ev
+
+    orders = spark.createDataFrame(
+        [(i + 1, i + 1, s) for i, (_, s) in enumerate(pairs)],
+        "o_orderkey long, o_custkey long, o_orderstatus string",
+    )
+    customer = spark.createDataFrame(
+        [(i + 1, seg) for i, (seg, _) in enumerate(pairs)],
+        "c_custkey long, c_mktsegment string",
+    )
+    tables = {"orders": orders, "customer": customer}
+    orig = ev.load_table
+    ev.load_table = lambda spark, sf, name: tables[name]
+    try:
+        got = {
+            (r.seg, r.status): (r.n, r.expected, r.chi2_term)
+            for r in chisq_segment_status(spark, "x").collect()
+        }
+    finally:
+        ev.load_table = orig
+
+    joint: dict[tuple, int] = {}
+    for seg, s in pairs:
+        joint[(seg, s)] = joint.get((seg, s), 0) + 1
+    total = len(pairs)
+    row = {seg: sum(n for (sg, _), n in joint.items() if sg == seg) for seg, _ in joint}
+    col = {s: sum(n for (_, ss), n in joint.items() if ss == s) for _, s in joint}
+    assert set(got) == set(joint)
+    for (seg, s), (n, exp, term) in got.items():
+        assert n == joint[(seg, s)]
+        want_exp = row[seg] * col[s] / total
+        assert abs(exp - want_exp) <= 1.1e-2
+        assert abs(term - (n - want_exp) ** 2 / want_exp) <= 1.1e-3
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de"]), st.integers(1, 30)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_gain_deciles_match_python(spark, docs):
+    """NTILE gain/lift per decile must equal the python rank-and-cut —
+    zero-positive corpora yield NULL capture and lift via
+    try_divide."""
+    from impala_refresher_spark.operators.evaluation import score_gain_deciles
+    import impala_refresher_spark.operators.evaluation as ev
+
+    df = spark.createDataFrame(
+        [(i + 1, n, lang) for i, (lang, n) in enumerate(docs)],
+        "doc_id long, n_chars int, lang string",
+    )
+    orig = ev.load_table
+    ev.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.decile, r.n, r.n_pos, r.cum_capture, r.lift)
+            for r in score_gain_deciles(spark, "x").collect()
+        ]
+    finally:
+        ev.load_table = orig
+
+    ranked = sorted(
+        ((-n, i + 1, 1 if lang == "en" else 0) for i, (lang, n) in enumerate(docs))
+    )
+    deciles = _ntile(len(ranked), 10)
+    per: dict[int, list] = {}
+    for (_, _, pos), b in zip(ranked, deciles):
+        per.setdefault(b, []).append(pos)
+    tot_pos = sum(p for ps in per.values() for p in ps)
+    tot_n = len(ranked)
+    cum, want = 0, []
+    for b in sorted(per):
+        n, n_pos = len(per[b]), sum(per[b])
+        cum += n_pos
+        if tot_pos == 0:
+            want.append((b, n, n_pos, None, None))
+        else:
+            want.append(
+                (b, n, n_pos, cum / tot_pos, (n_pos / n) / (tot_pos / tot_n))
+            )
+    assert [(b, n, p) for b, n, p, _, _ in got] == [
+        (b, n, p) for b, n, p, _, _ in want
+    ]
+    for (_, _, _, gc, gl), (_, _, _, wc, wl) in zip(got, want):
+        if wc is None:
+            assert gc is None and gl is None
+        else:
+            assert abs(gc - wc) <= 1.1e-4 and abs(gl - wl) <= 1.1e-4
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de", "fr"]), st.sampled_from(["web", "book"])),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_mutual_information_matches_python(spark, docs):
+    """I(lang; source) and H(lang) must equal the textbook p*log2
+    sums over the joint distribution (observed cells only — no log(0)
+    path exists by construction)."""
+    import math
+
+    from impala_refresher_spark.operators.evaluation import (
+        mutual_information_lang_source,
+    )
+    import impala_refresher_spark.operators.evaluation as ev
+
+    df = spark.createDataFrame(docs, "lang string, source string")
+    orig = ev.load_table
+    ev.load_table = lambda spark, sf, name: df
+    try:
+        r = mutual_information_lang_source(spark, "x").collect()[0]
+    finally:
+        ev.load_table = orig
+
+    joint: dict[tuple, int] = {}
+    for lang, src in docs:
+        joint[(lang, src)] = joint.get((lang, src), 0) + 1
+    total = len(docs)
+    lm = {l: sum(n for (ll, _), n in joint.items() if ll == l) for l, _ in joint}
+    sm = {s: sum(n for (_, ss), n in joint.items() if ss == s) for _, s in joint}
+    mi = sum(
+        (n / total) * math.log2(n * total / (lm[l] * sm[s]))
+        for (l, s), n in joint.items()
+    )
+    h = -sum((n / total) * math.log2(n / total) for n in lm.values())
+    assert r.n_cells == len(joint)
+    assert abs(r.mi_bits - mi) <= 1.1e-4
+    assert abs(r.h_lang - h) <= 1.1e-4
