@@ -1801,3 +1801,172 @@ def test_mutual_information_matches_python(spark, docs):
     assert r.n_cells == len(joint)
     assert abs(r.mi_bits - mi) <= 1.1e-4
     assert abs(r.h_lang - h) <= 1.1e-4
+
+
+@st.composite
+def bipartite_case(draw):
+    """Small orders/lineitem sets forming a bipartite purchase graph
+    (orderkeys shared so customer-supplier edges actually exist)."""
+    n_orders = draw(st.integers(1, 5))
+    orders = [(ok + 1, draw(st.integers(1, 3))) for ok in range(n_orders)]
+    lineitem = [
+        (draw(st.integers(1, n_orders)), draw(st.integers(1, 3)))
+        for _ in range(draw(st.integers(1, 8)))
+    ]
+    return orders, lineitem
+
+
+@given(bipartite_case())
+@settings(**_SETTINGS)
+def test_pagerank_matches_python_power_iteration(spark, case):
+    """Two unrolled PageRank iterations (with the per-round 6dp rank
+    stabilization) must equal a python power iteration replicating the
+    same rounding on arbitrary bipartite graphs."""
+    from impala_refresher_spark.operators.graph import pagerank_bipartite
+    import impala_refresher_spark.operators.graph as gr
+    from decimal import ROUND_HALF_UP, Decimal
+
+    orders, lineitem = case
+    tables = {
+        "orders": spark.createDataFrame(orders, "o_orderkey long, o_custkey long"),
+        "lineitem": spark.createDataFrame(lineitem, "l_orderkey long, l_suppkey long"),
+    }
+    orig = gr.load_table
+    gr.load_table = lambda spark, sf, name: tables[name]
+    try:
+        got = {r.node: r.pr for r in pagerank_bipartite(spark, "x").collect()}
+    finally:
+        gr.load_table = orig
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    cust_of = dict(orders)
+    und = {(f"c{cust_of[ok]}", f"s{sk}") for ok, sk in lineitem if ok in cust_of}
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    nodes = {a for a, _ in edges}
+    n = len(nodes)
+    outdeg = {a: sum(1 for s, _ in edges if s == a) for a in nodes}
+    pr = {a: 1.0 / n for a in nodes}
+    for _ in range(2):
+        nxt = {}
+        for s, d in edges:
+            nxt[d] = nxt.get(d, 0.0) + pr[s] / outdeg[s]
+        pr = {d: r6(0.15 / n + 0.85 * v) for d, v in nxt.items()}
+    assert set(got) == set(pr)
+    for node, p in pr.items():
+        assert abs(got[node] - p) <= 1.1e-6, node
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(0, 12),
+            st.sampled_from(["signup", "view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_bfs_matches_python(spark, pts):
+    """Hop distances from 'signup' over the consecutive-event
+    transition graph must equal python BFS (depth cap 8, self-loops
+    excluded, 'signup' itself always present at distance 0)."""
+    from collections import deque
+
+    from impala_refresher_spark.operators.graph import bfs_event_transitions
+    import impala_refresher_spark.operators.graph as gr
+
+    rows = [
+        (i + 1, _BASE + timedelta(minutes=m), u, t, 0.0, "{}")
+        for i, (u, m, t) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = gr.load_table
+    gr.load_table = lambda spark, sf, name: df
+    try:
+        got = {r.node: r.dist for r in bfs_event_transitions(spark, "x").collect()}
+    finally:
+        gr.load_table = orig
+
+    by_user: dict[int, list] = {}
+    for eid, ts, u, t, _, _ in rows:
+        by_user.setdefault(u, []).append((ts, eid, t))
+    edges: dict[str, set] = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            if a != b:
+                edges.setdefault(a, set()).add(b)
+    want = {"signup": 0}
+    q = deque([("signup", 0)])
+    while q:
+        node, d = q.popleft()
+        if d >= 8:
+            continue
+        for nxt in edges.get(node, ()):
+            if nxt not in want:
+                want[nxt] = d + 1
+                q.append((nxt, d + 1))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(-30, 30)),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_anova_matches_python_sums_of_squares(spark, pts):
+    """One-way ANOVA from per-group sufficient statistics must equal
+    the textbook sums-of-squares — single-segment (k-1=0), all-
+    singleton (n-k=0), and zero-within-variance inputs all yielding
+    the guarded NULLs."""
+    from impala_refresher_spark.operators.evaluation import anova_segment_acctbal
+    import impala_refresher_spark.operators.evaluation as ev
+
+    df = spark.createDataFrame(
+        [(i + 1, seg, float(b)) for i, (seg, b) in enumerate(pts)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    orig = ev.load_table
+    ev.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.seg: (r.n, r.group_mean, r.ms_between, r.ms_within, r.f_stat)
+            for r in anova_segment_acctbal(spark, "x").collect()
+        }
+    finally:
+        ev.load_table = orig
+
+    groups: dict[str, list] = {}
+    for seg, b in pts:
+        groups.setdefault(seg, []).append(float(b))
+    k, n_tot = len(groups), len(pts)
+    s_tot = sum(b for g in groups.values() for b in g)
+    ss_tot = sum(b * b for g in groups.values() for b in g)
+    explained = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    msb = None if k == 1 else (explained - s_tot**2 / n_tot) / (k - 1)
+    msw = None if n_tot == k else (ss_tot - explained) / (n_tot - k)
+    f = None if (msb is None or not msw) else msb / msw
+    assert set(got) == set(groups)
+    for seg, g in groups.items():
+        gn, gm, gb, gw, gf = got[seg]
+        assert gn == len(g)
+        assert abs(gm - sum(g) / len(g)) <= 1.1e-2
+        for have, want, tol in (
+            (gb, msb, 1.1e-2),  # rounded to 2dp in-query
+            (gw, msw, 1.1e-2),
+            (gf, f, 1.1e-4 + 1e-6 * abs(f or 0.0)),  # rounded to 4dp
+        ):
+            if want is None:
+                assert have is None, seg
+            else:
+                assert abs(have - want) <= tol, seg
