@@ -1970,3 +1970,168 @@ def test_anova_matches_python_sums_of_squares(spark, pts):
                 assert have is None, seg
             else:
                 assert abs(have - want) <= tol, seg
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(1, 400)),  # (month, quarters)
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_revenue_mom_matches_python(spark, rows):
+    """Month-over-month deltas and percents must equal the sequential
+    lag computation on cents-rounded monthly revenue; the first month
+    has NULL delta and pct."""
+    from impala_refresher_spark.operators.profiling import revenue_mom_change
+    import impala_refresher_spark.operators.profiling as pf
+    from datetime import date
+
+    df = spark.createDataFrame(
+        [
+            (i + 1, date(2024, 1 + m, 5 + (i % 20)), q / 4.0)
+            for i, (m, q) in enumerate(rows)
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    orig = pf.load_table
+    pf.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.month, r.rev, r.mom_delta, r.mom_pct)
+            for r in revenue_mom_change(spark, "x").collect()
+        ]
+    finally:
+        pf.load_table = orig
+
+    monthly: dict[int, float] = {}
+    for m, q in rows:
+        monthly[m] = monthly.get(m, 0.0) + q / 4.0
+    prev, want = None, []
+    for m in sorted(monthly):
+        rev = round(monthly[m], 2)  # quarters are 2dp-exact
+        delta = None if prev is None else round(rev - prev, 2)
+        pct = None if prev is None else 100.0 * (rev - prev) / prev
+        want.append((date(2024, 1 + m, 1), rev, delta, pct))
+        prev = rev
+    assert [(m, r, d) for m, r, d, _ in got] == [(m, r, d) for m, r, d, _ in want]
+    for (_, _, _, gp), (_, _, _, wp) in zip(got, want):
+        if wp is None:
+            assert gp is None
+        else:
+            assert abs(gp - wp) <= 1.1e-2
+
+
+@given(st.lists(st.integers(1, 2000), min_size=1, max_size=15))
+@settings(**_SETTINGS)
+def test_equidepth_edges_match_numpy_percentiles(spark, quarters):
+    """The 9 interior decile edges must equal numpy's linear-
+    interpolation percentiles (the same definition Spark's exact
+    `percentile` and DuckDB's QUANTILE_CONT use)."""
+    import numpy as np
+
+    from impala_refresher_spark.operators.analytics import histogram_equidepth
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(i + 1, q / 4.0) for i, q in enumerate(quarters)],
+        "o_orderkey long, o_totalprice double",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {r.decile: r.edge for r in histogram_equidepth(spark, "x").collect()}
+    finally:
+        an.load_table = orig
+
+    xs = np.array([q / 4.0 for q in quarters])
+    for i in range(1, 10):
+        want = float(np.percentile(xs, 10 * i, method="linear"))
+        assert abs(got[i] - want) <= 1.1e-2, i
+
+
+@st.composite
+def packing_corpus(draw):
+    """Docs sized 100-1500 tokens so the 2048-token bins actually roll
+    over inside a shard."""
+    n = draw(st.integers(2, 6))
+    return [draw(st.integers(100, 1500)) for _ in range(n)]
+
+
+@given(packing_corpus())
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_python_fold(spark, sizes):
+    """Greedy shard-local packing (md5 order, cum_before // 2048) must
+    equal the sequential python fold per shard."""
+    import hashlib
+
+    from impala_refresher_spark.operators.pipeline import pack_sequences_greedy
+    import impala_refresher_spark.operators.pipeline as pl
+
+    df = spark.createDataFrame(
+        [(i + 1, " ".join(["t"] * n)) for i, n in enumerate(sizes)],
+        "doc_id long, text string",
+    )
+    orig = pl.load_table
+    pl.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: (r.shard, r.bin_id)
+            for r in pack_sequences_greedy(spark, "x").collect()
+        }
+    finally:
+        pl.load_table = orig
+
+    docs = []
+    for i, n in enumerate(sizes):
+        key = hashlib.md5(str(i + 1).encode()).hexdigest()
+        docs.append((key, i + 1, n, int(key[0], 16)))
+    want = {}
+    for shard in {s for _, _, _, s in docs}:
+        cum = 0
+        for key, doc_id, n, s in sorted(d for d in docs if d[3] == shard):
+            want[doc_id] = (s, cum // 2048)
+            cum += n
+    assert got == want
+
+
+@given(st.lists(st.lists(st.sampled_from("abcd"), min_size=1, max_size=6), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_token_budget_selection_matches_python(spark, token_lists):
+    """Budget-capped selection (quality-ordered cum_before < budget)
+    must equal the sequential python sweep — including the boundary
+    doc that STARTS under budget and overruns it (kept)."""
+    from impala_refresher_spark.operators.pipeline import select_corpus_token_budget
+    import impala_refresher_spark.operators.pipeline as pl
+
+    # scale docs up so the 10k budget is reachable: each token repeats
+    # 512x, so a 6-token doc is 3072 tokens
+    texts = [" ".join(t for t in toks for _ in range(512)) for toks in token_lists]
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = pl.load_table
+    pl.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: (r.n_tok, r.quality)
+            for r in select_corpus_token_budget(spark, "x").collect()
+        }
+    finally:
+        pl.load_table = orig
+
+    scored = []
+    for i, toks in enumerate(token_lists):
+        n_tok = len(toks) * 512
+        quality = round(len(set(toks)) / n_tok, 6)
+        scored.append((-quality, i + 1, n_tok, quality))
+    cum, want = 0, {}
+    for negq, doc_id, n_tok, q in sorted(scored):
+        if cum < 10000:
+            want[doc_id] = (n_tok, q)
+        cum += n_tok
+    assert set(got) == set(want)
+    for doc_id, (n_tok, q) in want.items():
+        gn, gq = got[doc_id]
+        assert gn == n_tok and abs(gq - q) <= 1.1e-6, doc_id
