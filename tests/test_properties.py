@@ -2135,3 +2135,208 @@ def test_token_budget_selection_matches_python(spark, token_lists):
     for doc_id, (n_tok, q) in want.items():
         gn, gq = got[doc_id]
         assert gn == n_tok and abs(gq - q) <= 1.1e-6, doc_id
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 28)),  # (user, day)
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_cohort_retention_matches_python(spark, pts):
+    """The cohort x week-offset distinct matrix must equal the python
+    sweep over Monday-anchored weeks (date_trunc('week') semantics on
+    both engines)."""
+    from impala_refresher_spark.operators.analytics import cohort_retention
+    import impala_refresher_spark.operators.analytics as an
+
+    rows = [
+        (i + 1, _BASE + timedelta(days=d, minutes=i), u, "view", 0.0, "{}")
+        for i, (u, d) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.cohort_week, r.week_offset): r.n_active
+            for r in cohort_retention(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    def week_of(d: int):
+        day = (_BASE + timedelta(days=d)).date()
+        return day - timedelta(days=day.weekday())  # Monday anchor
+
+    weeks: dict[int, set] = {}
+    for u, d in pts:
+        weeks.setdefault(u, set()).add(week_of(d))
+    want: dict[tuple, set] = {}
+    for u, ws in weeks.items():
+        cohort = min(ws)
+        for w in ws:
+            want.setdefault((cohort, (w - cohort).days // 7), set()).add(u)
+    assert got == {k: len(us) for k, us in want.items()}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 10), st.integers(0, 40), st.integers(1, 200)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_rfm_ntile_scores_match_python(spark, orders):
+    """R/F/M quartile scores must equal python NTILE(4) over each
+    (metric DESC, custkey) total order — ties broken by key, never by
+    engine hash order."""
+    from impala_refresher_spark.operators.analytics import customer_rfm_segments
+    import impala_refresher_spark.operators.analytics as an
+    from datetime import date
+
+    df = spark.createDataFrame(
+        [
+            (i + 1, c, date(2024, 1, 1) + timedelta(days=d), q / 4.0)
+            for i, (c, d, q) in enumerate(orders)
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.o_custkey: (r.r_score, r.f_score, r.m_score)
+            for r in customer_rfm_segments(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    per: dict[int, list] = {}
+    for c, d, q in orders:
+        per.setdefault(c, []).append((d, q / 4.0))
+    custs = {
+        c: (max(d for d, _ in os), len(os), round(sum(q for _, q in os), 2))
+        for c, os in per.items()
+    }
+
+    def scores(metric_i: int) -> dict:
+        # metric DESC with ASC custkey tiebreak: sort keys ascending,
+        # then stable-sort descending on the metric
+        order = sorted(custs)
+        order.sort(key=lambda c: custs[c][metric_i], reverse=True)
+        return dict(zip(order, _ntile(len(order), 4)))
+
+    r_s, f_s, m_s = scores(0), scores(1), scores(2)
+    assert got == {c: (r_s[c], f_s[c], m_s[c]) for c in custs}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 9), st.integers(1, 3)),  # (orderkey, linenumber)
+        min_size=1,
+        max_size=16,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_aqp_sample_matches_python_md5(spark, keys):
+    """The deterministic 1/16 md5-prefix sample and its x16 scale-up
+    must equal python hashlib over the same key construction."""
+    import hashlib
+
+    from impala_refresher_spark.operators.analytics import aqp_revenue_estimate
+    import impala_refresher_spark.operators.analytics as an
+
+    rows = [(ok, ln, "A" if ok % 2 else "R", float(ok * 4 + ln)) for ok, ln in keys]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_returnflag string, l_extendedprice double",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.l_returnflag: (r.n_sampled, r.est_rows, r.est_revenue)
+            for r in aqp_revenue_estimate(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    want: dict[str, list] = {}
+    for ok, ln, flag, price in rows:
+        h = hashlib.md5(str(ok * 10 + ln).encode()).hexdigest()
+        if h[:2] < "10":
+            want.setdefault(flag, []).append(price)
+    assert set(got) == set(want)
+    for flag, prices in want.items():
+        n, est_rows, est_rev = got[flag]
+        assert (n, est_rows) == (len(prices), len(prices) * 16)
+        assert abs(est_rev - 16 * sum(prices)) <= 1.1e-2
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(1, 2000)),  # (day, quarters)
+        min_size=2,
+        max_size=18,
+    )
+)
+@settings(**_SETTINGS)
+def test_seasonal_dow_anomaly_matches_python(spark, rows):
+    """The per-day-of-week z-score screen must match the python
+    per-dow mean/stddev computation; rows near the |z| = 2 boundary
+    are excluded from the strict compare (sub-ulp stddev divergence
+    between accumulation algorithms can legitimately flip the rounded
+    boundary)."""
+    from statistics import stdev
+
+    from impala_refresher_spark.operators.analytics import seasonal_dow_anomaly
+    import impala_refresher_spark.operators.analytics as an
+    from datetime import date
+
+    df = spark.createDataFrame(
+        [
+            (i + 1, date(2024, 1, 1) + timedelta(days=d), q / 4.0)
+            for i, (d, q) in enumerate(rows)
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {r.day: r.dow_z for r in seasonal_dow_anomaly(spark, "x").collect()}
+    finally:
+        an.load_table = orig
+
+    daily: dict[int, float] = {}
+    for d, q in rows:
+        daily[d] = daily.get(d, 0.0) + q / 4.0
+    by_dow: dict[int, list] = {}
+    for d, rev in daily.items():
+        day = date(2024, 1, 1) + timedelta(days=d)
+        by_dow.setdefault(day.weekday(), []).append((day, round(rev, 2)))
+    flagged_firm, flagged_maybe = {}, set()
+    for mem in by_dow.values():
+        if len(mem) < 2:
+            continue  # stddev_samp NULL -> row dropped
+        revs = [r for _, r in mem]
+        mean = sum(revs) / len(revs)
+        sd = stdev(revs)
+        if sd == 0:
+            continue  # try_divide NULL -> dropped
+        for day, rev in mem:
+            z = (rev - mean) / sd
+            if abs(abs(z) - 2.0) <= 0.03:
+                flagged_maybe.add(day)  # boundary: either outcome OK
+            elif abs(z) > 2.0:
+                flagged_firm[day] = z
+    assert set(flagged_firm) <= set(got) <= set(flagged_firm) | flagged_maybe
+    for day, z in flagged_firm.items():
+        assert abs(got[day] - z) <= 0.03, day
