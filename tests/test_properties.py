@@ -2340,3 +2340,175 @@ def test_seasonal_dow_anomaly_matches_python(spark, rows):
     assert set(flagged_firm) <= set(got) <= set(flagged_firm) | flagged_maybe
     for day, z in flagged_firm.items():
         assert abs(got[day] - z) <= 0.03, day
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_tfidf_matches_python_counter(spark, texts):
+    """TF-IDF must equal the Counter-based python computation: per-doc
+    term frequency x ln(n_docs / df) with df = distinct-doc count."""
+    import math
+    from collections import Counter
+
+    from impala_refresher_spark.operators.text import text_tfidf
+    import impala_refresher_spark.operators.text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.doc_id, r.token): (r.tf, r.tfidf)
+            for r in text_tfidf(spark, "x").collect()
+        }
+    finally:
+        tx.load_table = orig
+
+    tfs = {i: Counter(t.split(" ")) for i, t in enumerate(texts)}
+    dfs: Counter = Counter()
+    for c in tfs.values():
+        dfs.update(set(c))
+    n_docs = len(texts)
+    want = {
+        (i, tok): (tf, tf * math.log(n_docs / dfs[tok]))
+        for i, c in tfs.items()
+        for tok, tf in c.items()
+    }
+    assert {k: tf for k, (tf, _) in got.items()} == {
+        k: tf for k, (tf, _) in want.items()
+    }
+    for k, (_, gw) in got.items():
+        assert abs(gw - want[k][1]) <= 1.1e-4, k
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_bigrams_match_python(spark, texts):
+    """The zip_with shifted-slice bigram extraction must equal python
+    zip(toks, toks[1:]) counting, with the >=5 support floor."""
+    from collections import Counter
+
+    from impala_refresher_spark.operators.text import text_bigrams
+    import impala_refresher_spark.operators.text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf, name: df
+    try:
+        got = {r.bigram: r.n for r in text_bigrams(spark, "x").collect()}
+    finally:
+        tx.load_table = orig
+
+    c: Counter = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    assert got == {bg: n for bg, n in c.items() if n >= 5}
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aab c")).map("".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_char_entropy_matches_python(spark, texts):
+    """The HOF-fold Shannon entropy must equal -sum(p*log2 p) over the
+    python character distribution (repeat-heavy and single-char texts
+    included)."""
+    import math
+    from collections import Counter
+
+    from impala_refresher_spark.operators.text import quality_char_entropy
+    import impala_refresher_spark.operators.text as tx
+
+    texts = [t or "x" for t in texts]  # empty-text parity is pinned in test_edge_cases
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: r.char_entropy for r in quality_char_entropy(spark, "x").collect()
+        }
+    finally:
+        tx.load_table = orig
+
+    for i, t in enumerate(texts):
+        c = Counter(t)
+        n = len(t)
+        ent = -sum((k / n) * math.log2(k / n) for k in c.values())
+        assert abs(got[i] - ent) <= 6e-3, i
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 40)),  # (hour, value quarters)
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_linear_interpolation_matches_python(spark, pts):
+    """Gap-filled linear interpolation must equal the python fill:
+    observed buckets keep their value, gaps get pv + (nv-pv)*dt/DT
+    between the surrounding observations."""
+    from impala_refresher_spark.operators.analytics import timeseries_interpolate_linear
+    import impala_refresher_spark.operators.analytics as an
+
+    rows = [
+        (i + 1, _BASE + timedelta(hours=h, minutes=i % 50), 1, "purchase", q / 4.0, "{}")
+        for i, (h, q) in enumerate(pts)
+    ]
+    # one filtered-out row so the event_type filter is exercised
+    rows.append((len(rows) + 1, _BASE, 1, "view", 99.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.bucket - _BASE).total_seconds() // 3600: (r.is_observed, r.val)
+            for r in timeseries_interpolate_linear(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    hourly: dict[int, list] = {}
+    for h, q in pts:
+        hourly.setdefault(h, []).append(q / 4.0)
+    obs = {h: round(sum(v), 2) / len(v) for h, v in hourly.items()}
+    lo, hi = min(obs), max(obs)
+    want = {}
+    for h in range(lo, hi + 1):
+        if h in obs:
+            want[h] = (True, obs[h])
+        else:
+            pb = max(b for b in obs if b < h)
+            nb = min(b for b in obs if b > h)
+            pv, nv = obs[pb], obs[nb]
+            want[h] = (False, pv + (nv - pv) * ((h - pb) / (nb - pb)))
+    assert {h: o for h, (o, _) in got.items()} == {h: o for h, (o, _) in want.items()}
+    for h, (_, gv) in got.items():
+        assert abs(gv - want[h][1]) <= 1e-9, h
