@@ -50,7 +50,13 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL for zero-norm inputs (no direction, no
+    cosine). try_divide mirrors DuckDB, where x/0.0 yields NULL while
+    ANSI Spark raises — a zero embedding (real in production: an
+    empty-document encode) must degrade to NULL-ranked-last on BOTH
+    engines, not crash one of them (found by the zero-vector
+    hypothesis differential, the `time_weighted_avg_value` class)."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 # DuckDB twin of the same fold: list_reduce over the zipped product,
@@ -111,9 +117,14 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _unit(a):
-    """Pre-normalized (unit-length) copy of a vector, in double."""
+    """Pre-normalized (unit-length) copy of a vector, in double.
+
+    Zero-norm vectors normalize to all-NULL components (try_divide —
+    see `cosine`): every downstream dot then folds to NULL, which both
+    engines rank last / fail thresholds with, instead of ANSI Spark
+    erroring where the DuckDB oracle quietly NULLs."""
     n = _norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    return F.transform(a, lambda x: F.try_divide(x.cast("double"), n))
 
 
 _SQL_UNIT = (

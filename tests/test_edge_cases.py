@@ -368,3 +368,58 @@ def test_nearest_event_same_ts_clicks_pick_min_id(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
     )
     compare(out, con, ORACLES["nearest_event_join"])
+
+
+def test_zero_norm_embedding_cosine_family_matches_oracle(spark, tmp_path):
+    """An all-zero embedding has no direction: its cosine against
+    anything is NULL (DuckDB's x/0.0), NOT an ANSI divide-by-zero
+    crash (what unguarded Spark did — the `time_weighted_avg_value`
+    guard-gap class, found by injecting a zero vector). Both engines
+    must rank the NULL sims last / fail thresholds with them, so every
+    cosine-family query returns identical rows with the zero vector
+    present — including the degenerate corpus whose QUERY vector
+    (vec_id 0) is itself zero."""
+    import duckdb
+
+    from impala_refresher_spark.operators.dedup import dedup_embedding_cosine
+    from impala_refresher_spark.operators.similarity import (
+        cosine_similarity_join,
+        cosine_topk,
+        knn_join_topk,
+    )
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    def base_vec(seed: int) -> list:
+        # exact-quarter floats: float32 -> double conversion is lossless
+        return [((seed * (i + 3)) % 9 - 4) / 4.0 for i in range(64)]
+
+    d = str(tmp_path / "main")
+    vecs = [(i, base_vec(i + 1), i % 2) for i in range(6)]
+    vecs.append((6, vecs[4][1], 0))  # near-twin of vec 4 -> a real pair
+    vecs.append((7, [0.0] * 64, 0))  # the zero vector
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    for q in (cosine_topk, cosine_similarity_join, knn_join_topk, dedup_embedding_cosine):
+        compare(q(spark, d), con, ORACLES[q.__name__])
+
+    # degenerate corpus: the QUERY vector itself is zero -> every sim is
+    # NULL and the top-k falls back to the vec_id tiebreak on both sides
+    d0 = str(tmp_path / "zeroq")
+    vecs0 = [(0, [0.0] * 64, 0)] + [(i, base_vec(i), i % 2) for i in range(1, 4)]
+    spark.createDataFrame(
+        vecs0, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{d0}/embeddings.parquet")
+    con0 = duckdb.connect()
+    con0.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d0}/embeddings.parquet/*.parquet')"
+    )
+    out = cosine_topk(spark, d0)
+    assert [r.cos_sim for r in out.collect()] == [None, None, None]
+    compare(out, con0, ORACLES["cosine_topk"])
