@@ -2512,3 +2512,250 @@ def test_linear_interpolation_matches_python(spark, pts):
     assert {h: o for h, (o, _) in got.items()} == {h: o for h, (o, _) in want.items()}
     for h, (_, gv) in got.items():
         assert abs(gv - want[h][1]) <= 1e-9, h
+
+
+def _lev(a: str, b: str) -> int:
+    """Unit-cost Levenshtein (the JVM/DuckDB built-in's definition)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@st.composite
+def name_corpus(draw):
+    """Two-token names over a tweakable vocab so trailing-token blocks
+    collide and small edit distances occur; duplicates exercise the
+    DISTINCT."""
+    adj = ["red", "reed", "rod", "blue", "blues"]
+    noun = ["cart", "card", "car", "box"]
+    n = draw(st.integers(2, 8))
+    return [
+        draw(st.sampled_from(adj)) + " " + draw(st.sampled_from(noun))
+        for _ in range(n)
+    ]
+
+
+@given(name_corpus())
+@settings(**_SETTINGS)
+def test_fuzzy_join_matches_python_levenshtein(spark, names):
+    """The blocked fuzzy join must equal python: trailing-token
+    blocking, |len| <= 3 prefilter, unit-cost Levenshtein <= 3 on
+    distinct names."""
+    from impala_refresher_spark.operators.linkage import fuzzy_join_part_names
+    import impala_refresher_spark.operators.linkage as lk
+
+    df = spark.createDataFrame(
+        [(i + 1, nm) for i, nm in enumerate(names)], "p_partkey long, p_name string"
+    )
+    orig = lk.load_table
+    lk.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.name_a, r.name_b, r.edit_dist)
+            for r in fuzzy_join_part_names(spark, "x").collect()
+        )
+    finally:
+        lk.load_table = orig
+
+    uniq = sorted(set(names))
+    want = []
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            if (
+                a.rsplit(" ", 1)[-1] == b.rsplit(" ", 1)[-1]
+                and abs(len(a) - len(b)) <= 3
+                and _lev(a, b) <= 3
+            ):
+                want.append((a, b, _lev(a, b)))
+    assert got == sorted(want)
+
+
+@given(name_corpus())
+@settings(**_SETTINGS)
+def test_entity_resolution_matches_union_find(spark, names):
+    """The iterative min-label clustering must equal union-find over
+    the same fuzzy edges: canonical = lexicographic min of each
+    component, singletons canonical to themselves, cluster sizes from
+    the component census."""
+    from impala_refresher_spark.operators.linkage import entity_resolution_clusters
+    import impala_refresher_spark.operators.linkage as lk
+
+    df = spark.createDataFrame(
+        [(i + 1, nm) for i, nm in enumerate(names)], "p_partkey long, p_name string"
+    )
+    orig = lk.load_table
+    lk.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.p_name: (r.canonical, r.cluster_size)
+            for r in entity_resolution_clusters(spark, "x").collect()
+        }
+    finally:
+        lk.load_table = orig
+
+    uniq = sorted(set(names))
+    parent = {n: n for n in uniq}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            if (
+                a.rsplit(" ", 1)[-1] == b.rsplit(" ", 1)[-1]
+                and abs(len(a) - len(b)) <= 3
+                and _lev(a, b) <= 3
+            ):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    comps: dict[str, list] = {}
+    for n in uniq:
+        comps.setdefault(find(n), []).append(n)
+    want = {}
+    for mem in comps.values():
+        canon = min(mem)
+        for n in mem:
+            want[n] = (canon, len(mem))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 40), st.integers(1, 400)),  # (orderkey, quarters)
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_subsample_ci_matches_python(spark, orders):
+    """The 16-bucket subsample CI must equal python: per-bucket means
+    (cents-rounded), grand mean, between-bucket stdev, +-2.131/sqrt(16)
+    interval — single-bucket inputs yield NULL sd and CI."""
+    from statistics import stdev
+
+    from impala_refresher_spark.operators.evaluation import subsample_ci_revenue
+    import impala_refresher_spark.operators.evaluation as ev
+
+    df = spark.createDataFrame(
+        [(ok, q / 4.0) for ok, q in orders], "o_orderkey long, o_totalprice double"
+    )
+    orig = ev.load_table
+    ev.load_table = lambda spark, sf, name: df
+    try:
+        r = subsample_ci_revenue(spark, "x").collect()[0]
+    finally:
+        ev.load_table = orig
+
+    buckets: dict[int, list] = {}
+    for ok, q in orders:
+        buckets.setdefault(ok % 16, []).append(q / 4.0)
+    means = [round(sum(v) / len(v), 2) for _, v in sorted(buckets.items())]
+    assert r.n_subsamples == len(means)
+    assert abs(r.grand_mean - sum(means) / len(means)) <= 1.1e-2
+    if len(means) < 2:
+        assert r.between_sd is None and r.ci_lo is None and r.ci_hi is None
+        return
+    sd = stdev(means)
+    gm = sum(means) / len(means)
+    assert abs(r.between_sd - sd) <= 1.1e-2
+    assert abs(r.ci_lo - (gm - 2.131 * sd / 4.0)) <= 2.1e-2
+    assert abs(r.ci_hi - (gm + 2.131 * sd / 4.0)) <= 2.1e-2
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de", "xx"]), st.integers(1, 20)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_kappa_matches_python(spark, docs):
+    """Cohen's kappa from the integer marginal products must equal the
+    textbook computation, including pe = 1 (single-cell matrix) where
+    try_divide yields NULL."""
+    from impala_refresher_spark.operators.evaluation import langid_confusion_kappa
+    import impala_refresher_spark.operators.evaluation as ev
+
+    df = spark.createDataFrame(docs, "lang string, n_chars int")
+    orig = ev.load_table
+    ev.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.label, r.pred): (r.n, r.po, r.pe, r.kappa)
+            for r in langid_confusion_kappa(spark, "x").collect()
+        }
+    finally:
+        ev.load_table = orig
+
+    langs = {"en", "de", "es", "fr"}
+    cm: dict[tuple, int] = {}
+    for lang, n_chars in docs:
+        label = lang if lang in langs else "other"
+        pred = "other" if n_chars % 5 == 0 else (lang if lang in langs else "other")
+        cm[(label, pred)] = cm.get((label, pred), 0) + 1
+    total = len(docs)
+    agree = sum(n for (l, p), n in cm.items() if l == p)
+    row = {l: sum(n for (ll, _), n in cm.items() if ll == l) for l, _ in cm}
+    col = {p: sum(n for (_, pp), n in cm.items() if pp == p) for _, p in cm}
+    exp_scaled = sum(row[c] * col[c] for c in set(row) & set(col))
+    po = agree / total
+    pe = exp_scaled / (total * total)
+    kappa = None if pe == 1.0 else (po - pe) / (1.0 - pe)
+    assert {k: n for k, (n, _, _, _) in got.items()} == cm
+    for k, (_, gpo, gpe, gk) in got.items():
+        assert abs(gpo - po) <= 1.1e-4 and abs(gpe - pe) <= 1.1e-4
+        if kappa is None:
+            assert gk is None
+        else:
+            assert abs(gk - kappa) <= 1.1e-4
+
+
+@given(
+    st.lists(st.integers(1, 30), min_size=1, max_size=20)  # o_custkey stream
+)
+@settings(**_SETTINGS)
+def test_cms_matches_python(spark, keys):
+    """The count-min sketch cells and probe minima must equal python's
+    direct evaluation of the portable (k*a+b) mod p mod 512 family —
+    including the always->=-truth overcount invariant."""
+    from impala_refresher_spark.operators.rollup_hypertable import (
+        cms_frequency_estimate,
+    )
+    import impala_refresher_spark.operators.rollup_hypertable as rh
+
+    df = spark.createDataFrame([(i + 1, k) for i, k in enumerate(keys)], "o_orderkey long, o_custkey long")
+    orig = rh.load_table
+    rh.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.probe_key: (r.exact_n, r.cms_n, r.overcount)
+            for r in cms_frequency_estimate(spark, "x").collect()
+        }
+    finally:
+        rh.load_table = orig
+
+    fam = [(2654435761, 97), (2246822519, 1009), (3266489917, 8191), (668265263, 131071)]
+    cells: dict[tuple, int] = {}
+    for k in keys:
+        for i, (a, b) in enumerate(fam):
+            c = ((k * a + b) % 1000003) % 512
+            cells[(i, c)] = cells.get((i, c), 0) + 1
+    want = {}
+    for k in {k for k in keys if k < 15}:
+        exact = sum(1 for x in keys if x == k)
+        est = min(
+            cells[(i, ((k * a + b) % 1000003) % 512)] for i, (a, b) in enumerate(fam)
+        )
+        want[k] = (exact, est, est - exact)
+        assert est >= exact  # CMS never undercounts
+    assert got == want
