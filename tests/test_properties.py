@@ -2759,3 +2759,226 @@ def test_cms_matches_python(spark, keys):
         want[k] = (exact, est, est - exact)
         assert est >= exact  # CMS never undercounts
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["F", "O"])),
+            st.one_of(st.none(), st.sampled_from(["1-URGENT", "3-LOW"])),
+            st.one_of(st.none(), st.integers(1, 9)),
+            st.one_of(st.none(), st.integers(1, 40)),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_profile_stats_match_python_with_nulls(spark, rows):
+    """The one-pass column profile must equal python counting — with
+    NULLs injected (absent from every fixture): COUNT(DISTINCT)
+    ignores them, null tallies count them, min/max skip them, and an
+    all-NULL column profiles as (0 distinct, NULL min/max)."""
+    from impala_refresher_spark.operators.profiling import profile_table_stats
+    import impala_refresher_spark.operators.profiling as pf
+
+    df = spark.createDataFrame(
+        [(s, p, c, None if q is None else q / 4.0) for s, p, c, q in rows],
+        "o_orderstatus string, o_orderpriority string, o_custkey long, o_totalprice double",
+    )
+    orig = pf.load_table
+    pf.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.col_name: (r.n_rows, r.n_nulls, r.n_distinct, r.min_val, r.max_val)
+            for r in profile_table_stats(spark, "x").collect()
+        }
+    finally:
+        pf.load_table = orig
+
+    n = len(rows)
+    status = [s for s, _, _, _ in rows]
+    prio = [p for _, p, _, _ in rows]
+    cust = [c for _, _, c, _ in rows]
+    price = [q / 4.0 for _, _, _, q in rows if q is not None]
+    def prof(vals, lo=None, hi=None):
+        nn = [v for v in vals if v is not None]
+        return (n, len(vals) - len(nn), len(set(nn)), lo, hi)
+    want = {
+        "o_orderstatus": prof(status),
+        "o_orderpriority": prof(prio),
+        "o_custkey": prof(
+            cust,
+            float(min([c for c in cust if c is not None], default=0)) if any(c is not None for c in cust) else None,
+            float(max([c for c in cust if c is not None], default=0)) if any(c is not None for c in cust) else None,
+        ),
+        "o_totalprice": prof(
+            [q for _, _, _, q in rows],
+            min(price) if price else None,
+            max(price) if price else None,
+        ),
+    }
+    assert got == want
+
+
+@st.composite
+def fk_case(draw):
+    """Star-schema fragments with deliberate key gaps -> orphans."""
+    dims = {
+        "orders": draw(st.lists(st.integers(1, 6), min_size=1, max_size=4, unique=True)),
+        "part": draw(st.lists(st.integers(1, 4), min_size=1, max_size=3, unique=True)),
+        "supplier": draw(st.lists(st.integers(1, 3), min_size=1, max_size=2, unique=True)),
+        "customer": draw(st.lists(st.integers(1, 4), min_size=1, max_size=3, unique=True)),
+    }
+    li = [
+        (draw(st.integers(1, 8)), draw(st.integers(1, 6)), draw(st.integers(1, 5)))
+        for _ in range(draw(st.integers(1, 8)))
+    ]
+    o = [(ok, draw(st.integers(1, 6))) for ok in dims["orders"]]
+    return dims, li, o
+
+
+@given(fk_case())
+@settings(**_SETTINGS)
+def test_fk_orphans_match_python(spark, case):
+    """Per-edge orphan counts must equal python set-difference
+    counting over every foreign-key edge."""
+    from impala_refresher_spark.operators.profiling import fk_orphans_audit
+    import impala_refresher_spark.operators.profiling as pf
+
+    dims, li, o = case
+    tables = {
+        "lineitem": spark.createDataFrame(
+            li, "l_orderkey long, l_partkey long, l_suppkey long"
+        ),
+        "orders": spark.createDataFrame(o, "o_orderkey long, o_custkey long"),
+        "part": spark.createDataFrame([(k,) for k in dims["part"]], "p_partkey long"),
+        "supplier": spark.createDataFrame(
+            [(k,) for k in dims["supplier"]], "s_suppkey long"
+        ),
+        "customer": spark.createDataFrame(
+            [(k,) for k in dims["customer"]], "c_custkey long"
+        ),
+    }
+    orig = pf.load_table
+    pf.load_table = lambda spark, sf, name: tables[name]
+    try:
+        got = {r.fk: r.n_orphans for r in fk_orphans_audit(spark, "x").collect()}
+    finally:
+        pf.load_table = orig
+
+    want = {
+        "lineitem.l_orderkey->orders": sum(
+            1 for ok, _, _ in li if ok not in set(dims["orders"])
+        ),
+        "lineitem.l_partkey->part": sum(
+            1 for _, pk, _ in li if pk not in set(dims["part"])
+        ),
+        "lineitem.l_suppkey->supplier": sum(
+            1 for _, _, sk in li if sk not in set(dims["supplier"])
+        ),
+        "orders.o_custkey->customer": sum(
+            1 for _, ck in o if ck not in set(dims["customer"])
+        ),
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 200), st.integers(1, 400), st.sampled_from(["F", "O"])),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_python(spark, rows):
+    """The full-outer snapshot diff must equal the python dict diff of
+    the same deterministic v2 derivation (delete %97, reprice %7=3,
+    insert %131=5) — identical IEEE products on both sides."""
+    from impala_refresher_spark.operators.lakehouse import snapshot_diff_orders
+    import impala_refresher_spark.operators.lakehouse as lh
+
+    df = spark.createDataFrame(
+        [(k, q / 4.0, s) for k, q, s in rows],
+        "o_orderkey long, o_totalprice double, o_orderstatus string",
+    )
+    orig = lh.load_table
+    lh.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.o_orderkey: (r.change_type, r.old_price, r.new_price)
+            for r in snapshot_diff_orders(spark, "x").collect()
+        }
+    finally:
+        lh.load_table = orig
+
+    old = {k: (q / 4.0, s) for k, q, s in rows}
+    new = {}
+    for k, q, s in rows:
+        if k % 97 != 0:
+            p = q / 4.0
+            new[k] = (p * 1.10 if k % 7 == 3 else p, s)
+    for k, q, s in rows:
+        if k % 131 == 5:
+            new[k + 100_000_000] = ((q / 4.0) * 0.25, "N")
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = ("added", None, new[k][0])
+        elif k not in new:
+            want[k] = ("removed", old[k][0], None)
+        elif old[k] != new[k]:
+            want[k] = ("changed", old[k][0], new[k][0])
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 50),  # orderkey
+            st.integers(0, 3),  # day
+            st.integers(1, 9),  # custkey
+            st.integers(1, 400),  # price quarters
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_partition_checksums_match_python(spark, rows):
+    """Per-day order-insensitive checksums must equal direct python
+    evaluation of the portable integer row hash — and permuting the
+    rows must not change them (the anti-entropy contract)."""
+    from impala_refresher_spark.operators.lakehouse import partition_checksums
+    import impala_refresher_spark.operators.lakehouse as lh
+    from datetime import date
+
+    def run(perm):
+        df = spark.createDataFrame(
+            [
+                (k, date(2024, 1, 1) + timedelta(days=d), c, q / 4.0)
+                for k, d, c, q in perm
+            ],
+            "o_orderkey long, o_orderdate date, o_custkey long, o_totalprice double",
+        )
+        orig = lh.load_table
+        lh.load_table = lambda spark, sf, name: df
+        try:
+            return {
+                r.day: (r.n_rows, r.checksum)
+                for r in partition_checksums(spark, "x").collect()
+            }
+        finally:
+            lh.load_table = orig
+
+    got = run(rows)
+    want: dict = {}
+    for k, d, c, q in rows:
+        day = date(2024, 1, 1) + timedelta(days=d)
+        h = (k * 2654435761 + (q * 25) * 40503 + c * 8191 + 97) % 1000003
+        n, s = want.get(day, (0, 0))
+        want[day] = (n + 1, s + h)
+    assert got == want
+    assert run(rows[::-1]) == want  # order-insensitive
