@@ -2982,3 +2982,210 @@ def test_partition_checksums_match_python(spark, rows):
         want[day] = (n + 1, s + h)
     assert got == want
     assert run(rows[::-1]) == want  # order-insensitive
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de", "xx"]), st.integers(1, 20)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_precision_recall_matches_python(spark, docs):
+    """Per-class precision/recall/F1 must equal python over the same
+    deterministic prediction; classes absent from one side (predicted-
+    only or labeled-only) still get rows with NULL-guarded ratios."""
+    from impala_refresher_spark.operators.evaluation import langid_precision_recall
+    import impala_refresher_spark.operators.evaluation as ev
+
+    df = spark.createDataFrame(docs, "lang string, n_chars int")
+    orig = ev.load_table
+    ev.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.cls: (r.tp, r.support, r.precision, r.recall, r.f1)
+            for r in langid_precision_recall(spark, "x").collect()
+        }
+    finally:
+        ev.load_table = orig
+
+    langs = {"en", "de", "es", "fr"}
+    pairs = [
+        (
+            lang if lang in langs else "other",
+            "other" if n % 5 == 0 else (lang if lang in langs else "other"),
+        )
+        for lang, n in docs
+    ]
+    classes = {l for l, _ in pairs} | {p for _, p in pairs}
+    assert set(got) == classes
+    for cls in classes:
+        tp = sum(1 for l, p in pairs if l == p == cls)
+        pred_n = sum(1 for _, p in pairs if p == cls)
+        label_n = sum(1 for l, _ in pairs if l == cls)
+        gtp, gsup, gprec, grec, gf1 = got[cls]
+        assert (gtp, gsup) == (tp, label_n), cls
+        for have, num, den in (
+            (gprec, tp, pred_n),
+            (grec, tp, label_n),
+            (gf1, 2 * tp, pred_n + label_n),
+        ):
+            if den == 0:
+                assert have is None, cls
+            else:
+                assert abs(have - num / den) <= 1.1e-4, cls
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 13), st.integers(1, 400)),  # (day, quarters)
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_decomposition_matches_python(spark, rows):
+    """Trend/seasonal/residual must equal the python pipeline: 7-ROW
+    centered MA (full windows only), per-dow mean of detrended values
+    (NULL-trend rows skipped by AVG), residual = rest — each stage
+    cents-rounded before the next."""
+    from impala_refresher_spark.operators.profiling import timeseries_decompose_daily
+    import impala_refresher_spark.operators.profiling as pf
+    from datetime import date
+
+    df = spark.createDataFrame(
+        [
+            (i + 1, date(2024, 1, 1) + timedelta(days=d), q / 4.0)
+            for i, (d, q) in enumerate(rows)
+        ],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    )
+    orig = pf.load_table
+    pf.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.day, r.rev, r.trend, r.seasonal, r.residual)
+            for r in timeseries_decompose_daily(spark, "x").collect()
+        ]
+    finally:
+        pf.load_table = orig
+
+    daily: dict[int, float] = {}
+    for d, q in rows:
+        daily[d] = daily.get(d, 0.0) + q / 4.0
+    days = sorted(daily)
+    revs = {d: round(daily[d], 2) for d in days}
+    trend = {}
+    for i, d in enumerate(days):
+        frame = days[max(0, i - 3) : i + 4]
+        if len(frame) == 7 and i >= 3:
+            trend[d] = round(sum(revs[x] for x in frame) / 7, 2)
+    by_dow: dict[int, list] = {}
+    for d in days:
+        by_dow.setdefault((date(2024, 1, 1) + timedelta(days=d)).weekday(), []).append(d)
+    seasonal = {}
+    for dow, mem in by_dow.items():
+        det = [revs[d] - trend[d] for d in mem if d in trend]
+        if det:
+            seasonal[dow] = round(sum(det) / len(det), 2)
+    want = []
+    for d in days:
+        if d in trend:
+            dow = (date(2024, 1, 1) + timedelta(days=d)).weekday()
+            want.append(
+                (
+                    date(2024, 1, 1) + timedelta(days=d),
+                    revs[d],
+                    trend[d],
+                    seasonal[dow],
+                    round(revs[d] - trend[d] - seasonal[dow], 2),
+                )
+            )
+    assert [(d, r) for d, r, *_ in got] == [(d, r) for d, r, *_ in want]
+    for (_, _, gt, gs, gr), (_, _, wt, ws, wr) in zip(got, want):
+        assert abs(gt - wt) <= 1.5e-2 and abs(gs - ws) <= 1.5e-2
+        assert abs(gr - wr) <= 3.1e-2
+
+
+@given(
+    st.lists(st.sampled_from(["web", "book", "code"]), min_size=1, max_size=20)
+)
+@settings(**_SETTINGS)
+def test_mixture_temperature_matches_python(spark, sources):
+    """sqrt-temperature quotas and md5-ordered admission must equal
+    the python computation — quota can exceed a tail source's size
+    (all its docs admitted), and the head is truncated at quota."""
+    import hashlib
+    import math
+
+    from impala_refresher_spark.operators.pipeline import corpus_mixture_temperature
+    import impala_refresher_spark.operators.pipeline as pl
+
+    df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(sources)], "doc_id long, source string"
+    )
+    orig = pl.load_table
+    pl.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.doc_id, r.source, r.quota)
+            for r in corpus_mixture_temperature(spark, "x").collect()
+        )
+    finally:
+        pl.load_table = orig
+
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6d(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    cnt = Counter(sources)
+    denom = r6d(sum(math.sqrt(c) for _, c in sorted(cnt.items())))
+    want = []
+    for src, c in cnt.items():
+        quota = int(
+            Decimal(repr(r6d(math.sqrt(c) / denom) * 200)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        members = sorted(
+            (hashlib.md5(str(i + 1).encode()).hexdigest(), i + 1)
+            for i, s in enumerate(sources)
+            if s == src
+        )
+        for _, doc_id in members[:quota]:
+            want.append((doc_id, src, quota))
+    assert got == sorted(want)
+
+
+@given(st.lists(st.tuples(st.integers(1, 500), st.integers(1, 50)), min_size=1, max_size=16, unique_by=lambda t: t[0]))
+@settings(**_SETTINGS)
+def test_train_val_test_split_matches_python(spark, docs):
+    """The md5-prefix 90/5/5 split summary must equal python hashlib
+    bucketing of the same doc_ids."""
+    import hashlib
+
+    from impala_refresher_spark.operators.analytics import train_val_test_split
+    import impala_refresher_spark.sources.tables as tables_mod
+
+    df = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    # this operator does `from ...tables import load_table` INSIDE the
+    # function body, so patch the source module, not the operator module
+    orig = tables_mod.load_table
+    tables_mod.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.split: (r.n_docs, r.total_chars)
+            for r in train_val_test_split(spark, "x").collect()
+        }
+    finally:
+        tables_mod.load_table = orig
+
+    want: dict[str, list] = {}
+    for doc_id, n_chars in docs:
+        p = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        split = "test" if p < "0d" else ("val" if p < "1a" else "train")
+        want.setdefault(split, []).append(n_chars)
+    assert got == {s: (len(v), sum(v)) for s, v in want.items()}
