@@ -3189,3 +3189,162 @@ def test_train_val_test_split_matches_python(spark, docs):
         split = "test" if p < "0d" else ("val" if p < "1a" else "train")
         want.setdefault(split, []).append(n_chars)
     assert got == {s: (len(v), sum(v)) for s, v in want.items()}
+
+
+@given(event_sequences())
+@settings(**_SETTINGS)
+def test_first_touch_matches_python(spark, rows):
+    """min_by(event_type, ts) must equal the python argmin per user
+    (unique timestamps per user by construction — the operator's
+    documented determinism precondition)."""
+    from impala_refresher_spark.operators.analytics import first_touch_attribution
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.user_id: (r.first_event_type, r.first_ts, r.n_events)
+            for r in first_touch_attribution(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    by_user: dict[int, list] = {}
+    for _, ts, u, t, _ in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    want = {
+        u: (min(evs)[1], min(evs)[0], len(evs)) for u, evs in by_user.items()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_repetition_ratio_matches_python(spark, texts):
+    """The repetition filter must equal python 1 - distinct/total with
+    the strict >0.5 threshold applied to the ROUNDED ratio."""
+    from impala_refresher_spark.operators.analytics import quality_repetition_ratio
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: (r.rep_ratio, r.n_tokens)
+            for r in quality_repetition_ratio(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        ratio = _r4(1.0 - len(set(toks)) / len(toks))
+        if ratio > 0.5:
+            want[i] = (ratio, len(toks))
+    assert set(got) == set(want)
+    for i, (r_, n) in want.items():
+        assert got[i][1] == n and abs(got[i][0] - r_) <= 1.1e-4
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 8),
+            st.sampled_from(["purchase", "view"]),
+            st.integers(0, 40),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_zero_filled_series_matches_python(spark, pts):
+    """The spine join must produce one row per calendar day between
+    the GLOBAL bounds (all event types), with explicit zeros for days
+    whose purchases are absent."""
+    from impala_refresher_spark.operators.analytics import daily_events_zero_filled
+    import impala_refresher_spark.operators.analytics as an
+
+    rows = [
+        (i + 1, _BASE + timedelta(days=d, minutes=i), 1, t, q / 4.0, "{}")
+        for i, (d, t, q) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.day: (r.n_events, r.total_value)
+            for r in daily_events_zero_filled(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    lo, hi = min(d for d, _, _ in pts), max(d for d, _, _ in pts)
+    want = {}
+    for d in range(lo, hi + 1):
+        purch = [q / 4.0 for dd, t, q in pts if dd == d and t == "purchase"]
+        want[(_BASE + timedelta(days=d)).date()] = (
+            len(purch),
+            round(sum(purch), 2) if purch else 0.0,
+        )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-2, 60),  # doc_id (negatives violate a rule)
+            st.sampled_from(["", "hello world", "x"]),
+            st.sampled_from(["en", "xx"]),
+            st.sampled_from(["src1", "bad"]),
+            st.integers(0, 12),  # n_chars (mismatches possible)
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_dq_rules_match_python(spark, docs):
+    """Every declarative DQ rule's violation count must equal direct
+    python evaluation of the same predicate."""
+    from impala_refresher_spark.operators.analytics import dq_rule_violations
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        r = dq_rule_violations(spark, "x").collect()[0]
+    finally:
+        an.load_table = orig
+
+    assert r.n_rows == len(docs)
+    assert r.null_or_empty_text == sum(1 for d in docs if len(d[1]) == 0)
+    assert r.n_chars_mismatch == sum(1 for d in docs if d[4] != len(d[1]))
+    assert r.unknown_lang == sum(
+        1 for d in docs if d[2] not in ("en", "de", "es", "fr", "zh")
+    )
+    assert r.bad_source_format == sum(1 for d in docs if not d[3].startswith("src"))
+    assert r.negative_doc_id == sum(1 for d in docs if d[0] < 0)
