@@ -3348,3 +3348,133 @@ def test_dq_rules_match_python(spark, docs):
     )
     assert r.bad_source_format == sum(1 for d in docs if not d[3].startswith("src"))
     assert r.negative_doc_id == sum(1 for d in docs if d[0] < 0)
+
+
+@given(
+    st.lists(st.integers(1, 8), min_size=1, max_size=14),  # order custkeys
+    st.lists(st.integers(1, 8), min_size=1, max_size=14),  # event user_ids
+)
+@settings(**_SETTINGS)
+def test_join_cardinality_matches_python(spark, okeys, ukeys):
+    """The exact join-size formula sum(ca*cb) over shared keys must
+    equal the python product count (and equal the actual join size)."""
+    from collections import Counter
+
+    from impala_refresher_spark.operators.analytics import join_cardinality_estimate
+    import impala_refresher_spark.operators.analytics as an
+
+    tables = {
+        "orders": spark.createDataFrame(
+            [(i + 1, k) for i, k in enumerate(okeys)], "o_orderkey long, o_custkey long"
+        ),
+        "events": spark.createDataFrame(
+            [(i + 1, _BASE, k) for i, k in enumerate(ukeys)],
+            "event_id long, ts timestamp, user_id long",
+        ),
+    }
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: tables[name]
+    try:
+        r = join_cardinality_estimate(spark, "x").collect()[0]
+    finally:
+        an.load_table = orig
+
+    ca, cb = Counter(okeys), Counter(ukeys)
+    shared = set(ca) & set(cb)
+    if not shared:
+        assert (r.est_join_rows, r.n_shared_keys, r.max_key_output) in (
+            (None, 0, None),
+            (0, 0, 0),
+        )
+        return
+    assert r.est_join_rows == sum(ca[k] * cb[k] for k in shared)
+    assert r.n_shared_keys == len(shared)
+    assert r.max_key_output == max(ca[k] * cb[k] for k in shared)
+    # the estimate IS the actual join size
+    assert r.est_join_rows == sum(1 for o in okeys for u in ukeys if o == u)
+
+
+@given(st.lists(st.integers(1, 6), min_size=1, max_size=18))
+@settings(**_SETTINGS)
+def test_skew_profile_matches_numpy(spark, custkeys):
+    """The per-key skew profile must equal numpy: linear-interpolated
+    p50/p99 of the count distribution (floored), max/mean skew factor."""
+    import numpy as np
+    from collections import Counter
+
+    from impala_refresher_spark.operators.analytics import join_key_skew_profile
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(i + 1, k) for i, k in enumerate(custkeys)], "o_orderkey long, o_custkey long"
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        r = join_key_skew_profile(spark, "x").collect()[0]
+    finally:
+        an.load_table = orig
+
+    counts = np.array(sorted(Counter(custkeys).values()))
+    assert r.n_keys == len(counts) and r.max_rows == counts.max()
+    assert r.p50_rows == int(np.floor(np.percentile(counts, 50, method="linear")))
+    assert r.p99_rows == int(np.floor(np.percentile(counts, 99, method="linear")))
+    assert abs(r.skew_factor - counts.max() / counts.mean()) <= 1.1e-2
+
+
+@given(st.lists(st.integers(1, 400), min_size=1, max_size=16))
+@settings(**_SETTINGS)
+def test_above_avg_filter_matches_python(spark, quarters):
+    """The scalar-subquery filter must keep exactly the rows python
+    keeps with the same 1.5x-mean threshold."""
+    from impala_refresher_spark.operators.analytics import above_avg_orders
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(i + 1, q / 4.0) for i, q in enumerate(quarters)],
+        "o_orderkey long, o_totalprice double",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {r.o_orderkey for r in above_avg_orders(spark, "x").collect()}
+    finally:
+        an.load_table = orig
+
+    avg = sum(q / 4.0 for q in quarters) / len(quarters)
+    want = {i + 1 for i, q in enumerate(quarters) if q / 4.0 > 1.5 * avg}
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["A", "B", "C"])),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_relational_division_matches_python(spark, pairs):
+    """Relational division (nations covering ALL segments) must equal
+    the python set cover check against the GLOBAL segment set."""
+    from impala_refresher_spark.operators.analytics import (
+        nations_covering_all_segments,
+    )
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(i + 1, nk, seg) for i, (nk, seg) in enumerate(pairs)],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {r.nationkey for r in nations_covering_all_segments(spark, "x").collect()}
+    finally:
+        an.load_table = orig
+
+    all_segs = {seg for _, seg in pairs}
+    per_nation: dict[int, set] = {}
+    for nk, seg in pairs:
+        per_nation.setdefault(nk, set()).add(seg)
+    assert got == {nk for nk, segs in per_nation.items() if segs == all_segs}
