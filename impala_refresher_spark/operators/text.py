@@ -551,9 +551,15 @@ def quality_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.split("text", " ")
     n = F.size(t)
     cw = lambda x, y: F.concat_ws(" ", x, y)
+    # greatest(0, n-2): a doc shorter than 3 tokens has NO trigrams —
+    # slice() must get length 0, not a negative (Spark ERRORS on
+    # negative lengths where DuckDB's t[1:-3] quietly yields []; found
+    # by the hypothesis differential on 1-token docs, unreachable on
+    # the 44+-token fixture)
+    tri_len = F.greatest(F.lit(0), n - 2)
     tri_arr = F.zip_with(
-        F.slice(t, 1, n - 2),
-        F.zip_with(F.slice(t, 2, n - 2), F.slice(t, 3, n - 2), cw),
+        F.slice(t, 1, tri_len),
+        F.zip_with(F.slice(t, 2, tri_len), F.slice(t, 3, tri_len), cw),
         cw,
     )
     bi_arr = F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1), cw)

@@ -3478,3 +3478,163 @@ def test_relational_division_matches_python(spark, pairs):
     for nk, seg in pairs:
         per_nation.setdefault(nk, set()).add(seg)
     assert got == {nk for nk, segs in per_nation.items() if segs == all_segs}
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=7).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_trigram_lm_matches_python(spark, texts):
+    """The corpus trigram LM score must equal python: corpus trigram /
+    bigram-context counts, per-occurrence -log2(c3/c2), averaged per
+    doc; docs with < 3 tokens are absent."""
+    import math
+    from collections import Counter
+
+    from impala_refresher_spark.operators.text import quality_lm_trigram
+    import impala_refresher_spark.operators.text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: (r.n_trigrams, r.avg_nll)
+            for r in quality_lm_trigram(spark, "x").collect()
+        }
+    finally:
+        tx.load_table = orig
+
+    tri_c: Counter = Counter()
+    bi_c: Counter = Counter()
+    per_doc: dict[int, list] = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        tris = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        bi_c.update(" ".join(toks[j : j + 2]) for j in range(len(toks) - 1))
+        tri_c.update(tris)
+        if tris:
+            per_doc[i] = tris
+    want = {}
+    for i, tris in per_doc.items():
+        nlls = [
+            -math.log2(tri_c[tg] / bi_c[tg.rsplit(" ", 1)[0]]) for tg in tris
+        ]
+        want[i] = (len(tris), sum(nlls) / len(nlls))
+    assert {i: n for i, (n, _) in got.items()} == {i: n for i, (n, _) in want.items()}
+    for i, (_, g) in got.items():
+        assert abs(g - want[i][1]) <= 6e-3, i
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["customer", "a", "b"]), min_size=1, max_size=7).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_kwic_matches_python(spark, texts):
+    """Keyword-in-context extraction must equal python slicing: every
+    occurrence, +-2 tokens, truncated at document edges (first/last
+    token occurrences included)."""
+    from impala_refresher_spark.operators.text import text_keyword_in_context
+    import impala_refresher_spark.operators.text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.doc_id, r.pos, r.left_ctx, r.right_ctx)
+            for r in text_keyword_in_context(spark, "x").collect()
+        )
+    finally:
+        tx.load_table = orig
+
+    want = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for p, tok in enumerate(toks):
+            if tok == "customer":
+                want.append(
+                    (
+                        i,
+                        p,
+                        " ".join(toks[max(0, p - 2) : p]),
+                        " ".join(toks[p + 1 : p + 3]),
+                    )
+                )
+    assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["customer", "table", "fast", "x", "y"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_bm25_matches_python(spark, texts):
+    """BM25(k1=1.2, b=0.75) of the fixed 3-term query must equal the
+    textbook python computation over corpus df / dl / avgdl — docs
+    hitting no query term are absent (no zero-row padding)."""
+    import math
+    from collections import Counter
+
+    from impala_refresher_spark.operators.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        text_bm25_score,
+    )
+    import impala_refresher_spark.operators.text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf, name: df
+    try:
+        got = {r.doc_id: r.bm25 for r in text_bm25_score(spark, "x").collect()}
+    finally:
+        tx.load_table = orig
+
+    n_docs = len(texts)
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    dfs = Counter(
+        term for i, v in toks.items() for term in set(v) if term in _BM25_TERMS
+    )
+    want = {}
+    for i, v in toks.items():
+        tf = Counter(t for t in v if t in _BM25_TERMS)
+        if not tf:
+            continue
+        score = 0.0
+        for term in _BM25_TERMS:  # fixed term order, like the operator
+            if term in tf:
+                idf = math.log((n_docs - dfs[term] + 0.5) / (dfs[term] + 0.5) + 1.0)
+                denom = tf[term] + _BM25_K1 * (
+                    1 - _BM25_B + _BM25_B * (len(v) / avgdl)
+                )
+                score += idf * (tf[term] * (_BM25_K1 + 1.0)) / denom
+        want[i] = score
+    assert set(got) == set(want)
+    for i, w in want.items():
+        assert abs(got[i] - w) <= 1e-9 + 1e-9 * abs(w), i
