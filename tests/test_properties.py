@@ -3638,3 +3638,63 @@ def test_bm25_matches_python(spark, texts):
     assert set(got) == set(want)
     for i, w in want.items():
         assert abs(got[i] - w) <= 1e-9 + 1e-9 * abs(w), i
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["the", "of", "customer", "aa", "abcdefghijkl", "x"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_gopher_battery_matches_python(spark, texts):
+    """The HOF Gopher feature battery and pass flag must equal a
+    direct python computation of the Rae-et-al rules (mean word
+    length, dup fraction, stopword floor, top-bigram concentration) —
+    single-token docs take the bigram = 0.0 branch."""
+    from collections import Counter
+
+    from impala_refresher_spark.operators.text import STOPWORDS, quality_gopher_rules
+    import impala_refresher_spark.operators.text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: (
+                r.mean_word_len,
+                r.dup_word_frac,
+                r.stopword_frac,
+                r.top_bigram_frac,
+                r.passes_gopher,
+            )
+            for r in quality_gopher_rules(spark, "x").collect()
+        }
+    finally:
+        tx.load_table = orig
+
+    stop = set(STOPWORDS)
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        n = len(w)
+        mwl = sum(len(x) for x in w) / n
+        dup = 1.0 - len(set(w)) / n
+        sw = sum(1 for x in w if x in stop) / n
+        if n < 2:
+            tb = 0.0
+        else:
+            bg = Counter(" ".join(p) for p in zip(w, w[1:]))
+            tb = max(bg.values()) / (n - 1)
+        passes = 3.0 <= mwl <= 10.0 and dup <= 0.8 and sw >= 0.01 and tb <= 0.2
+        gm, gd, gs, gt, gp = got[i]
+        assert abs(gm - mwl) <= 1e-12 and abs(gd - dup) <= 1e-12, i
+        assert abs(gs - sw) <= 1e-12 and abs(gt - tb) <= 1e-12, i
+        assert gp == passes, i
