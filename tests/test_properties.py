@@ -3698,3 +3698,161 @@ def test_gopher_battery_matches_python(spark, texts):
         assert abs(gm - mwl) <= 1e-12 and abs(gd - dup) <= 1e-12, i
         assert abs(gs - sw) <= 1e-12 and abs(gt - tb) <= 1e-12, i
         assert gp == passes, i
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=3).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_dedup_and_hash_twin_match_python(spark, texts):
+    """Exact dedup must keep min doc_id per text with the right copy
+    count, and the sha256-keyed twin must produce the SAME partition
+    of documents (hash grouping loses nothing)."""
+    import hashlib
+
+    from impala_refresher_spark.operators.dedup import dedup_exact, dedup_exact_hash
+    import impala_refresher_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.keep_doc_id, r.n_copies) for r in dedup_exact(spark, "x").collect()
+        )
+        got_h = sorted(
+            (r.text_hash, r.keep_doc_id, r.n_copies)
+            for r in dedup_exact_hash(spark, "x").collect()
+        )
+    finally:
+        dd.load_table = orig
+
+    groups: dict[str, list] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(t, []).append(i + 1)
+    want = sorted((min(ids), len(ids)) for ids in groups.values())
+    assert got == want
+    want_h = sorted(
+        (hashlib.sha256(t.encode()).hexdigest(), min(ids), len(ids))
+        for t, ids in groups.items()
+    )
+    assert got_h == want_h
+
+
+@given(event_sequences())
+@settings(**_SETTINGS)
+def test_window_dedup_keep_first_matches_python(spark, rows):
+    """Keep-first dedup must survive exactly each (user, type)'s
+    earliest event by (ts, event_id)."""
+    from impala_refresher_spark.operators.dedup import window_dedup_keep_first
+    import impala_refresher_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.user_id, r.event_type, r.event_id)
+            for r in window_dedup_keep_first(spark, "x").collect()
+        )
+    finally:
+        dd.load_table = orig
+
+    first: dict[tuple, tuple] = {}
+    for e, ts, u, t, _ in rows:
+        k = (u, t)
+        if k not in first or (ts, e) < first[k]:
+            first[k] = (ts, e)
+    assert got == sorted((u, t, e) for (u, t), (_, e) in first.items())
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_decontaminate_matches_python(spark, texts):
+    """Decontamination must flag exactly the training docs sharing ANY
+    3-shingle with the eval split (doc_id % 50 == 0), and keep
+    shingle-less short docs unflagged."""
+    from impala_refresher_spark.operators.dedup import decontaminate_train_set
+    import impala_refresher_spark.operators.dedup as dd
+
+    # doc_ids 49..: every 50th is eval
+    docs = [(49 + i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: r.contaminated
+            for r in decontaminate_train_set(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+
+    def sh(t):
+        toks = t.split(" ")
+        return {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+
+    eval_sh = set()
+    for i, t in docs:
+        if i % 50 == 0:
+            eval_sh |= sh(t)
+    want = {i: bool(sh(t) & eval_sh) for i, t in docs if i % 50 != 0}
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_dup_spans_match_python(spark, texts):
+    """The 8-word duplicated-span inventory must equal python window
+    extraction: spans in >= 2 distinct docs with occurrence totals and
+    doc ranges; sub-8-token docs contribute nothing."""
+    from collections import Counter
+
+    from impala_refresher_spark.operators.dedup import _SPAN_N, dup_span_ngrams
+    import impala_refresher_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.gram, r.n_docs, r.n_occurrences, r.first_doc, r.last_doc)
+            for r in dup_span_ngrams(spark, "x").collect()
+        )
+    finally:
+        dd.load_table = orig
+
+    per: dict[str, Counter] = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for j in range(len(toks) - _SPAN_N + 1):
+            per.setdefault(" ".join(toks[j : j + _SPAN_N]), Counter())[i + 1] += 1
+    want = sorted(
+        (g, len(c), sum(c.values()), min(c), max(c))
+        for g, c in per.items()
+        if len(c) >= 2
+    )
+    assert got == want
