@@ -131,9 +131,16 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (media_id, frame_idx) through the decoder stub — the explode shape
     and partitioning are what carry to 100 TB."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    # a zero-frame video must yield NO rows: Spark's INCLUSIVE
+    # sequence(0, n_chars-1) errors on n_chars = 0 where the oracle's
+    # EXCLUSIVE range(0, n_chars) quietly yields [] — guard with the
+    # lazy CASE branch (the quality_lm_trigram slice-guard class)
+    frames = F.when(
+        F.col("n_chars") > 0, F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(50))
+    ).otherwise(F.array().cast("array<long>"))
     return d.select(
         F.col("doc_id").alias("media_id"),
-        F.explode(F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(50))).alias("frame_idx"),
+        F.explode(frames).alias("frame_idx"),
     ).select("media_id", F.col("frame_idx").cast("int").alias("frame_idx"))
 
 

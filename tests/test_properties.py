@@ -3856,3 +3856,35 @@ def test_dup_spans_match_python(spark, texts):
         if len(c) >= 2
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 30), st.integers(0, 160)),  # (doc_id, n_chars)
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_frame_sample_matches_python_range(spark, docs):
+    """Every-50th frame sampling must equal python range(0, n, 50) —
+    including zero-frame media (NO rows, not a sequence-bounds error;
+    Spark's inclusive sequence needed the lazy guard)."""
+    from impala_refresher_spark.operators.multimodal import frame_sample
+    import impala_refresher_spark.operators.multimodal as mm
+
+    df = spark.createDataFrame(docs, "doc_id long, n_chars long")
+    orig = mm.load_table
+    mm.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.media_id, r.frame_idx) for r in frame_sample(spark, "x").collect()
+        )
+    finally:
+        mm.load_table = orig
+
+    want = sorted(
+        (d, f) for d, n in docs if d % 3 == 2 for f in range(0, n, 50)
+    )
+    assert got == want
