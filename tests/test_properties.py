@@ -3888,3 +3888,92 @@ def test_frame_sample_matches_python_range(spark, docs):
         (d, f) for d, n in docs if d % 3 == 2 for f in range(0, n, 50)
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 600), st.sampled_from(["en", "de"]), st.sampled_from(["w", "b"])),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_stratified_sample_matches_python(spark, docs):
+    """The per-stratum hash-threshold sample must equal python hashlib
+    bucketing: en kept at <= '28', the rest at <= 'cc' (append-stable
+    by construction)."""
+    import hashlib
+
+    from impala_refresher_spark.operators.pipeline import sample_stratified_by_source
+    import impala_refresher_spark.operators.pipeline as pl
+
+    df = spark.createDataFrame(docs, "doc_id long, lang string, source string")
+    orig = pl.load_table
+    pl.load_table = lambda spark, sf, name: df
+    try:
+        got = {r.doc_id for r in sample_stratified_by_source(spark, "x").collect()}
+    finally:
+        pl.load_table = orig
+
+    want = {
+        d
+        for d, lang, _ in docs
+        if hashlib.md5(str(d).encode()).hexdigest()[:2]
+        <= ("28" if lang == "en" else "cc")
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 400), st.sampled_from(["w", "b", "c"])),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_shuffle_interleave_and_quota_match_python(spark, docs):
+    """The md5 shard/position shuffle and the per-source quota must
+    both equal python: shard = first hex digit, positions dense 1..k
+    in (md5, doc_id) order, at most 15 winners per source."""
+    import hashlib
+
+    from impala_refresher_spark.operators.pipeline import (
+        corpus_shuffle_interleave,
+        corpus_source_quota,
+    )
+    import impala_refresher_spark.operators.pipeline as pl
+
+    df = spark.createDataFrame(docs, "doc_id long, source string")
+    orig = pl.load_table
+    pl.load_table = lambda spark, sf, name: df
+    try:
+        got_shuffle = {
+            r.doc_id: (r.shard, r.shard_pos)
+            for r in corpus_shuffle_interleave(spark, "x").collect()
+        }
+        got_quota = sorted(
+            (r.doc_id, r.source) for r in corpus_source_quota(spark, "x").collect()
+        )
+    finally:
+        pl.load_table = orig
+
+    keyed = sorted(
+        (hashlib.md5(str(d).encode()).hexdigest(), d, s) for d, s in docs
+    )
+    want_shuffle, pos = {}, {}
+    for k, d, _ in keyed:
+        shard = int(k[0], 16)
+        pos[shard] = pos.get(shard, 0) + 1
+        want_shuffle[d] = (shard, pos[shard])
+    assert got_shuffle == want_shuffle
+
+    cnt: dict[str, int] = {}
+    want_quota = []
+    for k, d, s in keyed:
+        cnt[s] = cnt.get(s, 0) + 1
+        if cnt[s] <= 15:
+            want_quota.append((d, s))
+    assert got_quota == sorted(want_quota)
