@@ -3977,3 +3977,122 @@ def test_shuffle_interleave_and_quota_match_python(spark, docs):
         if cnt[s] <= 15:
             want_quota.append((d, s))
     assert got_quota == sorted(want_quota)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["F", "O"]), st.integers(1, 6)),  # (status, quarters)
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_window_ranking_battery_matches_python(spark, rows):
+    """row_number / rank / dense_rank / ntile must equal python over
+    the (price DESC, key ASC) total order — DUPLICATE prices included
+    (rank ties resolve by the key tiebreak; dense_rank compresses)."""
+    from impala_refresher_spark.operators.windows import window_ranking
+    import impala_refresher_spark.operators.windows as wn
+
+    df = spark.createDataFrame(
+        [(i + 1, s, q / 4.0) for i, (s, q) in enumerate(rows)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    orig = wn.load_table
+    wn.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.o_orderkey: (r.rn, r.rnk, r.drnk, r.quartile)
+            for r in window_ranking(spark, "x").collect()
+        }
+    finally:
+        wn.load_table = orig
+
+    want = {}
+    for status in {s for s, _ in rows}:
+        mem = sorted(
+            ((-q / 4.0, i + 1) for i, (s, q) in enumerate(rows) if s == status)
+        )
+        quartiles = _ntile(len(mem), 4)
+        for pos, (_, key) in enumerate(mem, 1):
+            # rank peers require equality on the FULL order-by key —
+            # the unique orderkey tiebreak means price ties are NOT
+            # rank ties, so rank = dense_rank = row_number (verified:
+            # both engines agree on this reading)
+            want[key] = (pos, pos, pos, quartiles[pos - 1])
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 2000)),  # (seg, balance)
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_range_frame_peer_count_matches_python(spark, rows):
+    """The RANGE 500-preceding count must equal python interval
+    counting — PEERS (equal balances) are all included regardless of
+    row order, the property ROWS frames do not have."""
+    from impala_refresher_spark.operators.windows import window_range_frame
+    import impala_refresher_spark.operators.windows as wn
+
+    df = spark.createDataFrame(
+        [(i + 1, seg, float(b)) for i, (seg, b) in enumerate(rows)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    orig = wn.load_table
+    wn.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.c_custkey: r.peers_within_500
+            for r in window_range_frame(spark, "x").collect()
+        }
+    finally:
+        wn.load_table = orig
+
+    for i, (seg, b) in enumerate(rows):
+        want = sum(
+            1 for s2, b2 in rows if s2 == seg and b - 500 <= b2 <= b
+        )
+        assert got[i + 1] == want, i + 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)),  # (nationkey, balance)
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_distribution_functions_match_python(spark, rows):
+    """percent_rank (rank-1)/(n-1) and cume_dist (rows<=me)/n must
+    equal the closed forms — single-row partitions pin percent_rank
+    to 0.0 (no division), and cume_dist counts FULL-KEY peers."""
+    from impala_refresher_spark.operators.windows import window_distribution
+    import impala_refresher_spark.operators.windows as wn
+
+    df = spark.createDataFrame(
+        [(i + 1, nk, float(b)) for i, (nk, b) in enumerate(rows)],
+        "s_suppkey long, s_nationkey long, s_acctbal double",
+    )
+    orig = wn.load_table
+    wn.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.s_suppkey: (r.pct_rank, r.cum_dist)
+            for r in window_distribution(spark, "x").collect()
+        }
+    finally:
+        wn.load_table = orig
+
+    for nk in {nk for nk, _ in rows}:
+        mem = sorted((b, i + 1) for i, (n2, b) in enumerate(rows) if n2 == nk)
+        n = len(mem)
+        for pos, (b, key) in enumerate(mem, 1):
+            pr = 0.0 if n == 1 else (pos - 1) / (n - 1)  # unique keys: rank = pos
+            cd = pos / n
+            gp, gc = got[key]
+            assert abs(gp - pr) <= 1.1e-6 and abs(gc - cd) <= 1.1e-6, key
