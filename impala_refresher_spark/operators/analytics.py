@@ -54,11 +54,22 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the shuffle carries one small state struct per group, identical
     cost to a SUM at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
+    # corr as covar/(sd*sd) with try_divide, NOT F.corr: Spark's corr
+    # AGGREGATE raises ANSI DIVIDE_BY_ZERO on a zero-variance group
+    # (constant quantity — plausible on real slices) where DuckDB's
+    # CORR yields NULL, and the division inside an aggregate cannot be
+    # guarded from the projection. The ratio is algebraically identical
+    # (the n-1 factors cancel: Sxy/sqrt(Sxx*Syy)); found by the
+    # hypothesis differential, unreachable on the varied fixture.
+    corr = F.try_divide(
+        F.covar_samp("l_quantity", "l_extendedprice"),
+        F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+    )
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(corr, 4).alias("corr_qty_price"),
         # covar of two LARGE-magnitude columns: compared at 6 significant
         # digits, summation-order float drift (~1e-12 relative) can't flip
         # it. A near-zero covariance (e.g. discount vs tax) rounds to ±0.0

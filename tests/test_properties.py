@@ -4096,3 +4096,83 @@ def test_distribution_functions_match_python(spark, rows):
             cd = pos / n
             gp, gc = got[key]
             assert abs(gp - pr) <= 1.1e-6 and abs(gc - cd) <= 1.1e-6, key
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "R"]), st.integers(1, 20), st.integers(1, 40)),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_moment_aggregates_match_python(spark, rows):
+    """stddev/var/corr/covar per group must equal the statistics-
+    module / textbook computations — single-row groups yield NULL
+    moments, zero-variance groups NULL correlation."""
+    from statistics import covariance, stdev, variance
+
+    from impala_refresher_spark.operators.analytics import agg_stats_moments
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(f, float(q), float(p)) for f, q, p in rows],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.l_returnflag: (r.n, r.sd_qty, r.var_qty, r.corr_qty_price, r.covar_qty_price)
+            for r in agg_stats_moments(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    for flag in {f for f, _, _ in rows}:
+        qs = [float(q) for f, q, _ in rows if f == flag]
+        ps = [float(p) for f, _, p in rows if f == flag]
+        gn, gsd, gvar, gcorr, gcov = got[flag]
+        assert gn == len(qs)
+        if len(qs) < 2:
+            assert gsd is None and gvar is None and gcorr is None and gcov is None
+            continue
+        assert abs(gsd - stdev(qs)) <= 1.1e-4
+        assert abs(gvar - variance(qs)) <= 1.1e-4
+        assert abs(gcov - covariance(qs, ps)) <= 1.1e-2
+        sq, sp = stdev(qs), stdev(ps)
+        if sq == 0 or sp == 0:
+            assert gcorr is None
+        else:
+            assert abs(gcorr - covariance(qs, ps) / (sq * sp)) <= 1.1e-4
+
+
+@given(st.lists(st.integers(0, 400_000), min_size=1, max_size=16))
+@settings(**_SETTINGS)
+def test_histogram_buckets_match_python(spark, cents):
+    """Fixed-width floor-division binning must equal python //-binning
+    with per-bucket min/max — boundary values land in the HIGHER
+    bucket (floor semantics), empty buckets absent."""
+    from impala_refresher_spark.operators.analytics import histogram_totalprice
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(i + 1, c / 100.0) for i, c in enumerate(cents)],
+        "o_orderkey long, o_totalprice double",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.bucket: (r.n, r.lo, r.hi)
+            for r in histogram_totalprice(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    want: dict[int, list] = {}
+    for c in cents:
+        want.setdefault(int((c / 100.0) // 25_000), []).append(c / 100.0)
+    assert got == {
+        b: (len(v), round(min(v), 2), round(max(v), 2)) for b, v in want.items()
+    }
