@@ -4176,3 +4176,46 @@ def test_histogram_buckets_match_python(spark, cents):
     assert got == {
         b: (len(v), round(min(v), 2), round(max(v), 2)) for b, v in want.items()
     }
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 120), st.integers(1, 9), st.integers(1, 400)),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_python(spark, rows):
+    """MERGE-as-full-outer-join must equal the python dict merge of
+    the same deterministic update batch: %7 repriced (update), %13
+    offset-inserted (insert), the rest kept — per-key action tags and
+    identical IEEE products."""
+    from impala_refresher_spark.operators.lakehouse import merge_upsert_orders
+    import impala_refresher_spark.operators.lakehouse as lh
+
+    df = spark.createDataFrame(
+        [(k, c, "F", q / 4.0) for k, c, q in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    orig = lh.load_table
+    lh.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.o_orderkey: (r.o_custkey, r.o_orderstatus, r.o_totalprice, r.merge_action)
+            for r in merge_upsert_orders(spark, "x").collect()
+        }
+    finally:
+        lh.load_table = orig
+
+    want = {}
+    for k, c, q in rows:
+        p = q / 4.0
+        if k % 7 == 0:
+            want[k] = (c, "F", p * 1.10, "update")
+        else:
+            want[k] = (c, "F", p, "keep")
+        if k % 13 == 0:
+            want[k + 100_000_000] = (c, "N", p * 0.5, "insert")
+    assert got == want
