@@ -4324,3 +4324,196 @@ def test_zorder_morton_matches_python(spark, keys):
     assert got == want
     for b, (plo, phi, slo, shi, _) in want.items():
         assert phi - plo < 32 and shi - slo < 32  # dual-dimension bound
+
+
+def _r2(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+
+@st.composite
+def star_case(draw):
+    """A miniature star schema: 2 regions, 3 nations, customers/orders/
+    lineitems with in- and out-of-range dates."""
+    region = [(0, "AMERICA"), (1, "ASIA")]
+    nation = [(0, 0, "US"), (1, 0, "BR"), (2, 1, "JP")]
+    custs = draw(st.lists(st.integers(1, 5), min_size=1, max_size=4, unique=True))
+    customer = [(c, draw(st.integers(0, 2))) for c in custs]
+    orders, lineitem, ok = [], [], 0
+    for c in custs:
+        for _ in range(draw(st.integers(0, 2))):
+            ok += 1
+            orders.append((ok, c, datetime(draw(st.integers(1994, 2000)), 6, 15)))
+            for _ in range(draw(st.integers(0, 3))):
+                lineitem.append(
+                    (ok, draw(st.integers(1, 400)) / 4.0, draw(st.integers(0, 3)) / 4.0)
+                )
+    return region, nation, customer, orders, lineitem
+
+
+@given(star_case())
+@settings(**_SETTINGS)
+def test_star_join_revenue_matches_python(spark, case):
+    """The flagship 5-table star join must equal the python nested-
+    loop evaluation: date range [1996, 1999), revenue = sum of
+    price*(1-discount) per (region, year), orphan-free inner joins."""
+    from impala_refresher_spark.operators.relational import revenue_by_region_year
+    import impala_refresher_spark.operators.relational as rel
+
+    region, nation, customer, orders, lineitem = case
+    tables = {
+        "region": spark.createDataFrame(region, "r_regionkey long, r_name string"),
+        "nation": spark.createDataFrame(
+            nation, "n_nationkey long, n_regionkey long, n_name string"
+        ),
+        "customer": spark.createDataFrame(customer, "c_custkey long, c_nationkey long"),
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+        ),
+        "lineitem": spark.createDataFrame(
+            lineitem, "l_orderkey long, l_extendedprice double, l_discount double"
+        ),
+    }
+    orig = rel.load_table
+    rel.load_table = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.region_name, r.order_year, r.revenue, r.n_items)
+            for r in revenue_by_region_year(spark, "x").collect()
+        ]
+    finally:
+        rel.load_table = orig
+
+    nk_of = {c: nk for c, nk in customer}
+    rk_of = {n: rk for n, rk, _ in nation}
+    rname = dict(region)
+    o_of = {ok: (c, d) for ok, c, d in orders}
+    acc: dict[tuple, list] = {}
+    for ok, price, disc in lineitem:
+        c, d = o_of[ok]
+        if not (1996 <= d.year <= 1998):
+            continue
+        key = (rname[rk_of[nk_of[c]]], d.year)
+        acc.setdefault(key, []).append(price * (1 - disc))
+    want = sorted(
+        (rn, y, _r2(sum(v)), len(v)) for (rn, y), v in acc.items()
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "R"]),
+            st.sampled_from(["F", "O"]),
+            st.integers(1, 40),  # qty
+            st.integers(1, 400),  # price quarters
+            st.booleans(),  # shipdate in range?
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_pricing_summary_matches_python(spark, rows):
+    """TPC-H Q1's aggregate battery must equal python sums/avgs/
+    extrema per (returnflag, linestatus) with the shipdate cutoff
+    applied first."""
+    from datetime import date
+
+    from impala_refresher_spark.operators.relational import agg_pricing_summary
+    import impala_refresher_spark.operators.relational as rel
+
+    df = spark.createDataFrame(
+        [
+            (
+                f,
+                s,
+                float(q),
+                p / 4.0,
+                0.25,
+                date(1998, 9, 1) if inr else date(1998, 10, 1),
+            )
+            for f, s, q, p, inr in rows
+        ],
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate date",
+    )
+    orig = rel.load_table
+    rel.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.l_returnflag, r.l_linestatus): (
+                r.sum_qty,
+                r.sum_base_price,
+                r.sum_disc_price,
+                r.avg_qty,
+                r.avg_price,
+                r.min_price,
+                r.max_price,
+                r.count_order,
+            )
+            for r in agg_pricing_summary(spark, "x").collect()
+        }
+    finally:
+        rel.load_table = orig
+
+    groups: dict[tuple, list] = {}
+    for f, s, q, p, inr in rows:
+        if inr:
+            groups.setdefault((f, s), []).append((float(q), p / 4.0))
+    want = {}
+    for k, mem in groups.items():
+        qs = [q for q, _ in mem]
+        ps = [p for _, p in mem]
+        want[k] = (
+            _r2(sum(qs)),
+            _r2(sum(ps)),
+            _r2(sum(p * 0.75 for p in ps)),
+            _r2(sum(qs) / len(qs)),
+            _r2(sum(ps) / len(ps)),
+            _r2(min(ps)),
+            _r2(max(ps)),
+            len(mem),
+        )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 8)),  # (segment, balance)
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_topk_per_group_matches_python(spark, rows):
+    """Top-3 per group must equal python sorting by (balance DESC,
+    custkey ASC) — balance TIES resolve by key, never partition
+    luck."""
+    from impala_refresher_spark.operators.relational import topk_per_group
+    import impala_refresher_spark.operators.relational as rel
+
+    df = spark.createDataFrame(
+        [(i + 1, seg, float(b)) for i, (seg, b) in enumerate(rows)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    orig = rel.load_table
+    rel.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.c_mktsegment, r.rk, r.c_custkey)
+            for r in topk_per_group(spark, "x").collect()
+        )
+    finally:
+        rel.load_table = orig
+
+    want = []
+    for seg in {s for s, _ in rows}:
+        mem = sorted(
+            ((-float(b), i + 1) for i, (s, b) in enumerate(rows) if s == seg)
+        )
+        for rk, (_, key) in enumerate(mem[:3], 1):
+            want.append((seg, rk, key))
+    assert got == sorted(want)
