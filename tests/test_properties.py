@@ -4517,3 +4517,142 @@ def test_topk_per_group_matches_python(spark, rows):
         for rk, (_, key) in enumerate(mem[:3], 1):
             want.append((seg, rk, key))
     assert got == sorted(want)
+
+
+@st.composite
+def embedding_corpus(draw):
+    """Small 4-dim quarter-valued embedding sets, duplicates allowed
+    (distance TIES exercise the argmin cid tiebreak)."""
+    n = draw(st.integers(2, 10))
+    vecs = []
+    for i in range(n):
+        vecs.append(
+            (
+                i + 1,
+                [draw(st.integers(-8, 8)) / 4.0 for _ in range(4)],
+                draw(st.integers(0, 1)),
+            )
+        )
+    if draw(st.booleans()):
+        vecs.append((n + 1, list(vecs[0][1]), vecs[0][2]))  # exact duplicate
+    return vecs
+
+
+@given(embedding_corpus())
+@settings(**_SETTINGS)
+def test_kmeans_two_iterations_match_python(spark, vecs):
+    """Two Lloyd iterations (md5-sample init, argmin with first-match
+    tiebreak, 6dp-rounded means, EMPTY clusters collapsing by cid
+    order) must equal the python replication step for step."""
+    import hashlib
+
+    from impala_refresher_spark.operators.similarity import (
+        _KM_K,
+        kmeans_refine_assignments,
+    )
+    import impala_refresher_spark.operators.similarity as sim
+    from decimal import ROUND_HALF_UP, Decimal
+
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    orig = sim.load_table
+    sim.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.vec_id: r.cluster for r in kmeans_refine_assignments(spark, "x").collect()
+        }
+    finally:
+        sim.load_table = orig
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+    ordered = sorted((hashlib.md5(str(v).encode()).hexdigest(), v, e) for v, e, _ in vecs)
+    cents = [e for _, _, e in ordered[:_KM_K]]
+
+    def assign(cents):
+        out = {}
+        for v, e, _ in vecs:
+            dists = [sum((x - c) ** 2 for x, c in zip(e, cent)) for cent in cents]
+            out[v] = dists.index(min(dists))  # first match = smallest cid
+        return out
+
+    a = assign(cents)
+    # recompute means per SURVIVING cid in cid order (empty clusters
+    # drop and later centroid positions shift down)
+    by_cid: dict[int, list] = {}
+    for v, e, _ in vecs:
+        by_cid.setdefault(a[v], []).append(e)
+    cents2 = [
+        [r6(sum(xs) / len(xs)) for xs in zip(*mem)]
+        for _, mem in sorted(by_cid.items())
+    ]
+    assert got == assign(cents2)
+
+
+@given(embedding_corpus())
+@settings(**_SETTINGS)
+def test_label_centroids_match_python(spark, vecs):
+    """Per-label element-wise means (1-based dims) must equal the
+    python column average."""
+    from impala_refresher_spark.operators.similarity import label_centroids
+    import impala_refresher_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    orig = sim.load_table
+    sim.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.label, r.dim): (r.centroid_val, r.n_vectors)
+            for r in label_centroids(spark, "x").collect()
+        }
+    finally:
+        sim.load_table = orig
+
+    by_label: dict[int, list] = {}
+    for _, e, lab in vecs:
+        by_label.setdefault(lab, []).append(e)
+    want = {}
+    for lab, mem in by_label.items():
+        for d, xs in enumerate(zip(*mem), 1):
+            want[(lab, d)] = (round(sum(xs) / len(xs), 6), len(mem))
+    assert set(got) == set(want)
+    for k, (cv, n) in want.items():
+        assert got[k][1] == n and abs(got[k][0] - cv) <= 1.1e-6, k
+
+
+@given(embedding_corpus())
+@settings(**_SETTINGS)
+def test_int8_quantize_matches_python(spark, vecs):
+    """Symmetric int8 codes must equal python round-half-away
+    (x/max|x|*127); zero vectors are filtered before the divide."""
+    import math
+
+    from impala_refresher_spark.operators.similarity import embed_int8_quantize
+    import impala_refresher_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    orig = sim.load_table
+    sim.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.vec_id: (r.scale_factor, list(r.q))
+            for r in embed_int8_quantize(spark, "x").collect()
+        }
+    finally:
+        sim.load_table = orig
+
+    def rha(x):  # round half away from zero (Spark/DuckDB integer round)
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    want = {}
+    for v, e, _ in vecs:
+        m = max(abs(x) for x in e)
+        if m > 0:
+            want[v] = (round(m, 6), [rha(x / m * 127) for x in e])
+    assert got == want
