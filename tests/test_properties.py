@@ -4656,3 +4656,193 @@ def test_int8_quantize_matches_python(spark, vecs):
         if m > 0:
             want[v] = (round(m, 6), [rha(x / m * 127) for x in e])
     assert got == want
+
+
+@st.composite
+def q21_case(draw):
+    """Finished/open orders with per-line suppliers and lateness deltas
+    straddling the 90-day boundary — sole-late, multi-late, and
+    single-supplier orders all reachable."""
+    orders = [
+        (ok, draw(st.sampled_from(["F", "O"])), datetime(1997, 3, 1 + ok))
+        for ok in range(1, draw(st.integers(2, 5)))
+    ]
+    lineitem = []
+    for ok, _, od in orders:
+        for _ in range(draw(st.integers(1, 4))):
+            delta = draw(st.sampled_from([10, 89, 90, 91, 150]))
+            lineitem.append((ok, draw(st.integers(1, 3)), od + timedelta(days=delta)))
+    return orders, lineitem
+
+
+@given(q21_case())
+@settings(**_SETTINGS)
+def test_q21_decorrelation_matches_literal_exists(spark, case):
+    """The single-aggregate rewrite of Q21's EXISTS / NOT EXISTS pair
+    must equal the LITERAL nested-loop evaluation of the spec — sole
+    late shipper on a finished multi-supplier order, strict >90-day
+    boundary included."""
+    from impala_refresher_spark.operators.tpch import (
+        tpch_q21_suppliers_who_kept_waiting,
+    )
+    import impala_refresher_spark.operators.tpch as tp
+
+    orders, lineitem = case
+    suppliers = [(k, f"S{k}", k % 2) for k in (1, 2, 3)]
+    tables = {
+        "supplier": spark.createDataFrame(
+            suppliers, "s_suppkey long, s_name string, s_nationkey long"
+        ),
+        "nation": spark.createDataFrame(
+            [(0, "NATION_0"), (1, "NATION_1")], "n_nationkey long, n_name string"
+        ),
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey long, o_orderstatus string, o_orderdate timestamp"
+        ),
+        "lineitem": spark.createDataFrame(
+            lineitem, "l_orderkey long, l_suppkey long, l_shipdate timestamp"
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.s_name, r.numwait)
+            for r in tpch_q21_suppliers_who_kept_waiting(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    o_of = {ok: (st_, od) for ok, st_, od in orders}
+    name_of = {k: nm for k, nm, _ in suppliers}
+    nat_of = {k: nk for k, _, nk in suppliers}
+    counts: dict[str, int] = {}
+    for ok, sk, sd in lineitem:
+        status, od = o_of[ok]
+        if status != "F" or nat_of[sk] != 1:
+            continue
+        if not sd > od + timedelta(days=90):
+            continue
+        others = [(k2, d2) for ok2, k2, d2 in lineitem if ok2 == ok and k2 != sk]
+        if not others:
+            continue  # EXISTS fails
+        if any(d2 > od + timedelta(days=90) for _, d2 in others):
+            continue  # NOT EXISTS fails
+        counts[name_of[sk]] = counts.get(name_of[sk], 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "3-LOW"]),
+            st.integers(2, 28),  # orderdate day (in the Q4 window)
+            st.sampled_from([30, 59, 60, 61, 120]),  # ship delta days
+            st.booleans(),  # in the date window?
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_q4_semi_join_matches_literal_exists(spark, rows):
+    """Q4's left-semi EXISTS must equal literal per-order evaluation —
+    strict >60-day boundary, multi-line orders counted ONCE."""
+    from impala_refresher_spark.operators.tpch import tpch_q4_order_priority
+    import impala_refresher_spark.operators.tpch as tp
+
+    orders, lineitem = [], []
+    for i, (prio, day, delta, inwin) in enumerate(rows):
+        ok = i + 1
+        od = datetime(1997, 2 if inwin else 6, day)
+        orders.append((ok, prio, od))
+        lineitem.append((ok, od + timedelta(days=delta)))
+        lineitem.append((ok, od + timedelta(days=10)))  # an on-time twin line
+    tables = {
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey long, o_orderpriority string, o_orderdate timestamp"
+        ),
+        "lineitem": spark.createDataFrame(
+            lineitem, "l_orderkey long, l_shipdate timestamp"
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = {
+            r.o_orderpriority: r.order_count
+            for r in tpch_q4_order_priority(spark, "x").collect()
+        }
+    finally:
+        tp._t = orig
+
+    want: dict[str, int] = {}
+    for ok, prio, od in orders:
+        if not (datetime(1997, 1, 1) <= od < datetime(1997, 4, 1)):
+            continue
+        if any(
+            ok2 == ok and sd > od + timedelta(days=60) for ok2, sd in lineitem
+        ):
+            want[prio] = want.get(prio, 0) + 1
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([1, 5, 2]),  # nationkey (2 excluded from report)
+            st.integers(-40, 160),  # balance quarters
+            st.sampled_from(["none", "1-URGENT", "3-LOW"]),  # their order, if any
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_q22_anti_join_matches_literal_not_exists(spark, custs):
+    """Q22's scalar threshold + anti join must equal the literal spec:
+    positive-balance average (cents-rounded), strict > threshold,
+    nation filter, NO urgent order."""
+    from impala_refresher_spark.operators.tpch import (
+        tpch_q22_global_sales_opportunity,
+    )
+    import impala_refresher_spark.operators.tpch as tp
+
+    customer = [(i + 1, nk, q / 4.0) for i, (nk, q, _) in enumerate(custs)]
+    orders = [
+        (100 + i, i + 1, pr)
+        for i, (_, _, pr) in enumerate(custs)
+        if pr != "none"
+    ]
+    tables = {
+        "customer": spark.createDataFrame(
+            customer, "c_custkey long, c_nationkey long, c_acctbal double"
+        ),
+        "orders": spark.createDataFrame(
+            orders or [(999, 999, "3-LOW")],
+            "o_orderkey long, o_custkey long, o_orderpriority string",
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = {
+            r.cntrycode: (r.numcust, r.totacctbal)
+            for r in tpch_q22_global_sales_opportunity(spark, "x").collect()
+        }
+    finally:
+        tp._t = orig
+
+    pos = [b for _, _, b in customer if b > 0.0]
+    if not pos:
+        assert got == {}
+        return
+    threshold = _r2(sum(pos) / len(pos))
+    urgent = {c for _, c, pr in (orders or []) if pr == "1-URGENT"}
+    acc: dict[int, list] = {}
+    for ck, nk, b in customer:
+        if nk in (1, 5, 9, 13, 17, 21, 24) and b > threshold and ck not in urgent:
+            acc.setdefault(nk, []).append(b)
+    want = {nk: (len(v), _r2(sum(v))) for nk, v in acc.items()}
+    assert got == want
