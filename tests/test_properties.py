@@ -4846,3 +4846,83 @@ def test_q22_anti_join_matches_literal_not_exists(spark, custs):
             acc.setdefault(nk, []).append(b)
     want = {nk: (len(v), _r2(sum(v))) for nk, v in acc.items()}
     assert got == want
+
+
+@st.composite
+def q2_case(draw):
+    """A small supplier/part/lineitem world where several suppliers
+    tie or compete on unit cost for the same filtered part, with
+    zero-quantity dirty lines possible."""
+    parts = [
+        (pk, draw(st.sampled_from([15, 20])), draw(st.sampled_from(["STANDARD", "ECONOMY"])))
+        for pk in (1, 2, 3)
+    ]
+    lineitem = []
+    for _ in range(draw(st.integers(1, 10))):
+        lineitem.append(
+            (
+                draw(st.integers(1, 3)),  # partkey
+                draw(st.integers(1, 4)),  # suppkey
+                float(draw(st.sampled_from([0, 1, 2, 4]))),  # quantity (0 = dirty)
+                draw(st.integers(1, 64)) / 4.0,  # price
+            )
+        )
+    return parts, lineitem
+
+
+@given(q2_case())
+@settings(**_SETTINGS)
+def test_q2_aggregate_prune_matches_literal_min(spark, case):
+    """Q2's decorrelated min-cost join (with the broadcast-semi-join
+    aggregate prune) must equal the literal per-part minimum over
+    EUROPE suppliers — unit-cost TIES keep every best supplier, and
+    zero-quantity lines contribute NULL costs skipped by MIN."""
+    from impala_refresher_spark.operators.tpch import tpch_q2_min_cost_supplier
+    import impala_refresher_spark.operators.tpch as tp
+
+    parts, lineitem = case
+    suppliers = [(k, f"S{k}", float(k * 10), k % 2) for k in (1, 2, 3, 4)]
+    tables = {
+        "supplier": spark.createDataFrame(
+            suppliers, "s_suppkey long, s_name string, s_acctbal double, s_nationkey long"
+        ),
+        "nation": spark.createDataFrame(
+            [(0, "N_EU", 0), (1, "N_AS", 1)],
+            "n_nationkey long, n_name string, n_regionkey long",
+        ),
+        "region": spark.createDataFrame(
+            [(0, "EUROPE"), (1, "ASIA")], "r_regionkey long, r_name string"
+        ),
+        "part": spark.createDataFrame(parts, "p_partkey long, p_size int, p_type string"),
+        "lineitem": spark.createDataFrame(
+            lineitem, "l_partkey long, l_suppkey long, l_quantity double, l_extendedprice double"
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = sorted(
+            (r.p_partkey, r.s_name, r.unit_cost)
+            for r in tpch_q2_min_cost_supplier(spark, "x").collect()
+        )
+    finally:
+        tp._t = orig
+
+    eu_supp = {k for k, _, _, nk in suppliers if nk % 2 == 0}  # nation 0 -> EUROPE
+    keep_parts = {pk for pk, sz, ty in parts if sz == 15 and ty == "STANDARD"}
+    costs: dict[tuple, float] = {}
+    for pk, sk, q, p in lineitem:
+        if pk in keep_parts and sk in eu_supp and q > 0:
+            uc = p / q
+            k = (pk, sk)
+            costs[k] = min(costs.get(k, uc), uc)
+    best: dict[int, float] = {}
+    for (pk, _), uc in costs.items():
+        best[pk] = min(best.get(pk, uc), uc)
+    name_of = {k: nm for k, nm, _, _ in suppliers}
+    want = sorted(
+        (pk, name_of[sk], uc)
+        for (pk, sk), uc in costs.items()
+        if uc == best[pk]
+    )
+    assert got == want
