@@ -4926,3 +4926,119 @@ def test_q2_aggregate_prune_matches_literal_min(spark, case):
         if uc == best[pk]
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["ab", "12", "x7", "!", "a!b"]), min_size=0, max_size=5).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_token_count_and_fingerprint_match_python(spark, texts):
+    """The BPE-ish regex token count must equal python re.findall of
+    the same pattern, and the rolling polynomial fingerprint must
+    equal the sequential python fold (order-sensitive by design)."""
+    import re
+
+    from impala_refresher_spark.operators.text import doc_fingerprint, token_count_regex
+    import impala_refresher_spark.operators.text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf, name: df
+    try:
+        got_counts = {
+            r.doc_id: (r.n_bpe_ish, r.n_ws)
+            for r in token_count_regex(spark, "x").collect()
+        }
+        got_fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(spark, "x").collect()}
+    finally:
+        tx.load_table = orig
+
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+    for i, t in enumerate(texts):
+        assert got_counts[i] == (len(pat.findall(t)), len(t.split(" "))), i
+        acc = 0
+        for tok in t.split(" "):
+            x = (ord(tok[0]) if tok else 0) * 131 + len(tok)
+            acc = (acc * 31 + x) % 1000000007
+        assert got_fp[i] == acc, i
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de"]), st.integers(1, 99)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_median_udaf_matches_python(spark, docs):
+    """The applyInPandas per-group median must equal
+    statistics.median (pandas interpolates even counts the same
+    way)."""
+    from statistics import median
+
+    from impala_refresher_spark.operators.udfs import udaf_median_chars
+    import impala_refresher_spark.operators.udfs as ud
+
+    df = spark.createDataFrame(
+        [(i, lang, n) for i, (lang, n) in enumerate(docs)],
+        "doc_id long, lang string, n_chars long",
+    )
+    orig = ud.load_table
+    ud.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.lang: r.median_chars for r in udaf_median_chars(spark, "x").collect()
+        }
+    finally:
+        ud.load_table = orig
+
+    for lang in {l for l, _ in docs}:
+        want = float(median(n for l, n in docs if l == lang))
+        assert abs(got[lang] - want) <= 1e-9, lang
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=2).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_incremental_batch_dedup_matches_python(spark, texts):
+    """The daily-batch anti-join dedup must equal python set math:
+    batch docs (id % 10 == 0) collapse per hash to min id, then drop
+    anything whose text exists in the corpus split."""
+    import hashlib
+
+    from impala_refresher_spark.operators.dedup import dedup_incremental_batch
+    import impala_refresher_spark.operators.dedup as dd
+
+    docs = [(i * 5, t) for i, t in enumerate(texts)]  # ids 0,5,10,... mix splits
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: r.text_hash
+            for r in dedup_incremental_batch(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+
+    corpus_texts = {t for i, t in docs if i % 10 != 0}
+    batch: dict[str, int] = {}
+    for i, t in docs:
+        if i % 10 == 0 and t not in corpus_texts:
+            h = hashlib.sha256(t.encode()).hexdigest()
+            batch[h] = min(batch.get(h, i), i)
+    assert got == {i: h for h, i in batch.items()}
