@@ -5042,3 +5042,48 @@ def test_incremental_batch_dedup_matches_python(spark, texts):
             h = hashlib.sha256(t.encode()).hexdigest()
             batch[h] = min(batch.get(h, i), i)
     assert got == {i: h for h, i in batch.items()}
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["hello", "customer", "a@b.com", "https://x.io/p", "12345", "123", "supplier"]
+            ),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_pii_redaction_matches_python_re(spark, texts):
+    """The PII scrub must equal python re: same alternation, same
+    replacement, same hit counts — short digit runs survive the \\b\\d{4,}
+    rule, zero-hit docs are absent."""
+    import re
+
+    from impala_refresher_spark.operators.text import _PII_PATTERN, text_redact_pii
+    import impala_refresher_spark.operators.text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: (r.clean_text, r.n_redactions)
+            for r in text_redact_pii(spark, "x").collect()
+        }
+    finally:
+        tx.load_table = orig
+
+    pat = re.compile(_PII_PATTERN)
+    want = {}
+    for i, t in enumerate(texts):
+        n = len(pat.findall(t))
+        if n > 0:
+            want[i] = (pat.sub("[REDACTED]", t), n)
+    assert got == want
