@@ -99,8 +99,13 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 WHEN doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS modality,
            CAST(length(text) AS INTEGER) AS n_bytes,
-           CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
-           CAST(64 + ascii(substr(text, -1, 1)) % 64 AS INTEGER) AS height,
+           -- empty media decodes to (0, 0) — the fake decoder's
+           -- no-bytes contract; without the guard ascii('') = 0 made
+           -- the oracle say (64, 64) while mapInPandas said (0, 0)
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE 64 + ascii(substr(text, 1, 1)) % 64 END AS INTEGER) AS width,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE 64 + ascii(substr(text, -1, 1)) % 64 END AS INTEGER) AS height,
            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                   list_transform(string_split(substr(text, 1, 16), ''),
                                  c -> CAST(ascii(c) AS BIGINT))),

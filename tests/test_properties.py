@@ -5087,3 +5087,42 @@ def test_pii_redaction_matches_python_re(spark, texts):
         if n > 0:
             want[i] = (pat.sub("[REDACTED]", t), n)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aZ9 "), min_size=0, max_size=10).map("".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_multimodal_features_match_python(spark, texts):
+    """The mapInPandas fake-decode features must equal direct python
+    evaluation over the encoded bytes — EMPTY media decoding to
+    (0, 0) included (the oracle needed an explicit guard there:
+    ascii('') = 0 made it say (64, 64))."""
+    from impala_refresher_spark.operators.multimodal import multimodal_features
+    import impala_refresher_spark.operators.multimodal as mm
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "src1", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = mm.load_table
+    mm.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.media_id: (r.modality, r.n_bytes, r.width, r.height, r.byte_sum_16)
+            for r in multimodal_features(spark, "x").collect()
+        }
+    finally:
+        mm.load_table = orig
+
+    want = {}
+    for i, t in enumerate(texts):
+        b = t.encode()
+        modality = ["image", "audio", "video"][i % 3]
+        w, h = (64 + b[0] % 64, 64 + b[-1] % 64) if b else (0, 0)
+        want[i] = (modality, len(b), w, h, sum(b[:16]))
+    assert got == want
