@@ -28,8 +28,15 @@ from impala_refresher_spark.sources.tables import load_table
 
 @F.pandas_udf(T.IntegerType())
 def _token_count(text: pd.Series) -> pd.Series:
-    """Whitespace token count — one Arrow batch per invocation."""
-    return text.str.split(" ").str.len().astype("int32")
+    """Whitespace token count — one Arrow batch per invocation.
+
+    Nullable Int32 (capital I), not int32: a NULL text makes
+    .str.len() NaN, and the plain-int cast CRASHES the whole batch
+    ("cannot convert non-finite values") where the oracle's
+    len(string_split(NULL, ' ')) quietly yields NULL — the extension
+    dtype round-trips pd.NA through Arrow as a proper null (found by
+    the NULL-injection property; fixtures are NULL-free)."""
+    return text.str.split(" ").str.len().astype("Int32")
 
 
 @query(

@@ -5126,3 +5126,41 @@ def test_multimodal_features_match_python(spark, texts):
         w, h = (64 + b[0] % 64, 64 + b[-1] % 64) if b else (0, 0)
         want[i] = (modality, len(b), w, h, sum(b[:16]))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.sampled_from("ab "), min_size=0, max_size=8).map("".join),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_pandas_token_count_matches_python_with_nulls(spark, texts):
+    """The Arrow-batched token count must equal python split counting
+    AND survive NULL texts as NULL counts — the plain-int32 cast
+    crashed the whole batch on one NaN where the oracle quietly
+    NULLed."""
+    from impala_refresher_spark.operators.udfs import udf_pandas_token_count
+    import impala_refresher_spark.operators.udfs as ud
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = ud.load_table
+    ud.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: r.n_tokens
+            for r in udf_pandas_token_count(spark, "x").collect()
+        }
+    finally:
+        ud.load_table = orig
+
+    want = {
+        i: (None if t is None else len(t.split(" "))) for i, t in enumerate(texts)
+    }
+    assert got == want
