@@ -76,17 +76,26 @@ _FEATURE_SCHEMA = T.StructType(
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one Arrow batch of (media_id, media, meta)
     in, one batch of features out. This is where the real decoder
-    would run; the fake keeps the batch shape identical."""
+    would run; the fake keeps the batch shape identical.
+
+    NULL media (a NULL source text encodes to NULL bytes) must yield
+    NULL features, exactly like the oracle's NULL-propagating SQL —
+    the bare maps crashed on None (sum(None[:16])) and the plain-int
+    casts crashed on the resulting NaN for the WHOLE batch (the
+    `udf_pandas_token_count` class); nullable extension dtypes carry
+    pd.NA through Arrow as proper nulls."""
     for pdf in batches:
-        dims = pdf["media"].map(_fake_decode_meta)
+        dims = pdf["media"].map(lambda b: _fake_decode_meta(b) if b is not None else None)
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
                 "modality": pdf["meta"].map(lambda m: m["modality"]),
-                "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]).astype("int32"),
-                "width": dims.map(lambda d: d[0]).astype("int32"),
-                "height": dims.map(lambda d: d[1]).astype("int32"),
-                "byte_sum_16": pdf["media"].map(lambda b: sum(b[:16])).astype("int64"),
+                "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]).astype("Int32"),
+                "width": dims.map(lambda d: d[0] if d else None).astype("Int32"),
+                "height": dims.map(lambda d: d[1] if d else None).astype("Int32"),
+                "byte_sum_16": pdf["media"]
+                .map(lambda b: sum(b[:16]) if b is not None else None)
+                .astype("Int64"),
             }
         )
 

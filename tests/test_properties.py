@@ -5091,7 +5091,10 @@ def test_pii_redaction_matches_python_re(spark, texts):
 
 @given(
     st.lists(
-        st.lists(st.sampled_from("aZ9 "), min_size=0, max_size=10).map("".join),
+        st.one_of(
+            st.none(),
+            st.lists(st.sampled_from("aZ9 "), min_size=0, max_size=10).map("".join),
+        ),
         min_size=1,
         max_size=8,
     )
@@ -5100,13 +5103,14 @@ def test_pii_redaction_matches_python_re(spark, texts):
 def test_multimodal_features_match_python(spark, texts):
     """The mapInPandas fake-decode features must equal direct python
     evaluation over the encoded bytes — EMPTY media decoding to
-    (0, 0) included (the oracle needed an explicit guard there:
-    ascii('') = 0 made it say (64, 64))."""
+    (0, 0) (the oracle needed an explicit guard: ascii('') = 0 made
+    it say (64, 64)) and NULL media yielding NULL features (the bare
+    maps crashed the whole Arrow batch) both included."""
     from impala_refresher_spark.operators.multimodal import multimodal_features
     import impala_refresher_spark.operators.multimodal as mm
 
     df = spark.createDataFrame(
-        [(i, t, "en", "src1", len(t)) for i, t in enumerate(texts)],
+        [(i, t, "en", "src1", 0) for i, t in enumerate(texts)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     orig = mm.load_table
@@ -5121,8 +5125,11 @@ def test_multimodal_features_match_python(spark, texts):
 
     want = {}
     for i, t in enumerate(texts):
-        b = t.encode()
         modality = ["image", "audio", "video"][i % 3]
+        if t is None:
+            want[i] = (modality, None, None, None, None)
+            continue
+        b = t.encode()
         w, h = (64 + b[0] % 64, 64 + b[-1] % 64) if b else (0, 0)
         want[i] = (modality, len(b), w, h, sum(b[:16]))
     assert got == want
