@@ -183,15 +183,25 @@ def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     out: the batch shape, schema, and output-size accounting are the
     real plumbing that carries to production."""
     for pdf in batches:
-        resized = pdf["media"].map(lambda b: bytes(b[:: max(1, len(b) // _TARGET_W)]))  # STUB: decode+resample
-        dims = pdf["media"].map(_fake_decode_meta)  # STUB: decode metadata
+        # None-aware like _extract_features: NULL media must yield NULL
+        # outputs, not crash the Arrow batch on len(None)
+        resized = pdf["media"].map(
+            lambda b: bytes(b[:: max(1, len(b) // _TARGET_W)]) if b is not None else None
+        )  # STUB: decode+resample
+        dims = pdf["media"].map(
+            lambda b: _fake_decode_meta(b) if b is not None else None
+        )  # STUB: decode metadata
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
                 "out_w": pd.Series([_TARGET_W] * len(pdf), dtype="int32"),
-                "out_h": dims.map(lambda d: min(d[1], _TARGET_W)).astype("int32"),
+                "out_h": dims.map(
+                    lambda d: min(d[1], _TARGET_W) if d is not None else None
+                ).astype("Int32"),
                 "resized": resized,
-                "out_bytes": resized.map(len).astype("int32"),
+                "out_bytes": resized.map(
+                    lambda b: len(b) if b is not None else None
+                ).astype("Int32"),
             }
         )
 
@@ -201,7 +211,14 @@ def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     f"""
     SELECT doc_id AS media_id,
            CAST({_TARGET_W} AS INTEGER) AS out_w,
-           CAST(LEAST(64 + ascii(substr(text, -1, 1)) % 64, {_TARGET_W}) AS INTEGER) AS out_h,
+           -- explicit NULL/empty branches: DuckDB's LEAST IGNORES
+           -- NULLs (LEAST(NULL, 32) = 32) so NULL media would get a
+           -- phantom height, and ascii('') = 0 would give empty media
+           -- height 32 where the decoder stub says 0
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     WHEN length(text) = 0 THEN 0
+                     ELSE LEAST(64 + ascii(substr(text, -1, 1)) % 64, {_TARGET_W})
+                END AS INTEGER) AS out_h,
            CAST((length(text) + greatest(1, length(text) // {_TARGET_W}) - 1)
                 // greatest(1, length(text) // {_TARGET_W}) AS INTEGER) AS out_bytes
     FROM documents

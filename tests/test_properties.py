@@ -5171,3 +5171,51 @@ def test_pandas_token_count_matches_python_with_nulls(spark, texts):
         i: (None if t is None else len(t.split(" "))) for i, t in enumerate(texts)
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.sampled_from("aZ9 "), min_size=0, max_size=80).map("".join),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_multimodal_resize_matches_python(spark, texts):
+    """The resize stub's output accounting must equal direct python
+    stride arithmetic — empty media (out_h 0, out_bytes 0) and NULL
+    media (all-NULL outputs; DuckDB's NULL-ignoring LEAST needed an
+    explicit branch) included."""
+    from impala_refresher_spark.operators.multimodal import (
+        _TARGET_W,
+        multimodal_resize,
+    )
+    import impala_refresher_spark.operators.multimodal as mm
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "src1", 0) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = mm.load_table
+    mm.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.media_id: (r.out_w, r.out_h, r.out_bytes)
+            for r in multimodal_resize(spark, "x").collect()
+        }
+    finally:
+        mm.load_table = orig
+
+    want = {}
+    for i, t in enumerate(texts):
+        if t is None:
+            want[i] = (_TARGET_W, None, None)
+            continue
+        b = t.encode()
+        stride = max(1, len(b) // _TARGET_W)
+        out_h = min(64 + b[-1] % 64, _TARGET_W) if b else 0
+        want[i] = (_TARGET_W, out_h, len(b[::stride]))
+    assert got == want
