@@ -5219,3 +5219,50 @@ def test_multimodal_resize_matches_python(spark, texts):
         out_h = min(64 + b[-1] % 64, _TARGET_W) if b else 0
         want[i] = (_TARGET_W, out_h, len(b[::stride]))
     assert got == want
+
+
+@given(
+    st.lists(st.tuples(st.integers(1, 4), st.integers(1, 40)), max_size=10),
+    st.lists(st.tuples(st.integers(1, 4), st.integers(0, 40)), max_size=10),
+)
+@settings(**_SETTINGS)
+def test_cogroup_reconcile_matches_python(spark, orders, events):
+    """The two-sided cogroup merge must equal the python dict merge —
+    keys present on only ONE side get a zero count and 0.0 total for
+    the other."""
+    from impala_refresher_spark.operators.udfs import cogroup_reconcile
+    import impala_refresher_spark.operators.udfs as ud
+
+    if not orders and not events:
+        return
+    tables = {
+        "orders": spark.createDataFrame(
+            [(c, q / 4.0) for c, q in orders] or [(99, 0.0)],
+            "o_custkey long, o_totalprice double",
+        ),
+        "events": spark.createDataFrame(
+            [(c, q / 4.0) for c, q in events] or [(99, 0.0)],
+            "user_id long, value double",
+        ),
+    }
+    if not orders:
+        tables["orders"] = tables["orders"].filter("o_custkey < 0")
+    if not events:
+        tables["events"] = tables["events"].filter("user_id < 0")
+    orig = ud.load_table
+    ud.load_table = lambda spark, sf, name: tables[name]
+    try:
+        got = {
+            r.custkey: (r.n_orders, r.n_events, r.total_spend, r.total_event_value)
+            for r in cogroup_reconcile(spark, "x").collect()
+        }
+    finally:
+        ud.load_table = orig
+
+    keys = {c for c, _ in orders} | {c for c, _ in events}
+    want = {}
+    for k in keys:
+        os_ = [q / 4.0 for c, q in orders if c == k]
+        es = [q / 4.0 for c, q in events if c == k]
+        want[k] = (len(os_), len(es), round(sum(os_), 2), round(sum(es), 2))
+    assert got == want
