@@ -59,8 +59,15 @@ def udf_pandas_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _median_chars(pdf: pd.DataFrame) -> pd.DataFrame:
+    # pd.isna guard: a group whose n_chars are ALL NULL medians to NaN,
+    # which Arrow ships as a double NaN — the oracle's median() yields
+    # NULL there; return None so both engines say NULL
+    m = pdf["n_chars"].median()
     return pd.DataFrame(
-        {"lang": [pdf["lang"].iloc[0]], "median_chars": [float(pdf["n_chars"].median())]}
+        {
+            "lang": [pdf["lang"].iloc[0]],
+            "median_chars": [None if pd.isna(m) else float(m)],
+        }
     )
 
 

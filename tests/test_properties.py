@@ -4973,16 +4973,18 @@ def test_token_count_and_fingerprint_match_python(spark, texts):
 
 @given(
     st.lists(
-        st.tuples(st.sampled_from(["en", "de"]), st.integers(1, 99)),
+        st.tuples(
+            st.sampled_from(["en", "de"]), st.one_of(st.none(), st.integers(1, 99))
+        ),
         min_size=1,
         max_size=12,
     )
 )
 @settings(**_SETTINGS)
 def test_median_udaf_matches_python(spark, docs):
-    """The applyInPandas per-group median must equal
-    statistics.median (pandas interpolates even counts the same
-    way)."""
+    """The applyInPandas per-group median must equal statistics.median
+    (pandas interpolates even counts the same way), skip NULL values,
+    and yield NULL — not NaN — for an all-NULL group."""
     from statistics import median
 
     from impala_refresher_spark.operators.udfs import udaf_median_chars
@@ -5002,8 +5004,11 @@ def test_median_udaf_matches_python(spark, docs):
         ud.load_table = orig
 
     for lang in {l for l, _ in docs}:
-        want = float(median(n for l, n in docs if l == lang))
-        assert abs(got[lang] - want) <= 1e-9, lang
+        vals = [n for l, n in docs if l == lang and n is not None]
+        if not vals:
+            assert got[lang] is None, lang
+        else:
+            assert abs(got[lang] - float(median(vals))) <= 1e-9, lang
 
 
 @given(
