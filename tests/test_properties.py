@@ -5271,3 +5271,97 @@ def test_cogroup_reconcile_matches_python(spark, orders, events):
         es = [q / 4.0 for c, q in events if c == k]
         want[k] = (len(os_), len(es), round(sum(os_), 2), round(sum(es), 2))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 2), st.integers(1, 4), st.integers(1, 3), st.integers(1, 20)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_sliding_frames_match_python(spark, rows):
+    """The 3-row moving sum and running average must equal python
+    slices over the (orderkey, linenumber, quantity) total order —
+    DUPLICATE (orderkey, linenumber) pairs resolve by the quantity
+    tiebreak."""
+    from impala_refresher_spark.operators.windows import window_sliding
+    import impala_refresher_spark.operators.windows as wn
+
+    df = spark.createDataFrame(
+        [(s, ok, ln, float(q)) for s, ok, ln, q in rows],
+        "l_suppkey long, l_orderkey long, l_linenumber long, l_quantity double",
+    )
+    orig = wn.load_table
+    wn.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.l_suppkey, r.l_orderkey, r.l_linenumber, r.l_quantity, r.qty_3row, r.qty_running_avg)
+            for r in window_sliding(spark, "x").collect()
+        )
+    finally:
+        wn.load_table = orig
+
+    want = []
+    for sk in {s for s, _, _, _ in rows}:
+        mem = sorted(
+            (ok, ln, float(q)) for s, ok, ln, q in rows if s == sk
+        )
+        for i, (ok, ln, q) in enumerate(mem):
+            frame = [x[2] for x in mem[max(0, i - 2) : i + 1]]
+            prefix = [x[2] for x in mem[: i + 1]]
+            want.append(
+                (sk, ok, ln, q, _r2(sum(frame)), _r4(sum(prefix) / len(prefix)))
+            )
+    # duplicate full rows make per-row matching ambiguous only between
+    # IDENTICAL tuples, so multiset compare is exact
+    assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 6), st.integers(1, 20)),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_analytic_lag_lead_match_python(spark, rows):
+    """lag/lead/first/last over the (orderdate, orderkey) order must
+    equal python neighbor indexing, with NULL edges."""
+    from impala_refresher_spark.operators.windows import window_analytic
+    import impala_refresher_spark.operators.windows as wn
+    from datetime import date
+
+    df = spark.createDataFrame(
+        [
+            (i + 1, c, date(2024, 1, 1 + d), float(q))
+            for i, (c, d, q) in enumerate(rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    )
+    orig = wn.load_table
+    wn.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.o_orderkey: (r.prev_price, r.next_price, r.first_price, r.last_price)
+            for r in window_analytic(spark, "x").collect()
+        }
+    finally:
+        wn.load_table = orig
+
+    for c in {c for c, _, _ in rows}:
+        mem = sorted(
+            (date(2024, 1 , 1 + d), i + 1, float(q))
+            for i, (cc, d, q) in enumerate(rows)
+            if cc == c
+        )
+        for i, (_, key, q) in enumerate(mem):
+            want = (
+                mem[i - 1][2] if i > 0 else None,
+                mem[i + 1][2] if i + 1 < len(mem) else None,
+                mem[0][2],
+                mem[-1][2],
+            )
+            assert got[key] == want, key
