@@ -50,7 +50,10 @@ from impala_refresher_spark.sources.tables import load_table
         FROM cm
     ),
     marg AS (
-        SELECT SUM(l.row_n * p.col_n) AS exp_agree_scaled
+        -- COALESCE: a matrix whose labels never appear as predictions
+        -- (e.g. one always-wrong class) makes this join EMPTY; the
+        -- marginal product sum is then 0 by definition, not NULL
+        SELECT COALESCE(SUM(l.row_n * p.col_n), 0) AS exp_agree_scaled
         FROM (SELECT label, SUM(n) AS row_n FROM cm GROUP BY label) l
         JOIN (SELECT pred, SUM(n) AS col_n FROM cm GROUP BY pred) p
           ON l.label = p.pred
@@ -112,7 +115,13 @@ def langid_confusion_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = cm.groupBy("pred").agg(F.sum("n").alias("col_n"))
     marg = (
         rows.join(cols, rows.label == cols.pred)
-        .agg(F.sum(F.col("row_n") * F.col("col_n")).alias("exp_agree_scaled"))
+        # empty join (labels and predictions disjoint) => Σ row·col is
+        # 0 by definition; bare SUM would yield NULL and poison pe/κ
+        .agg(
+            F.coalesce(
+                F.sum(F.col("row_n") * F.col("col_n")), F.lit(0)
+            ).alias("exp_agree_scaled")
+        )
     )
     po = F.col("agree").cast("double") / F.col("total")
     pe = F.col("exp_agree_scaled").cast("double") / (
