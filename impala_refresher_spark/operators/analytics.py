@@ -696,10 +696,14 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("o_totalprice").alias("rev"))
     )
     w = Window.partitionBy()
+    # try_divide: a zero grand total (every order priced 0.0) is an
+    # ANSI /0 error in Spark where DuckDB's window division NULLs
     return agg.select(
         "n_name",
         F.round("rev", 2).alias("revenue"),
-        F.round(F.col("rev") / F.sum("rev").over(w), 4).alias("share"),
+        F.round(F.try_divide(F.col("rev"), F.sum("rev").over(w)), 4).alias(
+            "share"
+        ),
     )
 
 
@@ -1793,8 +1797,13 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
     )
     cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # try_divide: an all-zero-revenue corpus has total = 0 — ANSI
+    # Spark errors on the double /0 where DuckDB yields NULL; a NULL
+    # Gini/Lorenz is the right degenerate answer on both engines
     gini = (
-        F.col("wsum").cast("double") / (F.col("n") * F.col("total"))
+        F.try_divide(
+            F.col("wsum").cast("double"), F.col("n") * F.col("total")
+        )
         - (F.col("n") + 1).cast("double") / F.col("n")
     )
     return (
@@ -1808,7 +1817,10 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_customers",
             F.round(
-                F.sum("dec_rev").over(cum).cast("double") / F.col("total"), 4
+                F.try_divide(
+                    F.sum("dec_rev").over(cum).cast("double"), F.col("total")
+                ),
+                4,
             ).alias("lorenz_cum_share"),
             F.round(gini, 4).alias("gini"),
         )
@@ -1878,11 +1890,15 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_supp.join(F.broadcast(tot), "nationkey")
         .groupBy("nationkey", "n_suppliers", "nation_rev")
         .agg(
+            # try_divide: a nation whose every line nets to zero cents
+            # has nation_rev = 0 — ANSI /0 error vs DuckDB NULL
             F.round(
-                F.sum(
-                    10000.0 * F.col("rev_cents") * F.col("rev_cents")
-                )
-                / (F.col("nation_rev").cast("double") * F.col("nation_rev")),
+                F.try_divide(
+                    F.sum(
+                        10000.0 * F.col("rev_cents") * F.col("rev_cents")
+                    ),
+                    F.col("nation_rev").cast("double") * F.col("nation_rev"),
+                ),
                 2,
             ).alias("hhi")
         )

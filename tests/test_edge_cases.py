@@ -423,3 +423,60 @@ def test_zero_norm_embedding_cosine_family_matches_oracle(spark, tmp_path):
     out = cosine_topk(spark, d0)
     assert [r.cos_sim for r in out.collect()] == [None, None, None]
     compare(out, con0, ORACLES["cosine_topk"])
+
+
+def test_zero_total_revenue_ratios_null_not_error(spark, tmp_path):
+    """Division-by-zero discipline, ratio-of-TOTAL class: a corpus whose
+    every price is 0.0 zeroes the grand-total denominator in the Gini/
+    Lorenz report, the HHI market-concentration report, and the
+    percent-of-total revenue share — ANSI Spark errors on the double /0
+    where DuckDB yields NULL. All three are try_divide-guarded so the
+    degenerate corpus answers NULL identically on both engines (found by
+    the same sweep as the kappa empty-marginal COALESCE)."""
+    import duckdb
+
+    from impala_refresher_spark.operators.analytics import (
+        hhi_supplier_concentration,
+        revenue_concentration_gini,
+        revenue_share_by_nation,
+    )
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 100 + i % 3, 0.0, "O") for i in range(9)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(100, 0), (101, 0), (102, 1)],
+        "c_custkey long, c_nationkey int",
+    ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey int, n_name string"
+    ).coalesce(1).write.parquet(f"{d}/nation.parquet")
+    spark.createDataFrame(
+        [(i, 200 + i % 2, 0.0) for i in range(8)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(200, 0), (201, 1)], "s_suppkey long, s_nationkey int"
+    ).coalesce(1).write.parquet(f"{d}/supplier.parquet")
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "lineitem", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+
+    gini = revenue_concentration_gini(spark, d)
+    assert all(r.gini is None and r.lorenz_cum_share is None for r in gini.collect())
+    compare(gini, con, ORACLES["revenue_concentration_gini"])
+
+    hhi = hhi_supplier_concentration(spark, d)
+    assert all(r.hhi is None for r in hhi.collect())
+    compare(hhi, con, ORACLES["hhi_supplier_concentration"])
+
+    share = revenue_share_by_nation(spark, d)
+    assert all(r.share is None for r in share.collect())
+    compare(share, con, ORACLES["revenue_share_by_nation"])
