@@ -5365,3 +5365,336 @@ def test_analytic_lag_lead_match_python(spark, rows):
                 mem[-1][2],
             )
             assert got[key] == want, key
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs union-find (the iterative dataflow core)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation must equal a python union-find's
+    min-reachable-id labeling on arbitrary graphs — chains longer than
+    one round, self-loops, duplicate and reversed edges."""
+    from impala_refresher_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "a long, b long") if edges else (
+        spark.createDataFrame([], "a long, b long")
+    )
+    got = {r.node: r.label for r in connected_components(df, "a", "b").collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comps.values() for n in members}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Text-quality family on adversarial tokens (markers, stopwords, empties)
+# ---------------------------------------------------------------------------
+
+_TXT_TOKENS = ["the", "a", "of", "el", "la", "der", "und", "fast", "slow", "xyz", "q1"]
+
+
+@st.composite
+def _txt_docs(draw):
+    n = draw(st.integers(1, 6))
+    docs = []
+    for i in range(n):
+        if draw(st.booleans()) or True:
+            toks = draw(st.lists(st.sampled_from(_TXT_TOKENS), min_size=0, max_size=8))
+            text = " ".join(toks)
+        docs.append((i, text, draw(st.sampled_from(["en", "es", "xx"])), "web",
+                     draw(st.integers(0, 500))))
+    return docs
+
+
+@given(_txt_docs())
+@settings(**_SETTINGS)
+def test_text_quality_family_matches_python(spark, docs):
+    """quality_score / lang_id_heuristic / text_lexicon_score vs direct
+    python over the same token streams — empty texts (split('') = ['']),
+    marker-count ties (en > es > de priority), all-stopword docs."""
+    from impala_refresher_spark.operators.text import (
+        _LANG_MARKERS,
+        _LEXICON,
+        STOPWORDS,
+        lang_id_heuristic,
+        quality_score,
+        text_lexicon_score,
+    )
+    import impala_refresher_spark.operators.text as tx
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf, name: df
+    try:
+        got_q = {r.doc_id: r.quality for r in quality_score(spark, "x").collect()}
+        got_l = {r.doc_id: r.lang_pred for r in lang_id_heuristic(spark, "x").collect()}
+        got_s = {
+            r.doc_id: (r.sentiment, r.n_scored)
+            for r in text_lexicon_score(spark, "x").collect()
+        }
+    finally:
+        tx.load_table = orig
+
+    stop = set(STOPWORDS)
+    lex = dict(_LEXICON)
+    want_s = {}
+    for doc_id, text, _lang, _src, n_chars in docs:
+        w = text.split(" ")
+        n = len(w)
+        sr = sum(1 for x in w if x in stop) / n
+        ttr = len(set(w)) / n
+        q = 0.4 * min(n_chars / 300.0, 1.0) + 0.3 * (1.0 - sr) + 0.3 * ttr
+        assert abs(got_q[doc_id] - q) <= 1e-12, doc_id
+
+        s_en = sum(1 for x in w if x in _LANG_MARKERS["en"])
+        s_es = sum(1 for x in w if x in _LANG_MARKERS["es"])
+        s_de = sum(1 for x in w if x in _LANG_MARKERS["de"])
+        if s_en >= s_es and s_en >= s_de and s_en > 0:
+            pred = "en"
+        elif s_es >= s_de and s_es > 0:
+            pred = "es"
+        elif s_de > 0:
+            pred = "de"
+        else:
+            pred = "unknown"
+        assert got_l[doc_id] == pred, doc_id
+
+        hits = [lex[x] for x in w if x in lex]
+        if hits:
+            want_s[doc_id] = (float(sum(hits)), len(hits))
+    assert got_s == want_s
+
+
+# ---------------------------------------------------------------------------
+# Linear counting vs the python sketch (portable hash + saturation clamp)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.integers(1, 10**6)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_linear_counting_matches_python(spark, rows):
+    """The per-nation LC estimate must equal the python sketch: same
+    integer hash family, same occupied-bucket count, same clamped
+    -m·ln(1-V/m) rounded HALF_UP."""
+    import math
+
+    from impala_refresher_spark.operators.rollup_hypertable import (
+        linear_counting_distinct,
+    )
+    import impala_refresher_spark.operators.rollup_hypertable as rh
+
+    df = spark.createDataFrame(rows, "c_nationkey int, c_custkey long")
+    orig = rh.load_table
+    rh.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.nationkey: (r.occupied, r.exact_n, r.lc_estimate)
+            for r in linear_counting_distinct(spark, "x").collect()
+        }
+    finally:
+        rh.load_table = orig
+
+    want = {}
+    for nk in {n for n, _ in rows}:
+        keys = {k for n, k in rows if n == nk}
+        buckets = {((k * 2654435761 + 97) % 1000003) % 1024 for k in keys}
+        v = min(len(buckets), 1023)
+        est = math.floor(-1024 * math.log(1.0 - v / 1024.0) + 0.5)
+        want[nk] = (len(buckets), len(keys), est)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Ratio-of-total analytics vs python (zero-total degenerate included)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(100, 103), st.integers(-3, 6)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_hhi_matches_python(spark, lines):
+    """Per-nation HHI vs the textbook Σ(10000·share²): integer-cent
+    revenue, negative lines, and all-zero nations (NULL, the guarded
+    degenerate) — supplier 100/101 sell for nation 0, 102/103 for 1."""
+    from impala_refresher_spark.operators.analytics import hhi_supplier_concentration
+    import impala_refresher_spark.operators.analytics as an
+
+    li = spark.createDataFrame(
+        [(i, sk, rev * 1.0) for i, (sk, rev) in enumerate(lines)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double",
+    )
+    supp = spark.createDataFrame(
+        [(100, 0), (101, 0), (102, 1), (103, 1)], "s_suppkey long, s_nationkey int"
+    )
+    tables = {"lineitem": li, "supplier": supp}
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: tables[name]
+    try:
+        got = {
+            r.nationkey: (r.n_suppliers, r.hhi)
+            for r in hhi_supplier_concentration(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    nation_of = {100: 0, 101: 0, 102: 1, 103: 1}
+    per_supp: dict[tuple, int] = {}
+    for sk, rev in lines:
+        key = (nation_of[sk], sk)
+        per_supp[key] = per_supp.get(key, 0) + rev * 100
+    want = {}
+    for nk in {n for n, _ in per_supp}:
+        revs = [v for (n, _), v in per_supp.items() if n == nk]
+        tot = sum(revs)
+        if tot == 0:
+            hhi = None
+        else:
+            hhi = _r2(sum(10000.0 * v * v for v in revs) / (float(tot) * tot))
+        want[nk] = (len(revs), hhi)
+    assert got == want
+
+
+def _r2(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(100, 102), st.integers(0, 400)),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_revenue_share_matches_python(spark, orders):
+    """Percent-of-total by nation vs python: cents-grid prices so the
+    2dp revenue round is exact; the all-zero corpus yields NULL shares."""
+    from impala_refresher_spark.operators.analytics import revenue_share_by_nation
+    import impala_refresher_spark.operators.analytics as an
+
+    o = spark.createDataFrame(
+        [(i, ck, cents / 100.0) for i, (ck, cents) in enumerate(orders)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    c = spark.createDataFrame(
+        [(100, 0), (101, 0), (102, 1)], "c_custkey long, c_nationkey int"
+    )
+    n = spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey int, n_name string"
+    )
+    tables = {"orders": o, "customer": c, "nation": n}
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: tables[name]
+    try:
+        got = {
+            r.n_name: (r.revenue, r.share)
+            for r in revenue_share_by_nation(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    nation_of = {100: "ALPHA", 101: "ALPHA", 102: "BETA"}
+    rev: dict[str, float] = {}
+    for ck, cents in orders:
+        name = nation_of[ck]
+        rev[name] = rev.get(name, 0.0) + cents / 100.0
+    total = sum(rev.values())
+    for name, v in rev.items():
+        gr, gs = got[name]
+        assert abs(gr - v) <= 1e-9, name
+        if total == 0.0:
+            assert gs is None, name
+        else:
+            assert abs(gs - _r4(v / total)) <= 1.1e-4, name
+    assert set(got) == set(rev)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 15), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_gini_matches_python(spark, custs):
+    """Lorenz deciles + Gini vs the textbook 2Σi·xᵢ/(nΣx) − (n+1)/n with
+    python NTILE replication; an all-zero corpus NULLs both statistics."""
+    from impala_refresher_spark.operators.analytics import revenue_concentration_gini
+    import impala_refresher_spark.operators.analytics as an
+
+    o = spark.createDataFrame(
+        [(i, ck, cents / 100.0, "O") for i, (ck, cents) in enumerate(custs)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: o
+    try:
+        got = {
+            r.decile: (r.n_customers, r.lorenz_cum_share, r.gini)
+            for r in revenue_concentration_gini(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    per = sorted(((cents, ck) for ck, cents in custs))
+    n = len(per)
+    total = sum(v for v, _ in per)
+    wsum = sum(2 * (i + 1) * v for i, (v, _) in enumerate(per))
+    gini = None if total == 0 else _r4(wsum / (n * float(total)) - (n + 1) / n)
+    # NTILE(10): first n%10 buckets get ceil(n/10) rows
+    base, extra = divmod(n, 10)
+    want = {}
+    pos = 0
+    cum = 0
+    for d in range(1, 11):
+        size = base + (1 if d <= extra else 0)
+        if size == 0:
+            break
+        rows = per[pos : pos + size]
+        pos += size
+        cum += sum(v for v, _ in rows)
+        lorenz = None if total == 0 else _r4(cum / float(total))
+        want[d] = (size, lorenz, gini)
+    assert got == want
