@@ -5698,3 +5698,300 @@ def test_gini_matches_python(spark, custs):
         lorenz = None if total == 0 else _r4(cum / float(total))
         want[d] = (size, lorenz, gini)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH: the full shingle→signature→band→verify pipeline vs python
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _mh_docs(draw):
+    n = draw(st.integers(2, 5))
+    texts = [
+        " ".join(draw(st.lists(st.sampled_from("abcde"), min_size=3, max_size=8)))
+        for _ in range(n)
+    ]
+    if draw(st.booleans()):  # exact/near dup to force real candidates
+        src = draw(st.integers(0, n - 1))
+        texts.append(texts[src])
+    return texts
+
+
+@given(_mh_docs())
+@settings(**_SETTINGS)
+def test_minhash_lsh_matches_python(spark, texts):
+    """The ENTIRE LSH pipeline is deterministic integer arithmetic
+    (md5-prefix shingle hash, 32 affine permutations mod Mersenne31,
+    exact 4-tuple banding, exact-Jaccard verify) — so it must equal a
+    from-scratch python implementation pair for pair."""
+    import hashlib
+
+    from impala_refresher_spark.operators.dedup import (
+        _AS,
+        _BANDS,
+        _BS,
+        _MERSENNE,
+        _ROWS_PER_BAND,
+        dedup_minhash_lsh,
+    )
+    import impala_refresher_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup_minhash_lsh(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    sig = {}
+    for i, s in sh.items():
+        if not s:
+            continue
+        hs = [
+            int(hashlib.md5(x.encode()).hexdigest()[:15], 16) % _MERSENNE for x in s
+        ]
+        sig[i] = [min((a * h + b) % _MERSENNE for h in hs) for a, b in zip(_AS, _BS)]
+    buckets: dict[tuple, list] = {}
+    for i, s in sig.items():
+        for band in range(_BANDS):
+            key = (band, tuple(s[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]))
+            buckets.setdefault(key, []).append(i)
+    cands = set()
+    for ids in buckets.values():
+        if 1 < len(ids) <= 1000:
+            ids = sorted(ids)
+            for ai in range(len(ids)):
+                for bi in range(ai + 1, len(ids)):
+                    cands.add((ids[ai], ids[bi]))
+    want = {}
+    for a, b in cands:
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        j = _r4(inter / union)
+        if j >= 0.4:
+            want[(a, b)] = j
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decorrelations and tie semantics vs literal python evaluation
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),          # suppkey
+            st.integers(0, 4),          # ship month offset from 1996-12
+            st.sampled_from([10, 20, 40]),   # integer-dollar price
+            st.sampled_from([0.0, 0.5]),     # exact-binary discount
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_q15_top_supplier_ties_match_python(spark, lines):
+    """Q15's scalar-subquery max must return EVERY supplier tied at the
+    best quarterly revenue (tiny price/discount grid forces ties) and
+    apply the quarter window literally."""
+    from impala_refresher_spark.operators.tpch import tpch_q15_top_supplier
+    import impala_refresher_spark.operators.tpch as tp
+
+    tables = {
+        "lineitem": spark.createDataFrame(
+            [
+                (sk, _BASE.replace(year=1996, month=12) + timedelta(days=31 * m), p * 1.0, d)
+                for sk, m, p, d in lines
+            ],
+            "l_suppkey long, l_shipdate timestamp, l_extendedprice double, l_discount double",
+        ),
+        "supplier": spark.createDataFrame(
+            [(k, f"S{k}") for k in (1, 2, 3)], "s_suppkey long, s_name string"
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.s_suppkey, r.s_name, r.total_revenue)
+            for r in tpch_q15_top_supplier(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    from datetime import datetime
+
+    lo, hi = datetime(1997, 1, 1), datetime(1997, 4, 1)
+    rev: dict[int, float] = {}
+    for sk, m, p, d in lines:
+        ts = _BASE.replace(year=1996, month=12) + timedelta(days=31 * m)
+        if lo <= ts < hi:
+            rev[sk] = rev.get(sk, 0.0) + p * (1.0 - d)
+    rev = {k: _r2(v) for k, v in rev.items()}
+    if not rev:
+        assert got == []
+        return
+    best = max(rev.values())
+    want = sorted((k, f"S{k}", v) for k, v in rev.items() if v == best)
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),            # partkey
+            st.integers(1, 3),            # suppkey (1,2 -> NATION_2; 3 -> other)
+            st.integers(1, 50),           # integer-dollar price
+            st.sampled_from([0.0, 0.5]),  # exact-binary discount
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q11_threshold_matches_python(spark, lines):
+    """Q11's HAVING-above-scalar-subquery: per-part value vs 0.2% of the
+    nation total, both sides rounded, evaluated literally in python."""
+    from impala_refresher_spark.operators.tpch import tpch_q11_important_stock
+    import impala_refresher_spark.operators.tpch as tp
+
+    tables = {
+        "lineitem": spark.createDataFrame(
+            [(pk, sk, p * 1.0, d) for pk, sk, p, d in lines],
+            "l_partkey long, l_suppkey long, l_extendedprice double, l_discount double",
+        ),
+        "supplier": spark.createDataFrame(
+            [(1, 2), (2, 2), (3, 0)], "s_suppkey long, s_nationkey long"
+        ),
+        "nation": spark.createDataFrame(
+            [(0, "NATION_0"), (2, "NATION_2")], "n_nationkey long, n_name string"
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.ps_partkey, r.part_value)
+            for r in tpch_q11_important_stock(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    supplied = [
+        (pk, p * (1.0 - d)) for pk, sk, p, d in lines if sk in (1, 2)
+    ]
+    per_part: dict[int, float] = {}
+    for pk, v in supplied:
+        per_part[pk] = per_part.get(pk, 0.0) + v
+    threshold = _r2(sum(v for _, v in supplied) * 0.002)
+    want = sorted(
+        ((pk, _r2(v)) for pk, v in per_part.items() if _r2(v) > threshold),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),       # partkey
+            st.integers(1, 10),      # quantity
+            st.integers(1, 100),     # integer-dollar price
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    st.sets(st.integers(1, 3), min_size=0, max_size=3),  # Brand#3 parts
+)
+@settings(**_SETTINGS)
+def test_q17_small_quantity_matches_python(spark, lines, brand3):
+    """Q17's correlated-AVG decorrelation evaluated literally: per-part
+    half-average threshold, brand filter, and the empty-input NULL."""
+    from impala_refresher_spark.operators.tpch import (
+        tpch_q17_small_quantity_revenue,
+    )
+    import impala_refresher_spark.operators.tpch as tp
+
+    tables = {
+        "lineitem": spark.createDataFrame(
+            [(pk, q * 1.0, p * 1.0) for pk, q, p in lines],
+            "l_partkey long, l_quantity double, l_extendedprice double",
+        )
+        if lines
+        else spark.createDataFrame(
+            [], "l_partkey long, l_quantity double, l_extendedprice double"
+        ),
+        "part": spark.createDataFrame(
+            [(pk, "Brand#3" if pk in brand3 else "Brand#1") for pk in (1, 2, 3)],
+            "p_partkey long, p_brand string",
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        rows = tpch_q17_small_quantity_revenue(spark, "x").collect()
+    finally:
+        tp._t = orig
+    assert len(rows) == 1
+
+    thr = {}
+    for pk in {pk for pk, _, _ in lines}:
+        qs = [q for p2, q, _ in lines if p2 == pk]
+        thr[pk] = _r4(0.5 * (sum(qs) / len(qs)))
+    kept = [
+        p
+        for pk, q, p in lines
+        if pk in brand3 and q < thr[pk]
+    ]
+    want = _r2(sum(kept) / 7.0) if kept else None
+    assert rows[0].avg_yearly == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([f"t{i:02d}" for i in range(60)]),
+            min_size=1,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_top_tokens_ties_match_python(spark, texts):
+    """Global top-50 heavy hitters: count-desc token-asc ordering with a
+    61-token vocabulary so the LIMIT boundary cuts through tie groups."""
+    from collections import Counter
+
+    from impala_refresher_spark.operators.text import text_top_tokens
+    import impala_refresher_spark.operators.text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = tx.load_table
+    tx.load_table = lambda spark, sf, name: df
+    try:
+        got = [(r.token, r.n) for r in text_top_tokens(spark, "x").collect()]
+    finally:
+        tx.load_table = orig
+
+    counts = Counter()
+    for t in texts:
+        counts.update(t.split(" "))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == want
