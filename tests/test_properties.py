@@ -5995,3 +5995,108 @@ def test_top_tokens_ties_match_python(spark, texts):
         counts.update(t.split(" "))
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# The composite corpus pipeline vs a literal python evaluation
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _corpus_case(draw):
+    n = draw(st.integers(1, 6))
+    texts = ["alpha beta", "gamma", "delta eps zeta", "alpha beta"]
+    docs = []
+    for i in range(n):
+        docs.append(
+            (
+                i,
+                draw(st.sampled_from(texts)),
+                draw(st.sampled_from(["en", "xx"])),
+                "web",
+                draw(st.sampled_from([50, 150, 20000])),
+            )
+        )
+    embs = []
+    for i in range(n):
+        if draw(st.booleans()):
+            vec = draw(
+                st.lists(st.integers(-3, 3), min_size=3, max_size=3)
+            )
+            embs.append((i, draw(st.integers(0, 1)), [float(x) for x in vec]))
+    return docs, embs
+
+
+@given(_corpus_case())
+@settings(**_SETTINGS)
+def test_pipeline_training_corpus_matches_python(spark, case):
+    """The one-plan corpus pipeline (quality gate -> keep-first exact
+    dedup -> cosine near-dup drop -> embedding join) vs literal python:
+    duplicate texts, out-of-range lengths, missing embeddings, zero
+    vectors (NULL cosine fails the threshold), same-label near-dups."""
+    import math
+
+    import numpy as np
+
+    from impala_refresher_spark.operators.pipeline import pipeline_training_corpus
+    import impala_refresher_spark.operators.pipeline as pl
+
+    docs, embs = case
+    tables = {
+        "documents": spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ),
+        "embeddings": spark.createDataFrame(
+            embs, "vec_id long, label int, embedding array<float>"
+        )
+        if embs
+        else spark.createDataFrame([], "vec_id long, label int, embedding array<float>"),
+    }
+    orig = pl.load_table
+    pl.load_table = lambda spark, sf, name: tables[name]
+    try:
+        got = {
+            r.doc_id: (r.lang, r.source, r.n_chars, r.n_tokens, r.label)
+            for r in pipeline_training_corpus(spark, "x").collect()
+        }
+    finally:
+        pl.load_table = orig
+
+    def unit(v):
+        comps = [float(np.float32(x)) for x in v]
+        s = 0.0
+        for c in comps:
+            s = s + c * c
+        n = math.sqrt(s)
+        if n == 0.0:
+            return None
+        return [c / n for c in comps]
+
+    first_of_text: dict[str, int] = {}
+    for doc_id, text, *_ in docs:
+        first_of_text.setdefault(text, doc_id)
+    survivors = set(first_of_text.values())
+
+    uv = {vid: unit(vec) for vid, _, vec in embs}
+    label_of = {vid: lab for vid, lab, _ in embs}
+    drops = set()
+    for vid_a, lab_a, _ in embs:
+        for vid_b, lab_b, _ in embs:
+            if vid_a < vid_b and lab_a == lab_b:
+                ua, ub = uv[vid_a], uv[vid_b]
+                if ua is None or ub is None:
+                    continue
+                s = 0.0
+                for x, y in zip(ua, ub):
+                    s = s + x * y
+                if s >= 0.35:
+                    drops.add(vid_b)
+
+    want = {}
+    for doc_id, text, lang, source, n_chars in docs:
+        if not (100 <= n_chars <= 10000 and lang in ("en", "es", "de", "fr", "zh")):
+            continue
+        if doc_id not in survivors or doc_id in drops or doc_id not in label_of:
+            continue
+        want[doc_id] = (lang, source, n_chars, len(text.split(" ")), label_of[doc_id])
+    assert got == want
