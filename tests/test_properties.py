@@ -6100,3 +6100,90 @@ def test_pipeline_training_corpus_matches_python(spark, case):
             continue
         want[doc_id] = (lang, source, n_chars, len(text.split(" ")), label_of[doc_id])
     assert got == want
+
+
+@st.composite
+def _surv_case(draw):
+    n = draw(st.integers(2, 7))
+    embs = []
+    for i in range(n):
+        vec = draw(st.lists(st.integers(-3, 3), min_size=3, max_size=3))
+        embs.append((i, draw(st.integers(0, 1)), [float(x) for x in vec]))
+    docs = [(i, draw(st.sampled_from([10, 50, 50, 200]))) for i in range(n)]
+    return docs, embs
+
+
+@given(_surv_case())
+@settings(**_SETTINGS)
+def test_cluster_survivors_match_python(spark, case):
+    """dedup_cluster_survivors end-to-end (blocked cosine pair graph ->
+    connected components -> best-member window) vs python: union-find
+    over the literal >=0.35 pair set, survivor = longest doc then
+    smallest id, n_chars ties included. Singletons never appear."""
+    import math
+
+    import numpy as np
+
+    from impala_refresher_spark.operators.dedup import dedup_cluster_survivors
+    import impala_refresher_spark.operators.dedup as dd
+
+    docs, embs = case
+    tables = {
+        "documents": spark.createDataFrame(
+            [(i, c) for i, c in docs], "doc_id long, n_chars long"
+        ),
+        "embeddings": spark.createDataFrame(
+            embs, "vec_id long, label int, embedding array<float>"
+        ),
+    }
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: tables[name]
+    try:
+        got = {
+            r.component_id: (r.survivor_id, r.survivor_chars, r.n_members)
+            for r in dedup_cluster_survivors(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+
+    def unit(v):
+        comps = [float(np.float32(x)) for x in v]
+        s = 0.0
+        for c in comps:
+            s = s + c * c
+        nrm = math.sqrt(s)
+        return None if nrm == 0.0 else [c / nrm for c in comps]
+
+    uv = {vid: unit(vec) for vid, _, vec in embs}
+    lab = {vid: l for vid, l, _ in embs}
+    chars = dict(docs)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    linked = set()
+    for a in lab:
+        for b in lab:
+            if a < b and lab[a] == lab[b] and uv[a] is not None and uv[b] is not None:
+                s = 0.0
+                for x, y in zip(uv[a], uv[b]):
+                    s = s + x * y
+                if s >= 0.35:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[ra] = rb
+                    linked.update((a, b))
+    comps: dict[int, list] = {}
+    for v in linked:
+        comps.setdefault(find(v), []).append(v)
+    want = {}
+    for members in comps.values():
+        cid = min(members)
+        best = sorted(members, key=lambda v: (-chars[v], v))[0]
+        want[cid] = (best, chars[best], len(members))
+    assert got == want
