@@ -6187,3 +6187,77 @@ def test_cluster_survivors_match_python(spark, case):
         best = sorted(members, key=lambda v: (-chars[v], v))[0]
         want[cid] = (best, chars[best], len(members))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-3, 3), min_size=3, max_size=3),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_semdedup_matches_python(spark, vecs):
+    """SemDeDup end-to-end vs python: md5-ordered seed pick, argmin
+    assignment (first-min tie = smallest cid), within-cluster >=0.35
+    pairs, keep-first fold to (cluster, drop_id, canonical_id)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from impala_refresher_spark.operators.dedup import (
+        _SEM_K,
+        _SEM_THRESH,
+        semdedup_embeddings,
+    )
+    import impala_refresher_spark.operators.dedup as dd
+
+    embs = [(i, 0, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(embs, "vec_id long, label int, embedding array<float>")
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.cluster, r.drop_id): r.canonical_id
+            for r in semdedup_embeddings(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+
+    emb = {
+        i: [float(np.float32(x)) for x in v] for i, _, v in embs
+    }
+    order = sorted(emb, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [emb[i] for i in order[:_SEM_K]]
+
+    def sqdist(v, c):
+        s = 0.0
+        for x, cc in zip(v, c):
+            s = s + (x - cc) * (x - cc)
+        return s
+
+    cid = {}
+    for i, v in emb.items():
+        ds = [sqdist(v, c) for c in cents]
+        cid[i] = ds.index(min(ds))
+
+    def unit(v):
+        s = 0.0
+        for c in v:
+            s = s + c * c
+        nrm = math.sqrt(s)
+        return None if nrm == 0.0 else [c / nrm for c in v]
+
+    uv = {i: unit(v) for i, v in emb.items()}
+    want: dict[tuple, int] = {}
+    for a in emb:
+        for b in emb:
+            if a < b and cid[a] == cid[b] and uv[a] is not None and uv[b] is not None:
+                s = 0.0
+                for x, y in zip(uv[a], uv[b]):
+                    s = s + x * y
+                if s >= _SEM_THRESH:
+                    key = (cid[b], b)
+                    want[key] = min(want.get(key, a), a)
+    assert got == want
