@@ -193,10 +193,19 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .agg(
+            # try_divide: a month whose every line nets to 0.00 zeroes
+            # the denominator — ANSI /0 error vs DuckDB NULL
             F.round(
-                100.0
-                * F.round(F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0)), 2)
-                / F.round(F.sum(net), 2),
+                F.try_divide(
+                    100.0
+                    * F.round(
+                        F.sum(
+                            F.when(F.col("p_type") == "PROMO", net).otherwise(0.0)
+                        ),
+                        2,
+                    ),
+                    F.round(F.sum(net), 2),
+                ),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -417,11 +426,20 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
         .agg(
+            # try_divide: a year whose volumes all round to 0.00 zeroes
+            # the denominator — ANSI /0 error vs DuckDB NULL
             F.round(
-                F.round(
-                    F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0)), 2
-                )
-                / F.round(F.sum(vol), 2),
+                F.try_divide(
+                    F.round(
+                        F.sum(
+                            F.when(
+                                F.col("supp_nation") == "NATION_5", vol
+                            ).otherwise(0.0)
+                        ),
+                        2,
+                    ),
+                    F.round(F.sum(vol), 2),
+                ),
                 4,
             ).alias("mkt_share")
         )

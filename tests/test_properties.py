@@ -6261,3 +6261,145 @@ def test_semdedup_matches_python(spark, vecs):
                     key = (cid[b], b)
                     want[key] = min(want.get(key, a), a)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 2),                 # partkey: 1 STANDARD, 2 PROMO
+            st.integers(0, 2),                 # ship month offset from 1997-08
+            st.integers(0, 40),                # integer-dollar price (0 allowed)
+            st.sampled_from([0.0, 0.5, 1.0]),  # exact-binary discount, 1.0 nets 0
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q14_promo_share_matches_python(spark, lines):
+    """Q14's promo share vs python, including the all-zero-net month
+    (denominator 0.00 -> NULL share, the try_divide guard) and the
+    empty month (NULL sums -> NULL share)."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.tpch import tpch_q14_promo_revenue
+    import impala_refresher_spark.operators.tpch as tp
+
+    rows = [
+        (pk, datetime(1997, 8 + m, 15), p * 1.0, d) for pk, m, p, d in lines
+    ]
+    tables = {
+        "lineitem": spark.createDataFrame(
+            rows,
+            "l_partkey long, l_shipdate timestamp, l_extendedprice double, l_discount double",
+        )
+        if rows
+        else spark.createDataFrame(
+            [],
+            "l_partkey long, l_shipdate timestamp, l_extendedprice double, l_discount double",
+        ),
+        "part": spark.createDataFrame(
+            [(1, "STANDARD"), (2, "PROMO")], "p_partkey long, p_type string"
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        out = tpch_q14_promo_revenue(spark, "x").collect()
+    finally:
+        tp._t = orig
+    assert len(out) == 1
+
+    kept = [(pk, p * (1.0 - d)) for pk, m, p, d in lines if m == 1]
+    if not kept:
+        want = None
+    else:
+        num = _r2(sum(v for pk, v in kept if pk == 2))
+        den = _r2(sum(v for _, v in kept))
+        want = None if den == 0.0 else _r4(100.0 * num / den)
+    assert out[0].promo_revenue_pct == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 2),                 # partkey: 1 STANDARD, 2 PROMO
+            st.integers(1, 2),                 # suppkey: 1 -> NATION_5, 2 -> NATION_6
+            st.integers(10, 11),               # custkey: 10 AMERICA, 11 EUROPE
+            st.integers(1995, 1998),           # order year
+            st.integers(0, 30),                # integer-dollar price (0 allowed)
+            st.sampled_from([0.0, 0.5, 1.0]),  # exact-binary discount
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q8_market_share_matches_python(spark, lines):
+    """Q8's per-year market share vs python through the full 8-table
+    join maze: region/part/date filters, NATION_5 numerator, and the
+    all-zero-volume year (NULL share, the try_divide guard)."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.tpch import tpch_q8_market_share
+    import impala_refresher_spark.operators.tpch as tp
+
+    orders = [
+        (i, ck, datetime(yr, 6, 15)) for i, (_, _, ck, yr, _, _) in enumerate(lines)
+    ]
+    li = [
+        (i, pk, sk, p * 1.0, d)
+        for i, (pk, sk, _, _, p, d) in enumerate(lines)
+    ]
+    tables = {
+        "part": spark.createDataFrame(
+            [(1, "STANDARD"), (2, "PROMO")], "p_partkey long, p_type string"
+        ),
+        "supplier": spark.createDataFrame(
+            [(1, 5), (2, 6)], "s_suppkey long, s_nationkey long"
+        ),
+        "customer": spark.createDataFrame(
+            [(10, 5), (11, 7)], "c_custkey long, c_nationkey long"
+        ),
+        "nation": spark.createDataFrame(
+            [(5, "NATION_5", 0), (6, "NATION_6", 0), (7, "NATION_7", 1)],
+            "n_nationkey long, n_name string, n_regionkey long",
+        ),
+        "region": spark.createDataFrame(
+            [(0, "AMERICA"), (1, "EUROPE")], "r_regionkey long, r_name string"
+        ),
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+        )
+        if orders
+        else spark.createDataFrame(
+            [], "o_orderkey long, o_custkey long, o_orderdate timestamp"
+        ),
+        "lineitem": spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double, l_discount double",
+        )
+        if li
+        else spark.createDataFrame(
+            [],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double, l_discount double",
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = {r.o_year: r.mkt_share for r in tpch_q8_market_share(spark, "x").collect()}
+    finally:
+        tp._t = orig
+
+    by_year: dict[int, list] = {}
+    for pk, sk, ck, yr, p, d in lines:
+        if pk != 1 or ck != 10 or not (1996 <= yr < 1998):
+            continue
+        by_year.setdefault(yr, []).append((sk, p * (1.0 - d)))
+    want = {}
+    for yr, vols in by_year.items():
+        num = _r2(sum(v for sk, v in vols if sk == 1))
+        den = _r2(sum(v for _, v in vols))
+        want[yr] = None if den == 0.0 else _r4(num / den)
+    assert got == want
