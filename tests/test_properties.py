@@ -6403,3 +6403,270 @@ def test_q8_market_share_matches_python(spark, lines):
         den = _r2(sum(v for _, v in vols))
         want[yr] = None if den == 0.0 else _r4(num / den)
     assert got == want
+
+
+@given(
+    st.lists(st.tuples(st.integers(1, 4), st.booleans()), min_size=0, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_q13_distribution_counts_zero_order_customers(spark, orders):
+    """Q13's LEFT-join-then-count distribution vs python: customers with
+    ONLY urgent (excluded) orders must land in the c_count = 0 bucket,
+    not disappear — the ON-clause-filter semantics."""
+    from impala_refresher_spark.operators.tpch import (
+        tpch_q13_customer_distribution,
+    )
+    import impala_refresher_spark.operators.tpch as tp
+
+    tables = {
+        "customer": spark.createDataFrame(
+            [(k,) for k in (1, 2, 3, 4)], "c_custkey long"
+        ),
+        "orders": spark.createDataFrame(
+            [
+                (i, ck, "URGENT-1" if urg else "3-MEDIUM")
+                for i, (ck, urg) in enumerate(orders)
+            ],
+            "o_orderkey long, o_custkey long, o_orderpriority string",
+        )
+        if orders
+        else spark.createDataFrame(
+            [], "o_orderkey long, o_custkey long, o_orderpriority string"
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.c_count, r.custdist)
+            for r in tpch_q13_customer_distribution(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    per_cust = {k: 0 for k in (1, 2, 3, 4)}
+    for ck, urg in orders:
+        if not urg:
+            per_cust[ck] += 1
+    dist: dict[int, int] = {}
+    for n in per_cust.values():
+        dist[n] = dist.get(n, 0) + 1
+    want = sorted(dist.items(), key=lambda kv: (-kv[1], -kv[0]))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 5),              # orderkey
+            st.sampled_from([100, 150]),    # quantity per line
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q18_having_topk_matches_python(spark, lines):
+    """Q18's HAVING sum > 250 gate and tie-broken top-20 vs python —
+    coarse quantities force exact boundary sums (200, 250, 300)."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.tpch import (
+        tpch_q18_large_volume_customers,
+    )
+    import impala_refresher_spark.operators.tpch as tp
+
+    odate = datetime(1997, 3, 1)
+    tables = {
+        "lineitem": spark.createDataFrame(
+            [(ok, q * 1.0) for ok, q in lines], "l_orderkey long, l_quantity double"
+        )
+        if lines
+        else spark.createDataFrame([], "l_orderkey long, l_quantity double"),
+        "orders": spark.createDataFrame(
+            [(ok, 100 + ok % 2, odate, 1000.0) for ok in (1, 2, 3, 4, 5)],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double",
+        ),
+        "customer": spark.createDataFrame(
+            [(100, "C100"), (101, "C101")], "c_custkey long, c_name string"
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.c_name, r.c_custkey, r.o_orderkey, r.o_totalprice, r.total_qty)
+            for r in tpch_q18_large_volume_customers(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    qty: dict[int, float] = {}
+    for ok, q in lines:
+        qty[ok] = qty.get(ok, 0.0) + q
+    want = sorted(
+        (
+            (f"C{100 + ok % 2}", 100 + ok % 2, ok, 1000.0, v)
+            for ok, v in qty.items()
+            if v > 250
+        ),
+        key=lambda t: t[2],  # totalprice/date tie everywhere -> orderkey
+    )[:20]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 2),     # partkey: 1 red, 2 not
+            st.integers(1, 3),     # suppkey: 1,2 in nation group; 3 outside
+            st.booleans(),         # shipped in 1998?
+            st.integers(0, 8),     # quantity
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q20_excess_stock_matches_python(spark, lines):
+    """Q20's flow threshold (outside > 0.5 * in-1998, in-1998 > 0) and
+    the nation-group semi-join vs literal python."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.tpch import tpch_q20_excess_stock_parts
+    import impala_refresher_spark.operators.tpch as tp
+
+    tables = {
+        "part": spark.createDataFrame(
+            [(1, "red metallic"), (2, "blue shiny")], "p_partkey long, p_name string"
+        ),
+        "supplier": spark.createDataFrame(
+            [(1, "S1", 11.0, 1), (2, "S2", 22.0, 2), (3, "S3", 33.0, 0)],
+            "s_suppkey long, s_name string, s_acctbal double, s_nationkey long",
+        ),
+        "nation": spark.createDataFrame(
+            [(0, "NATION_0"), (1, "NATION_1"), (2, "NATION_2")],
+            "n_nationkey long, n_name string",
+        ),
+        "lineitem": spark.createDataFrame(
+            [
+                (pk, sk, datetime(1998 if in98 else 1997, 6, 1), q * 1.0)
+                for pk, sk, in98, q in lines
+            ],
+            "l_partkey long, l_suppkey long, l_shipdate timestamp, l_quantity double",
+        )
+        if lines
+        else spark.createDataFrame(
+            [],
+            "l_partkey long, l_suppkey long, l_shipdate timestamp, l_quantity double",
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.s_name, r.s_acctbal)
+            for r in tpch_q20_excess_stock_parts(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    flows: dict[tuple, list] = {}
+    for pk, sk, in98, q in lines:
+        if pk != 1:
+            continue
+        f = flows.setdefault((pk, sk), [0.0, 0.0])
+        f[0 if in98 else 1] += q
+    excess = {
+        sk
+        for (pk, sk), (q98, qout) in flows.items()
+        if q98 > 0 and _r2(qout) > _r2(0.5 * q98)
+    }
+    want = sorted(
+        (f"S{sk}", sk * 11.0) for sk in excess if sk in (1, 2)
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 12)),  # (day, quarter-$)
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_rolling_7day_range_frame_matches_python(spark, rows):
+    """The RANGE -6..0 trailing average vs python: calendar GAPS must
+    shorten the window (range frame), never widen it (rows frame).
+    Prices on the exact-binary quarter-dollar grid so daily sums are
+    order-insensitive (an arbitrary cents grid can round differently
+    per accumulation order — a query-level contract, not a bug)."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.analytics import rolling_7day_revenue
+    import impala_refresher_spark.operators.analytics as an
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + timedelta(days=d), q * 0.25) for d, q in rows],
+        "o_orderdate timestamp, o_totalprice double",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            str(r.day): (r.revenue, r.avg_7day)
+            for r in rolling_7day_revenue(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    daily: dict[int, float] = {}
+    for d, q in rows:
+        daily[d] = daily.get(d, 0.0) + q * 0.25
+    daily = {d: _r2(v) for d, v in daily.items()}
+    for d, rev in daily.items():
+        window = [daily[k] for k in sorted(daily) if d - 6 <= k <= d]
+        avg = _r2(sum(window) / len(window))
+        day = (base + timedelta(days=d)).date()
+        assert got[str(day)] == (rev, avg), d
+    assert len(got) == len(daily)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[1],  # unique balances -> deterministic argmax
+    )
+)
+@settings(**_SETTINGS)
+def test_argminmax_attribution_matches_python(spark, custs):
+    """max_by per group vs python argmax (ordering values unique per
+    the operator's documented determinism contract)."""
+    from impala_refresher_spark.operators.analytics import top_account_by_nation
+    import impala_refresher_spark.operators.analytics as an
+
+    df = spark.createDataFrame(
+        [(i, f"C{i}", nk, bal / 4.0) for i, (nk, bal) in enumerate(custs)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double",
+    )
+    orig = an.load_table
+    an.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.c_nationkey: (r.top_customer, r.top_acctbal)
+            for r in top_account_by_nation(spark, "x").collect()
+        }
+    finally:
+        an.load_table = orig
+
+    want = {}
+    for i, (nk, bal) in enumerate(custs):
+        cur = want.get(nk)
+        if cur is None or bal / 4.0 > cur[1]:
+            want[nk] = (f"C{i}", bal / 4.0)
+    want = {nk: (nm, _r2(b)) for nk, (nm, b) in want.items()}
+    assert got == want
