@@ -719,9 +719,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .collect()
     )
+    # reshape(-1, ...): a corpus smaller than _PQ_K yields fewer sample
+    # rows — the codebook shrinks with it (the oracle's QUALIFY k < K
+    # does the same) instead of crashing the fixed-K reshape
     books = np.array(
         [[float(x) for x in r.embedding] for r in sample]
-    ).reshape(_PQ_K, _PQ_M, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)
+    ).reshape(-1, _PQ_M, d_sub).transpose(1, 0, 2)  # (m, k<=_PQ_K, d_sub)
 
     # Arrow-batched encode, vectorized over rows; the explicit
     # (x-c)^2 dimension loop pins accumulation to the strict L→R
@@ -733,7 +736,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.vstack(emb.to_numpy()).astype("float64").reshape(-1, _PQ_M, d_sub)
         codes = np.empty((mat.shape[0], _PQ_M), dtype="int32")
         for m in range(_PQ_M):
-            d2 = np.zeros((mat.shape[0], _PQ_K))
+            d2 = np.zeros((mat.shape[0], books.shape[1]))
             for d in range(d_sub):
                 diff = mat[:, m, d, None] - books[m, :, d][None, :]
                 d2 += diff * diff
@@ -750,7 +753,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in q_rows:
         q = np.array([float(x) for x in r.embedding]).reshape(_PQ_M, d_sub)
         # sequential dimension loop = the oracle's L→R dot fold
-        lut = np.zeros((_PQ_M, _PQ_K))
+        lut = np.zeros((_PQ_M, books.shape[1]))
         for d in range(d_sub):
             lut += q[:, d, None] * books[:, :, d]
         q_luts.append((r.vec_id, [[float(v) for v in row] for row in lut]))

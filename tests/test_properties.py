@@ -6670,3 +6670,252 @@ def test_argminmax_attribution_matches_python(spark, custs):
             want[nk] = (f"C{i}", bal / 4.0)
     want = {nk: (nm, _r2(b)) for nk, (nm, b) in want.items()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-2, 2), min_size=64, max_size=64),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_ann_lsh_matches_python(spark, vecs):
+    """The full LSH-ANN pipeline vs python: seeded hyperplane margins
+    (strict L->R fold), sign-bit buckets, weakest-plane multi-probe
+    (first-min argmin), exact-cosine rerank, tie-broken top-10 —
+    including zero vectors (NULL cosine ranks last)."""
+    import math
+
+    import numpy as np
+
+    from impala_refresher_spark.operators.similarity import (
+        _hyperplanes,
+        ann_lsh_topk,
+    )
+    import impala_refresher_spark.operators.similarity as sim
+
+    embs = [(i, 0, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(embs, "vec_id long, label int, embedding array<float>")
+    orig = sim.load_table
+    sim.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.q_id, r.vec_id, r.cos_sim, r.rk)
+            for r in ann_lsh_topk(spark, "x").collect()
+        ]
+    finally:
+        sim.load_table = orig
+
+    planes = _hyperplanes(8, 64)
+    emb = {i: [float(np.float32(x)) for x in v] for i, _, v in embs}
+
+    def fold_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s
+
+    def margins(v):
+        return [fold_dot(v, p) for p in planes]
+
+    def bucket(ms):
+        return sum(1 << i for i, m in enumerate(ms) if m >= 0)
+
+    def cos(a, b):
+        na = math.sqrt(fold_dot(a, a))
+        nb = math.sqrt(fold_dot(b, b))
+        return None if na * nb == 0.0 else _r6(fold_dot(a, b) / (na * nb))
+
+    buckets = {i: bucket(margins(v)) for i, v in emb.items()}
+    want = []
+    for q in sorted(emb):
+        if q >= 5:
+            continue
+        ms = margins(emb[q])
+        absm = [abs(m) for m in ms]
+        weakest = absm.index(min(absm))
+        probes = {buckets[q], buckets[q] ^ (1 << weakest)}
+        cands = [
+            v for v in emb if v != q and buckets[v] in probes
+        ]
+        ranked = sorted(
+            ((cos(emb[q], emb[v]), v) for v in cands),
+            key=lambda t: ((0, -t[0]) if t[0] is not None else (1, 0), t[1]),
+        )
+        for rk, (cs, v) in enumerate(ranked[:10], start=1):
+            want.append((q, v, cs, rk))
+    assert sorted(got) == sorted(want)
+
+
+def _r6(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+@st.composite
+def _ann_vecs(draw):
+    """Vectors whose ids include centroid-eligible multiples of 61 so
+    the IVF index has >1 cell (queries are ids < 5)."""
+    ids = [0, 1, 2, 3, 61, 122]
+    n = draw(st.integers(2, 6))
+    return [
+        (ids[i], draw(st.lists(st.integers(-2, 2), min_size=64, max_size=64)))
+        for i in range(n)
+    ]
+
+
+@given(_ann_vecs())
+@settings(**_SETTINGS)
+def test_ann_ivf_matches_python(spark, items):
+    """IVF-ANN vs python: stride-sampled centroids, sequential-fold
+    cell dots, stable argsort (tie -> lower cell), 2-probe candidate
+    join, exact rerank."""
+    import math
+
+    import numpy as np
+
+    from impala_refresher_spark.operators.similarity import ann_ivf_topk
+    import impala_refresher_spark.operators.similarity as sim
+
+    embs = [(vid, 0, [float(x) for x in v]) for vid, v in items]
+    df = spark.createDataFrame(embs, "vec_id long, label int, embedding array<float>")
+    orig = sim.load_table
+    sim.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.q_id, r.vec_id, r.cos_sim, r.rk)
+            for r in ann_ivf_topk(spark, "x").collect()
+        ]
+    finally:
+        sim.load_table = orig
+
+    emb = {i: [float(np.float32(x)) for x in v] for i, _, v in embs}
+    cents = [emb[i] for i in sorted(emb) if i % 61 == 0][:16]
+
+    def fold_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s
+
+    def ranking(v):
+        dots = [fold_dot(v, c) for c in cents]
+        return sorted(range(len(cents)), key=lambda c: (-dots[c], c))
+
+    def cos(a, b):
+        na = math.sqrt(fold_dot(a, a))
+        nb = math.sqrt(fold_dot(b, b))
+        return None if na * nb == 0.0 else _r6(fold_dot(a, b) / (na * nb))
+
+    cell = {i: ranking(v)[0] for i, v in emb.items()}
+    want = []
+    for q in sorted(emb):
+        if q >= 5:
+            continue
+        probes = set(ranking(emb[q])[:2])
+        cands = [v for v in emb if v != q and cell[v] in probes]
+        ranked = sorted(
+            ((cos(emb[q], emb[v]), v) for v in cands),
+            key=lambda t: ((0, -t[0]) if t[0] is not None else (1, 0), t[1]),
+        )
+        for rk, (cs, v) in enumerate(ranked[:10], start=1):
+            want.append((q, v, cs, rk))
+    assert sorted(got) == sorted(want)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-2, 2), min_size=64, max_size=64),
+        min_size=2,
+        max_size=7,
+    )
+)
+@settings(**_SETTINGS)
+def test_ann_pq_matches_python(spark, vecs):
+    """PQ-ANN vs python: md5-ordered codebook sample, per-subspace
+    fold-exact argmin codes (tie -> lowest k), LUT ADC fold in
+    subspace order, top-64 candidate cut, exact rerank."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from impala_refresher_spark.operators.similarity import ann_pq_topk
+    import impala_refresher_spark.operators.similarity as sim
+
+    embs = [(i, 0, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(embs, "vec_id long, label int, embedding array<float>")
+    orig = sim.load_table
+    sim.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.q_id, r.vec_id, r.cos_sim, r.rk)
+            for r in ann_pq_topk(spark, "x").collect()
+        ]
+    finally:
+        sim.load_table = orig
+
+    M, K, DSUB = 8, 16, 8
+    emb = {i: [float(np.float32(x)) for x in v] for i, _, v in embs}
+    order = sorted(emb, key=lambda i: (hashlib.md5(str(i + 2).encode()).hexdigest(), i))
+    books = [
+        [
+            [emb[s][m * DSUB : (m + 1) * DSUB] for s in order[:K]][k]
+            for k in range(min(K, len(order)))
+        ]
+        for m in range(M)
+    ]
+
+    def fold_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s
+
+    def sqd(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + (x - y) * (x - y)
+        return s
+
+    def code_of(v):
+        out = []
+        for m in range(M):
+            sub = v[m * DSUB : (m + 1) * DSUB]
+            ds = [sqd(sub, bc) for bc in books[m]]
+            out.append(ds.index(min(ds)))
+        return out
+
+    codes = {i: code_of(v) for i, v in emb.items()}
+    want = []
+    for q in sorted(emb):
+        if q >= 5:
+            continue
+        lut = [
+            [fold_dot(emb[q][m * DSUB : (m + 1) * DSUB], bc) for bc in books[m]]
+            for m in range(M)
+        ]
+        adc = {}
+        for v, cs in codes.items():
+            if v == q:
+                continue
+            s = 0.0
+            for m in range(M):
+                s = s + lut[m][cs[m]]
+            adc[v] = s
+        cand = sorted(adc, key=lambda v: (-adc[v], v))[:64]
+
+        def cos(a, b):
+            na = math.sqrt(fold_dot(a, a))
+            nb = math.sqrt(fold_dot(b, b))
+            return None if na * nb == 0.0 else _r6(fold_dot(a, b) / (na * nb))
+
+        ranked = sorted(
+            ((cos(emb[q], emb[v]), v) for v in cand),
+            key=lambda t: ((0, -t[0]) if t[0] is not None else (1, 0), t[1]),
+        )
+        for rk, (cs_, v) in enumerate(ranked[:10], start=1):
+            want.append((q, v, cs_, rk))
+    assert sorted(got) == sorted(want)
