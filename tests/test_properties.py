@@ -6919,3 +6919,131 @@ def test_ann_pq_matches_python(spark, vecs):
         for rk, (cs_, v) in enumerate(ranked[:10], start=1):
             want.append((q, v, cs_, rk))
     assert sorted(got) == sorted(want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["O", "F", None]),
+            st.sampled_from(["HI", "LO", None]),
+            st.integers(0, 12),  # quarter-dollars (exact binary)
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_cube_with_null_group_values_matches_python(spark, rows):
+    """CUBE over columns that THEMSELVES contain NULL: the aggregated-
+    out NULL marker and a genuine NULL group value must coexist as the
+    enumeration of all four grouping sets — pinned against a python
+    model that enumerates the sets explicitly."""
+    from impala_refresher_spark.operators.relational import agg_cube
+    import impala_refresher_spark.operators.relational as rel
+
+    df = spark.createDataFrame(
+        [(s, p, q * 0.25) for s, p, q in rows],
+        "o_orderstatus string, o_orderpriority string, o_totalprice double",
+    )
+    orig = rel._t
+    rel._t = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.o_orderstatus, r.o_orderpriority, r.total, r.n)
+            for r in agg_cube(spark, "x").collect()
+        ]
+    finally:
+        rel._t = orig
+
+    out = []
+    for keep_s, keep_p in ((True, True), (True, False), (False, True), (False, False)):
+        groups: dict[tuple, list] = {}
+        for s, p, q in rows:
+            key = (s if keep_s else "\x00agg", p if keep_p else "\x00agg")
+            groups.setdefault(key, []).append(q * 0.25)
+        for (ks, kp), vs in groups.items():
+            out.append(
+                (
+                    None if ks == "\x00agg" else ks,
+                    None if kp == "\x00agg" else kp,
+                    _r2(sum(vs)),
+                    len(vs),
+                )
+            )
+    def key(t):
+        return tuple((v is None, v) if isinstance(v, (str, type(None))) else v for v in t)
+    assert sorted(got, key=key) == sorted(out, key=key)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),    # suppkey -> nation 3/7/1
+            st.integers(1, 3),    # custkey -> nation 7/3/1
+            st.integers(1996, 1998),
+            st.integers(0, 30),   # integer-dollar price
+            st.sampled_from([0.0, 0.5]),
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q7_bilateral_direction_matches_python(spark, lines):
+    """Q7's nation-pair disjunction vs python: only the two directed
+    (supp, cust) pairs survive; same-nation and third-nation rows drop;
+    year grouping from the ship date."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.tpch import tpch_q7_volume_shipping
+    import impala_refresher_spark.operators.tpch as tp
+
+    snat = {1: 3, 2: 7, 3: 1}
+    cnat = {1: 7, 2: 3, 3: 1}
+    orders = [(i, ck) for i, (_, ck, _, _, _) in enumerate(lines)]
+    li = [
+        (i, sk, datetime(yr, 6, 1), p * 1.0, d)
+        for i, (sk, _, yr, p, d) in enumerate(lines)
+    ]
+    tables = {
+        "supplier": spark.createDataFrame(
+            [(k, snat[k]) for k in (1, 2, 3)], "s_suppkey long, s_nationkey long"
+        ),
+        "customer": spark.createDataFrame(
+            [(k, cnat[k]) for k in (1, 2, 3)], "c_custkey long, c_nationkey long"
+        ),
+        "nation": spark.createDataFrame(
+            [(1, "NATION_1"), (3, "NATION_3"), (7, "NATION_7")],
+            "n_nationkey long, n_name string",
+        ),
+        "orders": spark.createDataFrame(orders, "o_orderkey long, o_custkey long")
+        if orders
+        else spark.createDataFrame([], "o_orderkey long, o_custkey long"),
+        "lineitem": spark.createDataFrame(
+            li,
+            "l_orderkey long, l_suppkey long, l_shipdate timestamp, l_extendedprice double, l_discount double",
+        )
+        if li
+        else spark.createDataFrame(
+            [],
+            "l_orderkey long, l_suppkey long, l_shipdate timestamp, l_extendedprice double, l_discount double",
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.supp_nation, r.cust_nation, r.l_year, r.revenue)
+            for r in tpch_q7_volume_shipping(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    agg: dict[tuple, float] = {}
+    for sk, ck, yr, p, d in lines:
+        sn, cn = snat[sk], cnat[ck]
+        if {(sn, cn)} & {(3, 7), (7, 3)} and 1996 <= yr < 1998:
+            key = (f"NATION_{sn}", f"NATION_{cn}", yr)
+            agg[key] = agg.get(key, 0.0) + p * (1.0 - d)
+    want = sorted((s, c, y, _r2(v)) for (s, c, y), v in agg.items())
+    assert got == want
