@@ -7047,3 +7047,130 @@ def test_q7_bilateral_direction_matches_python(spark, lines):
             agg[key] = agg.get(key, 0.0) + p * (1.0 - d)
     want = sorted((s, c, y, _r2(v)) for (s, c, y), v in agg.items())
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),       # order index
+            st.sampled_from(["A", "N", "R"]),
+            st.integers(0, 120),     # ship lag days from the order date
+            st.booleans(),           # ship in 1998? (else 1997 -> filtered)
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q12_late_shipping_matches_python(spark, lines):
+    """Q12's late-line split vs python: the >60-day lateness residual
+    (strict, boundary day 60 excluded), the ship-year scan filter, and
+    the high/low priority complement."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.tpch import tpch_q12_priority_shipping
+    import impala_refresher_spark.operators.tpch as tp
+
+    prio = {0: "1-URGENT", 1: "2-HIGH", 2: "3-MEDIUM", 3: "5-LOW"}
+    odate = datetime(1997, 11, 1)
+    tables = {
+        "orders": spark.createDataFrame(
+            [(k, prio[k], odate) for k in range(4)],
+            "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+        ),
+        "lineitem": spark.createDataFrame(
+            [
+                (ok, rf, odate + timedelta(days=lag if in98 else -300))
+                for ok, rf, lag, in98 in lines
+            ],
+            "l_orderkey long, l_returnflag string, l_shipdate timestamp",
+        )
+        if lines
+        else spark.createDataFrame(
+            [], "l_orderkey long, l_returnflag string, l_shipdate timestamp"
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.l_returnflag, r.high_line_count, r.low_line_count)
+            for r in tpch_q12_priority_shipping(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    from datetime import datetime as _dt
+
+    agg: dict[str, list] = {}
+    for ok, rf, lag, in98 in lines:
+        ship = odate + timedelta(days=lag if in98 else -300)
+        if not (_dt(1998, 1, 1) <= ship < _dt(1999, 1, 1)):
+            continue
+        if not ship > odate + timedelta(days=60):
+            continue
+        hl = agg.setdefault(rf, [0, 0])
+        hl[0 if prio[ok] in ("1-URGENT", "2-HIGH") else 1] += 1
+    want = sorted((rf, h, lo) for rf, (h, lo) in agg.items())
+    assert got == want
+
+
+@st.composite
+def _attr_case(draw):
+    events = []
+    eid = 0
+    for user in range(1, draw(st.integers(1, 3)) + 1):
+        for _ in range(draw(st.integers(0, 5))):
+            events.append(
+                (
+                    eid,
+                    user,
+                    draw(st.sampled_from(["click", "purchase", "view"])),
+                    _BASE + timedelta(minutes=draw(st.integers(0, 20))),
+                    float(eid),
+                )
+            )
+            eid += 1
+    return events
+
+
+@given(_attr_case())
+@settings(**_SETTINGS)
+def test_asof_attribution_matches_python(spark, events):
+    """asof_click_attribution vs python: latest click at-or-before each
+    purchase, max event_id on same-timestamp clicks, NULL for
+    never-clicked users — duplicate timestamps everywhere."""
+    from impala_refresher_spark.operators.asof import asof_click_attribution
+    import impala_refresher_spark.operators.asof as am
+
+    df = (
+        spark.createDataFrame(
+            events, "event_id long, user_id long, event_type string, ts timestamp, value double"
+        )
+        if events
+        else spark.createDataFrame(
+            [], "event_id long, user_id long, event_type string, ts timestamp, value double"
+        )
+    )
+    orig = am.load_table
+    am.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.event_id: (r.click_ts, r.click_event_id)
+            for r in asof_click_attribution(spark, "x").collect()
+        }
+    finally:
+        am.load_table = orig
+
+    clicks: dict[tuple, int] = {}
+    for eid, u, et, ts, _v in events:
+        if et == "click":
+            key = (u, ts)
+            clicks[key] = max(clicks.get(key, -1), eid)
+    want = {}
+    for eid, u, et, ts, _v in events:
+        if et != "purchase":
+            continue
+        cands = [(cts, ceid) for (cu, cts), ceid in clicks.items() if cu == u and cts <= ts]
+        want[eid] = max(cands) if cands else (None, None)
+    assert got == {k: (v if v != (None, None) else (None, None)) for k, v in want.items()}
