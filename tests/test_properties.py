@@ -7174,3 +7174,230 @@ def test_asof_attribution_matches_python(spark, events):
         cands = [(cts, ceid) for (cu, cts), ceid in clicks.items() if cu == u and cts <= ts]
         want[eid] = max(cands) if cands else (None, None)
     assert got == {k: (v if v != (None, None) else (None, None)) for k, v in want.items()}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                  # order idx
+            st.integers(0, 20),                 # int-dollar price
+            st.sampled_from([0.0, 0.5]),
+            st.booleans(),                      # shipped after the cutoff?
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    st.lists(st.sampled_from(["BUILDING", "AUTO"]), min_size=2, max_size=2),
+)
+@settings(**_SETTINGS)
+def test_q3_unshipped_orders_match_python(spark, lines, segs):
+    """Q3 vs python: segment prune, strict date cutoffs on both sides,
+    revenue-desc/date/orderkey top-10."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.tpch import tpch_q3_shipping_priority
+    import impala_refresher_spark.operators.tpch as tp
+
+    cutoff = datetime(1998, 3, 15)
+    odates = [cutoff + timedelta(days=(k % 2) * 2 - 1) for k in range(4)]  # +-1 day
+    tables = {
+        "customer": spark.createDataFrame(
+            [(k, segs[k % 2]) for k in range(2)], "c_custkey long, c_mktsegment string"
+        ),
+        "orders": spark.createDataFrame(
+            [(k, k % 2, odates[k]) for k in range(4)],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp",
+        ),
+        "lineitem": spark.createDataFrame(
+            [
+                (ok, p * 1.0, d, cutoff + timedelta(days=1 if late else -1))
+                for ok, p, d, late in lines
+            ],
+            "l_orderkey long, l_extendedprice double, l_discount double, l_shipdate timestamp",
+        )
+        if lines
+        else spark.createDataFrame(
+            [],
+            "l_orderkey long, l_extendedprice double, l_discount double, l_shipdate timestamp",
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.l_orderkey, r.revenue, r.o_orderdate)
+            for r in tpch_q3_shipping_priority(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    rev: dict[int, float] = {}
+    for ok, p, d, late in lines:
+        if not late:
+            continue
+        if segs[ok % 2] != "BUILDING" or not odates[ok] < cutoff:
+            continue
+        rev[ok] = rev.get(ok, 0.0) + p * (1.0 - d)
+    want = sorted(
+        ((ok, _r2(v), odates[ok]) for ok, v in rev.items()),
+        key=lambda t: (-t[1], t[2], t[0]),
+    )[:10]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),    # custkey -> nation 1/2/9 (9 not ASIA)
+            st.integers(1, 3),    # suppkey -> nation 1/2/9
+            st.booleans(),        # order in 1996?
+            st.integers(0, 20),
+            st.sampled_from([0.0, 0.5]),
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q5_local_supplier_matches_python(spark, lines):
+    """Q5's same-nation residual vs python: revenue only counts when
+    customer and supplier share a nation AND that nation is in ASIA."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.tpch import tpch_q5_local_supplier_volume
+    import impala_refresher_spark.operators.tpch as tp
+
+    nat = {1: 1, 2: 2, 3: 9}
+    orders = [
+        (i, ck, datetime(1996 if in96 else 1995, 7, 1))
+        for i, (ck, _, in96, _, _) in enumerate(lines)
+    ]
+    li = [(i, sk, p * 1.0, d) for i, (_, sk, _, p, d) in enumerate(lines)]
+    tables = {
+        "customer": spark.createDataFrame(
+            [(k, nat[k]) for k in (1, 2, 3)], "c_custkey long, c_nationkey long"
+        ),
+        "supplier": spark.createDataFrame(
+            [(k, nat[k]) for k in (1, 2, 3)], "s_suppkey long, s_nationkey long"
+        ),
+        "nation": spark.createDataFrame(
+            [(1, "NATION_1", 0), (2, "NATION_2", 0), (9, "NATION_9", 1)],
+            "n_nationkey long, n_name string, n_regionkey long",
+        ),
+        "region": spark.createDataFrame(
+            [(0, "ASIA"), (1, "EUROPE")], "r_regionkey long, r_name string"
+        ),
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+        )
+        if orders
+        else spark.createDataFrame(
+            [], "o_orderkey long, o_custkey long, o_orderdate timestamp"
+        ),
+        "lineitem": spark.createDataFrame(
+            li, "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double"
+        )
+        if li
+        else spark.createDataFrame(
+            [], "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double"
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = {
+            r.n_name: r.revenue
+            for r in tpch_q5_local_supplier_volume(spark, "x").collect()
+        }
+    finally:
+        tp._t = orig
+
+    agg: dict[str, float] = {}
+    for ck, sk, in96, p, d in lines:
+        if not in96 or nat[ck] != nat[sk] or nat[sk] == 9:
+            continue
+        key = f"NATION_{nat[sk]}"
+        agg[key] = agg.get(key, 0.0) + p * (1.0 - d)
+    assert got == {k: _r2(v) for k, v in agg.items()}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 2),                # partkey: 1 'steel bolt', 2 'iron nut'
+            st.integers(1, 2),                # suppkey -> nation 1/2
+            st.integers(1996, 1998),
+            st.integers(0, 20),               # int-dollar price
+            st.sampled_from([0.0, 0.5]),
+            st.integers(1, 4),                # quantity
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q9_profit_matches_python(spark, lines):
+    """Q9's profit expression and name LIKE filter vs python on a
+    0.1-exact value grid (negative profits included)."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.tpch import tpch_q9_product_type_profit
+    import impala_refresher_spark.operators.tpch as tp
+
+    orders = [
+        (i, datetime(yr, 4, 1)) for i, (_, _, yr, _, _, _) in enumerate(lines)
+    ]
+    li = [
+        (i, pk, sk, p * 1.0, d, q * 1.0)
+        for i, (pk, sk, _, p, d, q) in enumerate(lines)
+    ]
+    tables = {
+        "part": spark.createDataFrame(
+            [(1, "steel bolt", 5.0), (2, "iron nut", 7.0)],
+            "p_partkey long, p_name string, p_retailprice double",
+        ),
+        "supplier": spark.createDataFrame(
+            [(1, 1), (2, 2)], "s_suppkey long, s_nationkey long"
+        ),
+        "nation": spark.createDataFrame(
+            [(1, "NATION_1"), (2, "NATION_2")], "n_nationkey long, n_name string"
+        ),
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey long, o_orderdate timestamp"
+        )
+        if orders
+        else spark.createDataFrame([], "o_orderkey long, o_orderdate timestamp"),
+        "lineitem": spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double,"
+            " l_discount double, l_quantity double",
+        )
+        if li
+        else spark.createDataFrame(
+            [],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double,"
+            " l_discount double, l_quantity double",
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.nation, r.o_year, r.sum_profit)
+            for r in tpch_q9_product_type_profit(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    agg: dict[tuple, float] = {}
+    for pk, sk, yr, p, d, q in lines:
+        if pk != 1:  # only 'steel bolt' matches %bolt%
+            continue
+        amount = p * (1.0 - d) - 0.6 * 5.0 * q
+        key = (f"NATION_{sk}", yr)
+        agg[key] = agg.get(key, 0.0) + amount
+    want = sorted(
+        ((n, y, _r2(v)) for (n, y), v in agg.items()),
+        key=lambda t: (t[0], -t[1]),
+    )
+    assert got == want
