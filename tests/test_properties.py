@@ -7401,3 +7401,231 @@ def test_q9_profit_matches_python(spark, lines):
         key=lambda t: (t[0], -t[1]),
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),                               # in 1997?
+            st.sampled_from([0.04, 0.05, 0.06, 0.07, 0.08]),
+            st.integers(20, 28),                         # quantity around the <24 cut
+            st.integers(1, 30),                          # int-dollar price
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q6_scan_filter_matches_python(spark, lines):
+    """Q6's float BETWEEN bounds and strict quantity cut vs python —
+    the 0.05/0.07 discount literals are the same doubles both sides."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.tpch import tpch_q6_forecast_revenue
+    import impala_refresher_spark.operators.tpch as tp
+
+    df = (
+        spark.createDataFrame(
+            [
+                (datetime(1997 if in97 else 1996, 5, 1), d, q * 1.0, p * 1.0)
+                for in97, d, q, p in lines
+            ],
+            "l_shipdate timestamp, l_discount double, l_quantity double, l_extendedprice double",
+        )
+        if lines
+        else spark.createDataFrame(
+            [],
+            "l_shipdate timestamp, l_discount double, l_quantity double, l_extendedprice double",
+        )
+    )
+    orig = tp._t
+    tp._t = lambda spark, sf, name: df
+    try:
+        rows = tpch_q6_forecast_revenue(spark, "x").collect()
+    finally:
+        tp._t = orig
+    assert len(rows) == 1
+
+    kept = [
+        p * d
+        for in97, d, q, p in lines
+        if in97 and 0.05 <= d <= 0.07 and q < 24
+    ]
+    want = _r2(sum(kept)) if kept else None
+    assert rows[0].revenue == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),           # custkey
+            st.booleans(),               # order in the quarter?
+            st.sampled_from(["R", "N"]),
+            st.integers(0, 20),
+            st.sampled_from([0.0, 0.5]),
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q10_returned_revenue_matches_python(spark, lines):
+    """Q10 vs python: quarter + returnflag filters, per-customer
+    revenue, revenue-desc/custkey top-20."""
+    from datetime import datetime
+
+    from impala_refresher_spark.operators.tpch import tpch_q10_returned_items
+    import impala_refresher_spark.operators.tpch as tp
+
+    orders = [
+        (i, ck, datetime(1997, 2 if inq else 6, 1))
+        for i, (ck, inq, _, _, _) in enumerate(lines)
+    ]
+    li = [(i, rf, p * 1.0, d) for i, (_, _, rf, p, d) in enumerate(lines)]
+    tables = {
+        "customer": spark.createDataFrame(
+            [(k, f"C{k}", k % 2) for k in (1, 2, 3, 4)],
+            "c_custkey long, c_name string, c_nationkey long",
+        ),
+        "nation": spark.createDataFrame(
+            [(0, "NATION_0"), (1, "NATION_1")], "n_nationkey long, n_name string"
+        ),
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+        )
+        if orders
+        else spark.createDataFrame(
+            [], "o_orderkey long, o_custkey long, o_orderdate timestamp"
+        ),
+        "lineitem": spark.createDataFrame(
+            li,
+            "l_orderkey long, l_returnflag string, l_extendedprice double, l_discount double",
+        )
+        if li
+        else spark.createDataFrame(
+            [],
+            "l_orderkey long, l_returnflag string, l_extendedprice double, l_discount double",
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.c_custkey, r.c_name, r.revenue, r.n_name)
+            for r in tpch_q10_returned_items(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    rev: dict[int, float] = {}
+    for ck, inq, rf, p, d in lines:
+        if inq and rf == "R":
+            rev[ck] = rev.get(ck, 0.0) + p * (1.0 - d)
+    want = sorted(
+        ((ck, f"C{ck}", _r2(v), f"NATION_{ck % 2}") for ck, v in rev.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:20]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.integers(1, 4)),  # (partkey, suppkey)
+        min_size=0,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_q16_supplier_counts_match_python(spark, lines):
+    """Q16 vs python: brand/type/size exclusion filters, COUNT DISTINCT
+    suppliers, count-desc tie-broken ordering."""
+    from impala_refresher_spark.operators.tpch import (
+        tpch_q16_parts_supplier_counts,
+    )
+    import impala_refresher_spark.operators.tpch as tp
+
+    parts = [
+        (1, "Brand#13", "SMALL ANODIZED", 5),   # excluded brand
+        (2, "Brand#2", "PROMO BURNISHED", 9),   # excluded type
+        (3, "Brand#2", "SMALL ANODIZED", 7),    # excluded size
+        (4, "Brand#3", "LARGE BRUSHED", 14),    # kept
+    ]
+    tables = {
+        "part": spark.createDataFrame(
+            parts, "p_partkey long, p_brand string, p_type string, p_size int"
+        ),
+        "lineitem": spark.createDataFrame(
+            [(pk, sk) for pk, sk in lines], "l_partkey long, l_suppkey long"
+        )
+        if lines
+        else spark.createDataFrame([], "l_partkey long, l_suppkey long"),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        got = [
+            (r.p_brand, r.p_type, r.p_size, r.supplier_cnt)
+            for r in tpch_q16_parts_supplier_counts(spark, "x").collect()
+        ]
+    finally:
+        tp._t = orig
+
+    supp = {s for pk, s in lines if pk == 4}
+    want = [("Brand#3", "LARGE BRUSHED", 14, len(supp))] if supp else []
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),     # partkey -> (brand, size) rows below
+            st.integers(0, 40),    # quantity
+            st.integers(1, 20),    # int-dollar price
+            st.sampled_from([0.0, 0.5]),
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_q19_disjunctive_predicate_matches_python(spark, lines):
+    """Q19's OR-of-ANDs spanning both join sides vs python — quantity
+    boundaries inclusive on both ends per BETWEEN."""
+    from impala_refresher_spark.operators.tpch import tpch_q19_discounted_revenue
+    import impala_refresher_spark.operators.tpch as tp
+
+    parts = {1: ("Brand#12", 10), 2: ("Brand#23", 20), 3: ("Brand#4", 30)}
+    tables = {
+        "part": spark.createDataFrame(
+            [(pk, b, s) for pk, (b, s) in parts.items()],
+            "p_partkey long, p_brand string, p_size int",
+        ),
+        "lineitem": spark.createDataFrame(
+            [(pk, q * 1.0, p * 1.0, d) for pk, q, p, d in lines],
+            "l_partkey long, l_quantity double, l_extendedprice double, l_discount double",
+        )
+        if lines
+        else spark.createDataFrame(
+            [],
+            "l_partkey long, l_quantity double, l_extendedprice double, l_discount double",
+        ),
+    }
+    orig = tp._t
+    tp._t = lambda spark, sf, name: tables[name]
+    try:
+        rows = tpch_q19_discounted_revenue(spark, "x").collect()
+    finally:
+        tp._t = orig
+    assert len(rows) == 1
+
+    def match(pk, q):
+        b, s = parts[pk]
+        return (
+            (b == "Brand#12" and 1 <= s <= 15 and 1 <= q <= 15)
+            or (b == "Brand#23" and 5 <= s <= 25 and 10 <= q <= 25)
+            or (b == "Brand#4" and 15 <= s <= 35 and 20 <= q <= 35)
+        )
+
+    kept = [p * (1.0 - d) for pk, q, p, d in lines if match(pk, q)]
+    want = _r2(sum(kept)) if kept else None
+    assert rows[0].revenue == want
