@@ -799,11 +799,16 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
     )
+    # coalesce AFTER the pivot: for a (priority, status) combination
+    # with no rows Spark emits a NULL cell directly — the in-aggregate
+    # coalesce above never runs for absent combos, while the oracle's
+    # FILTER + COALESCE yields 0.00 (hypothesis-found divergence,
+    # unreachable on the all-combos fixture)
     return wide.select(
         "o_orderpriority",
-        F.col("F").alias("f_total"),
-        F.col("O").alias("o_total"),
-        F.col("P").alias("p_total"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("f_total"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("o_total"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("p_total"),
     )
 
 

@@ -480,3 +480,48 @@ def test_zero_total_revenue_ratios_null_not_error(spark, tmp_path):
     share = revenue_share_by_nation(spark, d)
     assert all(r.share is None for r in share.collect())
     compare(share, con, ORACLES["revenue_share_by_nation"])
+
+
+def test_pivot_unpivot_null_edges_match_oracle(spark, tmp_path):
+    """Pivot/unpivot NULL semantics pinned cross-engine: DataFrame
+    .unpivot RETAINS null values (like the oracle's UNION ALL — SQL
+    UNPIVOT would drop them); pivot cells for absent (priority, status)
+    combinations coalesce to 0.00 on both engines; NULL grouping keys
+    and NULL pivot-column values survive as ordinary groups / are
+    excluded from every listed pivot value identically."""
+    import duckdb
+
+    from impala_refresher_spark.operators.relational import agg_pivot, unpivot_metrics
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "1-URGENT", "F", 10.5),
+            (2, "1-URGENT", None, 20.0),   # NULL pivot value: in no column
+            (3, None, "O", 7.25),          # NULL grouping key
+            (4, "2-HIGH", "P", 0.0),
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderstatus string, o_totalprice double",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(1, None, 3), (2, 5.5, 4)],
+        "c_custkey long, c_acctbal double, c_nationkey int",
+    ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+
+    piv = agg_pivot(spark, d)
+    rows = {r.o_orderpriority: (r.f_total, r.o_total, r.p_total) for r in piv.collect()}
+    assert rows["1-URGENT"] == (10.5, 0.0, 0.0)  # NULL status in no bucket
+    assert rows[None] == (0.0, 7.25, 0.0)
+    compare(piv, con, ORACLES["agg_pivot"])
+
+    unp = unpivot_metrics(spark, d)
+    assert sum(1 for r in unp.collect() if r.val is None) == 1  # retained
+    compare(unp, con, ORACLES["unpivot_metrics"])
