@@ -5415,7 +5415,9 @@ def test_connected_components_match_union_find(spark, edges):
 # Text-quality family on adversarial tokens (markers, stopwords, empties)
 # ---------------------------------------------------------------------------
 
-_TXT_TOKENS = ["the", "a", "of", "el", "la", "der", "und", "fast", "slow", "xyz", "q1"]
+# "" makes consecutive/leading/trailing spaces in the joined text —
+# split must yield empty-string tokens identically on engine and model
+_TXT_TOKENS = ["the", "a", "of", "el", "la", "der", "und", "fast", "slow", "xyz", "q1", ""]
 
 
 @st.composite
