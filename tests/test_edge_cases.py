@@ -525,3 +525,36 @@ def test_pivot_unpivot_null_edges_match_oracle(spark, tmp_path):
     unp = unpivot_metrics(spark, d)
     assert sum(1 for r in unp.collect() if r.val is None) == 1  # retained
     compare(unp, con, ORACLES["unpivot_metrics"])
+
+
+def test_rollup_grouping_sets_null_values_match_oracle(spark, tmp_path):
+    """ROLLUP and GROUPING SETS over columns that themselves hold NULL:
+    the aggregated-out marker and genuine NULL group values must
+    coexist identically on both engines (the CUBE case is property-
+    tested; rollup/sets share the Expand but different enumerations)."""
+    import duckdb
+
+    from impala_refresher_spark.operators.relational import (
+        agg_grouping_sets,
+        agg_rollup,
+    )
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            ("R", None, 1.5, 10.0),
+            (None, "O", 2.0, 20.0),
+            (None, None, 3.25, 30.0),
+            ("R", "F", 4.0, 40.0),
+        ],
+        "l_returnflag string, l_linestatus string, l_quantity double, l_extendedprice double",
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet/*.parquet')"
+    )
+    compare(agg_rollup(spark, d), con, ORACLES["agg_rollup"])
+    compare(agg_grouping_sets(spark, d), con, ORACLES["agg_grouping_sets"])
