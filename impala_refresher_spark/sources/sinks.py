@@ -53,7 +53,15 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 CSV: write with header, read back with an explicit schema
-    (never inferSchema in production — it double-scans)."""
+    (never inferSchema in production — it double-scans).
+
+    multiLine on the read: the writer QUOTES embedded newlines, but
+    the default line-splitting reader breaks records at every newline
+    regardless of quoting — a string field containing "\\n" silently
+    shreds into two mangled rows (measured; the quoted-comma case is
+    fine). The cost is that multiLine CSV files are not split across
+    tasks — acceptable for an interchange sink; at 100 TB keep
+    newline-bearing text in parquet/ORC (S1) instead of CSV."""
     out = f"{SCRATCH}/customer_pos.csv"
     df = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -61,7 +69,12 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
     )
     df.write.mode("overwrite").option("header", True).csv(out)
-    return spark.read.schema(df.schema).option("header", True).csv(out)
+    return (
+        spark.read.schema(df.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(out)
+    )
 
 
 @query(

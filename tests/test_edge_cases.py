@@ -558,3 +558,38 @@ def test_rollup_grouping_sets_null_values_match_oracle(spark, tmp_path):
     )
     compare(agg_rollup(spark, d), con, ORACLES["agg_rollup"])
     compare(agg_grouping_sets(spark, d), con, ORACLES["agg_grouping_sets"])
+
+
+def test_csv_roundtrip_embedded_newlines_lossless(spark, tmp_path):
+    """CSV sink round-trip with embedded newlines, quotes, and commas
+    in string fields: the writer quotes them; the multiLine reader must
+    restore every row byte-identically (the default reader shreds a
+    quoted newline into two mangled rows — measured)."""
+    import duckdb
+
+    from impala_refresher_spark.registry import ORACLES
+    from impala_refresher_spark.sources.sinks import sink_csv_roundtrip
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    rows = [
+        (1, "alice\nbob", "SEG,A", 10.5),
+        (2, 'quote "x" name', "SEG\nB", -3.0),  # negative: filtered out
+        (3, "plain", "SEGC", 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_mktsegment string, c_acctbal double"
+    ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+
+    out = sink_csv_roundtrip(spark, d)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        (1, "alice\nbob", "SEG,A", 10.5),
+        (3, "plain", "SEGC", 0.0),
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{d}/customer.parquet/*.parquet')"
+    )
+    compare(out, con, ORACLES["sink_csv_roundtrip"])
