@@ -7631,3 +7631,88 @@ def test_q19_disjunctive_predicate_matches_python(spark, lines):
     kept = [p * (1.0 - d) for pk, q, p, d in lines if match(pk, q)]
     want = _r2(sum(kept)) if kept else None
     assert rows[0].revenue == want
+
+
+_V2_POOL = ["the", "quick", "brown", "foxes", "jumped", "over", "lazy", "dogs", "xy"]
+
+
+@st.composite
+def _v2_docs(draw):
+    texts = []
+    for _ in range(draw(st.integers(1, 5))):
+        texts.append(
+            " ".join(draw(st.lists(st.sampled_from(_V2_POOL), min_size=1, max_size=12)))
+        )
+    if len(texts) > 1 and draw(st.booleans()):
+        texts.append(texts[0])  # exact dup
+    if draw(st.booleans()):
+        # span dup: reuse doc 0's first 8 tokens inside a longer doc
+        toks = texts[0].split(" ")
+        if len(toks) >= 8:
+            texts.append(" ".join(toks[:8] + ["extra", "tail", "words"]))
+    return [
+        (i, t, "en", "web")
+        for i, t in enumerate(texts)
+    ]
+
+
+@given(_v2_docs())
+@settings(**_SETTINGS)
+def test_pipeline_v2_matches_python(spark, docs):
+    """Corpus pipeline v2 (Gopher gate -> exact keep-first -> 8-word
+    span drop) vs literal python over the same texts: gate thresholds
+    inclusive, span keeper = lowest doc_id containing the gram."""
+    from impala_refresher_spark.operators.pipeline import pipeline_training_corpus_v2
+    import impala_refresher_spark.operators.pipeline as pl
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    orig = pl.load_table
+    pl.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: (r.lang, r.source, r.n_tokens)
+            for r in pipeline_training_corpus_v2(spark, "x").collect()
+        }
+    finally:
+        pl.load_table = orig
+
+    from collections import Counter
+
+    stop = {"the", "a", "of", "and", "to", "in"}
+
+    def passes(t):
+        w = t.split(" ")
+        n = len(w)
+        mwl = sum(len(x) for x in w) / n
+        dup = 1.0 - len(set(w)) / n
+        sw = sum(1 for x in w if x in stop) / n
+        if n < 2:
+            tb = 0.0
+        else:
+            c = Counter(" ".join(p) for p in zip(w, w[1:]))
+            tb = max(c.values()) / (n - 1)
+        return 3.0 <= mwl <= 10.0 and dup <= 0.8 and sw >= 0.01 and tb <= 0.2
+
+    first_of_text: dict[str, int] = {}
+    for i, t, *_ in docs:
+        first_of_text.setdefault(t, i)
+    keeper_of_gram: dict[str, int] = {}
+    grams_of: dict[int, set] = {}
+    for i, t, *_ in docs:
+        w = t.split(" ")
+        gs = {" ".join(w[j : j + 8]) for j in range(len(w) - 7)}
+        grams_of[i] = gs
+        for g in gs:
+            keeper_of_gram[g] = min(keeper_of_gram.get(g, i), i)
+    want = {}
+    for i, t, lang, src in docs:
+        if not passes(t):
+            continue
+        if first_of_text[t] != i:
+            continue
+        if any(keeper_of_gram[g] < i for g in grams_of[i]):
+            continue
+        want[i] = (lang, src, len(t.split(" ")))
+    assert got == want
