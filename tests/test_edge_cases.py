@@ -593,3 +593,94 @@ def test_csv_roundtrip_embedded_newlines_lossless(spark, tmp_path):
         f"CREATE VIEW customer AS SELECT * FROM read_parquet('{d}/customer.parquet/*.parquet')"
     )
     compare(out, con, ORACLES["sink_csv_roundtrip"])
+
+
+def test_join_family_null_keys_match_oracle(spark, tmp_path):
+    """Every join shape over NULL join keys on BOTH sides: inner drops
+    them, left/right/full preserve them unmatched, semi never matches
+    them, anti KEEPS them (NOT EXISTS over a NULL key is no-match) —
+    pinned cross-engine."""
+    import duckdb
+
+    from impala_refresher_spark.operators.relational import (
+        join_anti,
+        join_full_outer,
+        join_inner,
+        join_left_outer,
+        join_right_outer,
+        join_semi,
+    )
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, 10, "F", 200000.0),
+            (2, None, "F", 150000.0),   # NULL key, passes filters
+            (3, 11, "O", 50000.0),
+            (4, None, "O", 99.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(10, "C10", "SEG"), (None, "CNULL", "SEG"), (12, "C12", "SEG")],
+        "c_custkey long, c_name string, c_mktsegment string",
+    ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "N0"), (None, "NNULL"), (2, "N2")], "n_nationkey long, n_name string"
+    ).coalesce(1).write.parquet(f"{d}/nation.parquet")
+    spark.createDataFrame(
+        [(100, "S100", 0), (101, "S101", None), (102, "S102", 7)],
+        "s_suppkey long, s_name string, s_nationkey long",
+    ).coalesce(1).write.parquet(f"{d}/supplier.parquet")
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+
+    for q in (join_inner, join_left_outer, join_right_outer, join_full_outer,
+              join_semi, join_anti):
+        compare(q(spark, d), con, ORACLES[q.__name__])
+    # the NULL-keyed never-ordered customer survives the anti join
+    assert {r.c_name for r in join_anti(spark, d).collect()} == {"CNULL", "C12"}
+
+
+def test_date_functions_boundary_dates_match_oracle(spark, tmp_path):
+    """Date dialect parity on calendar boundaries: leap day, Dec-31/
+    Jan-1, and a week-truncation anchor crossing the year boundary —
+    fn_dates and the week-cohort rollup against the oracle."""
+    import duckdb
+    from datetime import datetime
+
+    from impala_refresher_spark.functions.scalar import fn_dates
+    from impala_refresher_spark.operators.analytics import cohort_retention
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+    import impala_refresher_spark.functions.scalar as sc
+
+    d = str(tmp_path)
+    dates = [
+        datetime(1996, 2, 29),   # leap day
+        datetime(1995, 12, 31),
+        datetime(1996, 1, 1),    # week of Jan 1 truncates into 1995
+        datetime(1996, 3, 1),
+        datetime(2000, 2, 29),   # century leap
+    ]
+    spark.createDataFrame(
+        [(i, ts) for i, ts in enumerate(dates)], "o_orderkey long, o_orderdate timestamp"
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(i, i % 2, ts, "purchase", 1.0) for i, ts in enumerate(dates)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    con = duckdb.connect()
+    for t in ("orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    compare(fn_dates(spark, d), con, ORACLES["fn_dates"])
+    compare(cohort_retention(spark, d), con, ORACLES["cohort_retention"])
