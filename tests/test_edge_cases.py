@@ -684,3 +684,39 @@ def test_date_functions_boundary_dates_match_oracle(spark, tmp_path):
         )
     compare(fn_dates(spark, d), con, ORACLES["fn_dates"])
     compare(cohort_retention(spark, d), con, ORACLES["cohort_retention"])
+
+
+def test_unicode_text_hashing_and_lengths_match_oracle(spark, tmp_path):
+    """Multi-byte text parity: md5 must hash identical UTF-8 bytes on
+    both engines, length() must count CHARACTERS not bytes, splitting
+    and entropy must agree on non-ASCII tokens — pinned through the
+    fingerprint, regex token count, char entropy, and exact-dedup ops."""
+    import duckdb
+
+    from impala_refresher_spark.operators.dedup import dedup_exact_hash
+    from impala_refresher_spark.operators.text import (
+        doc_fingerprint,
+        quality_char_entropy,
+        token_count_regex,
+    )
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    docs = [
+        (1, "héllo wörld", "de", "web", 11),
+        (2, "naïve café déjà vu", "fr", "web", 18),
+        (3, "日本語 テスト", "ja", "web", 7),
+        (4, "héllo wörld", "de", "api", 11),   # exact dup of 1
+        (5, "emoji 🎉 mix", "en", "web", 11),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    for q in (doc_fingerprint, token_count_regex, quality_char_entropy, dedup_exact_hash):
+        compare(q(spark, d), con, ORACLES[q.__name__])
