@@ -105,7 +105,8 @@ def fn_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
            CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
            pow(p_size, 2) AS size_sq,
-           round(ln(p_retailprice + 1), 4) AS log_price,
+           round(CASE WHEN p_retailprice + 1 > 0
+                      THEN ln(p_retailprice + 1) END, 4) AS log_price,
            CAST(((p_partkey % 7) + 7) % 7 AS BIGINT) AS bucket
     FROM part
     """,
@@ -118,7 +119,14 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("p_retailprice").alias("price_floor"),
         F.ceil("p_retailprice").alias("price_ceil"),
         F.pow("p_size", F.lit(2)).alias("size_sq"),
-        F.round(F.log(F.col("p_retailprice") + 1), 4).alias("log_price"),
+        # log-domain guard: a non-positive argument (credit-priced part)
+        # is NULL in Spark but an ERROR in DuckDB — gate on both sides
+        F.round(
+            F.when(
+                F.col("p_retailprice") + 1 > 0, F.log(F.col("p_retailprice") + 1)
+            ),
+            4,
+        ).alias("log_price"),
         F.pmod("p_partkey", F.lit(7)).alias("bucket"),
     )
 

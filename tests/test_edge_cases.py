@@ -720,3 +720,31 @@ def test_unicode_text_hashing_and_lengths_match_oracle(spark, tmp_path):
     )
     for q in (doc_fingerprint, token_count_regex, quality_char_entropy, dedup_exact_hash):
         compare(q(spark, d), con, ORACLES[q.__name__])
+
+
+def test_fn_math_negative_price_log_domain_matches_oracle(spark, tmp_path):
+    """ln() domain guard: a credit-priced part (retailprice <= -1)
+    makes the log argument non-positive — NULL in Spark but an ERROR
+    in DuckDB unless gated; negative keys also pin the pmod-vs-%%
+    sign convention."""
+    import duckdb
+
+    from impala_refresher_spark.functions.scalar import fn_math
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(-3, -5.0, 2), (1, -1.0, 3), (2, 0.0, 4), (3, 12.5, 5)],
+        "p_partkey long, p_retailprice double, p_size int",
+    ).coalesce(1).write.parquet(f"{d}/part.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{d}/part.parquet/*.parquet')"
+    )
+    out = fn_math(spark, d)
+    got = {r.p_partkey: (r.log_price, r.bucket) for r in out.collect()}
+    assert got[-3][0] is None and got[1][0] is None  # gated domain
+    assert got[-3][1] == 4  # pmod(-3, 7) = ((-3 % 7) + 7) % 7 = 4
+    compare(out, con, ORACLES["fn_math"])
