@@ -7716,3 +7716,31 @@ def test_pipeline_v2_matches_python(spark, docs):
             continue
         want[i] = (lang, src, len(t.split(" ")))
     assert got == want
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=20, unique=True))
+@settings(**_SETTINGS)
+def test_hash_sample_threshold_matches_python(spark, keys):
+    """The md5-prefix deterministic sample: membership is exactly
+    'first two hex chars <= 14' — string comparison, inclusive."""
+    import hashlib
+
+    from impala_refresher_spark.operators.relational import (
+        sample_hash_deterministic,
+    )
+    import impala_refresher_spark.operators.relational as rel
+
+    df = spark.createDataFrame(
+        [(k, k * 1.0) for k in keys], "o_orderkey long, o_totalprice double"
+    )
+    orig = rel._t
+    rel._t = lambda spark, sf, name: df
+    try:
+        got = {r.o_orderkey for r in sample_hash_deterministic(spark, "x").collect()}
+    finally:
+        rel._t = orig
+
+    want = {
+        k for k in keys if hashlib.md5(str(k).encode()).hexdigest()[:2] <= "14"
+    }
+    assert got == want
