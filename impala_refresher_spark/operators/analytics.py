@@ -40,6 +40,11 @@ from impala_refresher_spark.sources.tables import load_table
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
            ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           -- paired with the Spark side's try_divide(covar, sd*sd)
+           -- formulation (n-1 factors cancel, algebraically = CORR);
+           -- if either side changes, change BOTH to keep the same
+           -- accumulation shape — native CORR here is tolerated only
+           -- because ROUND(..., 4) absorbs the ulp-level difference.
            ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
            ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price
     FROM lineitem

@@ -498,21 +498,33 @@ def score_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bucketed AS (
         SELECT CAST(o_orderkey % 16 AS INTEGER) AS bucket,
-               o_totalprice
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
         FROM orders
     ),
     per_bucket AS (
-        SELECT bucket, ROUND(AVG(o_totalprice), 2) AS mean_price
+        SELECT bucket,
+               CAST(ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS mean_cents
         FROM bucketed GROUP BY bucket
+    ),
+    moments AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_subsamples,
+               CAST(SUM(mean_cents) AS DOUBLE) AS s1,
+               CAST(SUM(mean_cents * mean_cents) AS DOUBLE) AS s2
+        FROM per_bucket
+    ),
+    stats AS (
+        SELECT n_subsamples,
+               s1 / 16.0 / 100.0 AS gm,
+               SQRT((s2 - s1 * s1 / 16.0) / 15.0) / 100.0 AS sd
+        FROM moments
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_subsamples,
-           ROUND(AVG(mean_price), 2) AS grand_mean,
-           ROUND(STDDEV_SAMP(mean_price), 2) AS between_sd,
-           ROUND(AVG(mean_price)
-                 - 2.131 * STDDEV_SAMP(mean_price) / SQRT(16), 2) AS ci_lo,
-           ROUND(AVG(mean_price)
-                 + 2.131 * STDDEV_SAMP(mean_price) / SQRT(16), 2) AS ci_hi
-    FROM per_bucket
+    SELECT n_subsamples,
+           ROUND(gm, 2) AS grand_mean,
+           ROUND(sd, 2) AS between_sd,
+           ROUND(gm - 2.131 * sd / 4.0, 2) AS ci_lo,
+           ROUND(gm + 2.131 * sd / 4.0, 2) AS ci_hi
+    FROM stats
     """,
 )
 def subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,27 +536,50 @@ def subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates, with NO randomness (key residues are deterministic, so
     both engines build identical subsamples).
 
-    One fact pass: the 16 per-bucket means are a single
-    partial-aggregable group-by; the CI folds out of the 16-row frame.
-    Per-bucket means are cents-rounded before the between-subsample
-    moments so accumulation order can't shift the interval."""
+    One fact pass: the 16 per-bucket sufficient statistics are a
+    single partial-aggregable group-by; the CI folds out of the
+    16-row frame. Cross-engine exactness (the r04 driver caught a
+    half-cent ROUND tie in the float formulation): every accumulation
+    happens in EXACT integer cents (prices → BIGINT cents map-side;
+    per-bucket mean cents rounded from an exact-integer quotient;
+    between-bucket moments are BIGINT Σx and Σx²), so both engines
+    feed IDENTICAL integers into an IDENTICAL fixed-shape chain of
+    IEEE double ops — deterministic regardless of accumulation order,
+    partition count, or engine. The grand mean, stddev, and t-interval
+    are each rounded exactly once, at the very end."""
     o = load_table(spark, sf_dir, "orders")
-    per_bucket = (
-        o.select(
-            (F.col("o_orderkey") % 16).cast("int").alias("bucket"),
-            "o_totalprice",
-        )
-        .groupBy("bucket")
-        .agg(F.round(F.avg("o_totalprice"), 2).alias("mean_price"))
+    cents = o.select(
+        (F.col("o_orderkey") % 16).cast("int").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    t = 2.131
-    half = t * F.stddev_samp("mean_price") / F.sqrt(F.lit(16.0))
-    return per_bucket.agg(
+    per_bucket = cents.groupBy("bucket").agg(
+        F.round(F.sum("cents").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("mean_cents")
+    )
+    moments = per_bucket.agg(
         F.count("*").alias("n_subsamples"),
-        F.round(F.avg("mean_price"), 2).alias("grand_mean"),
-        F.round(F.stddev_samp("mean_price"), 2).alias("between_sd"),
-        F.round(F.avg("mean_price") - half, 2).alias("ci_lo"),
-        F.round(F.avg("mean_price") + half, 2).alias("ci_hi"),
+        F.sum("mean_cents").cast("double").alias("s1"),
+        F.sum(F.col("mean_cents") * F.col("mean_cents"))
+        .cast("double")
+        .alias("s2"),
+    )
+    s1, s2 = F.col("s1"), F.col("s2")
+    stats = moments.select(
+        "n_subsamples",
+        (s1 / F.lit(16.0) / F.lit(100.0)).alias("gm"),
+        (
+            F.sqrt((s2 - s1 * s1 / F.lit(16.0)) / F.lit(15.0)) / F.lit(100.0)
+        ).alias("sd"),
+    )
+    gm, sd = F.col("gm"), F.col("sd")
+    half = F.lit(2.131) * sd / F.lit(4.0)
+    return stats.select(
+        "n_subsamples",
+        F.round(gm, 2).alias("grand_mean"),
+        F.round(sd, 2).alias("between_sd"),
+        F.round(gm - half, 2).alias("ci_lo"),
+        F.round(gm + half, 2).alias("ci_hi"),
     )
 
 

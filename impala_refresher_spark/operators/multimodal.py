@@ -91,8 +91,12 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "media_id": pdf["media_id"],
                 "modality": pdf["meta"].map(lambda m: m["modality"]),
                 "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]).astype("Int32"),
-                "width": dims.map(lambda d: d[0] if d else None).astype("Int32"),
-                "height": dims.map(lambda d: d[1] if d else None).astype("Int32"),
+                "width": dims.map(
+                    lambda d: d[0] if d is not None else None
+                ).astype("Int32"),
+                "height": dims.map(
+                    lambda d: d[1] if d is not None else None
+                ).astype("Int32"),
                 "byte_sum_16": pdf["media"]
                 .map(lambda b: sum(b[:16]) if b is not None else None)
                 .astype("Int64"),

@@ -721,7 +721,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # reshape(-1, ...): a corpus smaller than _PQ_K yields fewer sample
     # rows — the codebook shrinks with it (the oracle's QUALIFY k < K
-    # does the same) instead of crashing the fixed-K reshape
+    # does the same) instead of crashing the fixed-K reshape. A fully
+    # EMPTY corpus can't train any centroid (the shrink contract only
+    # covers 0 < n < K): short-circuit to an empty result rather than
+    # let a zero-width codebook reach np.argmin in encode batches.
+    if not sample:
+        return spark.createDataFrame(
+            [], "q_id long, vec_id long, cos_sim double, rk int"
+        )
     books = np.array(
         [[float(x) for x in r.embedding] for r in sample]
     ).reshape(-1, _PQ_M, d_sub).transpose(1, 0, 2)  # (m, k<=_PQ_K, d_sub)

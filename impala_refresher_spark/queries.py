@@ -42,101 +42,49 @@ def _load() -> None:
 
 
 # The driver's correctness pass walks the registry in order and checks
-# the FIRST 50 entries per round (r01/r02/r03 each covered exactly the
-# first 50 after that round's reorder). Cumulative r01+r02+r03
-# coverage = 148 names (143 oracle-green, 5 rows-only `no_oracle`
-# markers, 0 fails); 87 SQL-oracled queries have never been in a
-# driver window. The r04 order puts exactly those 87 first, riskiest
-# code first, so the r04 window (slots 1-50) verifies the entire
-# late-round-3 surface — the five SQL front ends, the two never-
-# checked streaming shapes, the binaryFile source, the four queries
-# whose code changed THIS round (ADVICE float-edge fixes), the
-# linkage/graph/evaluation/profiling/statistics families — plus the
-# three riskiest r03 leftovers. Slots 51-87 (the remaining r03
-# leftovers and the parked-since-r02 analytics/pipeline names, all
-# older lower-risk code) plus slots 88-93 (the six queries whose
-# oracles are NEW in r04: md5-SimHash, md5-MinHash-LSH, the portable-
-# register HLL, and the three fold-exact ANN indexes) land in the r05
-# window (43 of 50 slots), completing driver coverage of all 236
-# oracled queries. The 2 rows-only queries (`agg_approx_percentiles`,
-# `agg_approx_distinct` — native GK/HLL++ sketch API demos, engine-
-# specific by definition) sit AFTER the oracled backlog so they never
-# burn a window slot as `err: no_oracle`; their accuracy contracts
-# live in pytest (tests/test_llm_ops.py).
+# the FIRST 50 entries per round (r01-r04 each covered exactly the
+# first 50 after that round's reorder; r04 = 49 green + the
+# subsample_ci_revenue hash fail). Cumulative r01-r04 coverage
+# (computed from the four CORRECTNESS_r0N.json files): 198 distinct
+# names checked, 192 hash-green, 1 hash-fail (fixed this round),
+# 4 checked pre-oracle as `no_oracle`, 43 oracled names never hash-
+# checked. The r05 order drains that ENTIRE backlog in one window:
 #
-# Late-r04 hardening (degenerate-input guards found by the property
-# layer) also touched a few PREVIOUSLY driver-green names — agg_pivot,
-# fn_math, sink_csv_roundtrip, tpch_q8/q14, hhi/gini/revenue-share,
-# ann_pq_topk. They keep their existing slots (the window budget goes
-# to never-checked names); their re-verification evidence is the
-# full-registry vanilla-session driver sim at sf0.01 rerun at final
-# HEAD (scripts/driver_sim.py 238: 236/236 green) plus the 3-SF
-# oracle differentials in pytest.
-_R04_PRIORITY = [
-    # -- slots 1-50: the r04 driver window -------------------------
-    # Five SQL front ends (exercise Spark 4 parser paths no other
-    # query touches; a version bump breaks these first).
-    "sql_recursive_reachability",
-    "sql_pipe_syntax_summary",
-    "sql_parameterized_filter",
-    "pandas_api_summary",
-    "fn_structs",
-    # Streaming shapes never driver-checked.
-    "stream_cdc_merge",
-    "stream_stream_full_outer",
-    # Opaque-blob source.
-    "source_binaryfile_ingest",
-    # Changed THIS round (ADVICE guards: KM d==n cutover, linear-
-    # counting saturation clamp, pow-free integer-week decay, Gini
-    # scale bound) — verify the new code under the driver.
-    "survival_user_retention",
-    "linear_counting_distinct",
-    "trending_decayed_counts",
-    "revenue_concentration_gini",
-    # Record linkage + graph.
-    "fuzzy_join_part_names",
-    "entity_resolution_clusters",
-    "bfs_event_transitions",
-    # Evaluation family E1-E10 (minus survival, above).
-    "langid_confusion_kappa",
-    "langid_precision_recall",
-    "score_auc_quality",
-    "score_gain_deciles",
-    "chisq_segment_status",
-    "anova_segment_acctbal",
-    "mutual_information_lang_source",
+#   slot  1     : subsample_ci_revenue — the only driver hash failure
+#                 ever; rewritten this round with exact integer-cents
+#                 sufficient statistics (both engines now feed
+#                 identical BIGINTs into an identical double chain).
+#   slots  2-40 : the 39 SQL-oracled names never in any driver window
+#                 (the parked-since-r02/r03 analytics/pipeline block
+#                 plus hll_sketch_rollup and ann_pq_topk, whose
+#                 oracles are new in r04).
+#   slots 41-44 : the 4 names r02 checked as `no_oracle` BEFORE their
+#                 portable-hash SQL oracles existed (md5-SimHash,
+#                 md5-MinHash-LSH, seeded-hyperplane LSH, IVF) — their
+#                 first-ever hash check.
+#   slots 45-50 : re-verification insurance — queries whose code or
+#                 oracle was touched in r05 (multimodal_features ADVICE
+#                 None-guard; agg_stats_moments oracle annotation) and
+#                 the VERDICT's money-magnitude ROUND(...,2) watch list
+#                 (revenue_mom_change, cusum_daily_revenue,
+#                 timeseries_decompose_daily, tpch_q22), re-swept
+#                 locally under the r05-hardened fixed-decimal canon at
+#                 sf0.01 AND sf0.1.
+#
+# After r05 the steady state is: every SQL-oracled query has a green
+# driver row in some round; POLICY — any code change to a driver-green
+# query re-queues it into the next round's 50-slot window (see
+# SURVEY §7 verification schedule).
+#
+# The 2 rows-only queries (`agg_approx_percentiles`,
+# `agg_approx_distinct` — native GK/HLL++ sketch API demos, engine-
+# specific by definition) sit at the very tail so they never burn a
+# window slot as `err: no_oracle`; their accuracy contracts live in
+# pytest (tests/test_llm_ops.py).
+_R05_PRIORITY = [
+    # -- slot 1: the r04 hash failure, fixed this round -------------
     "subsample_ci_revenue",
-    "ks_statistic_status",
-    # Profiling / statistics family.
-    "profile_table_stats",
-    "benford_first_digit",
-    "mad_outlier_accounts",
-    "cusum_daily_revenue",
-    "time_weighted_avg_value",
-    "gap_islands_active_days",
-    "rolling_corr_qty_price",
-    "cumulative_distinct_users",
-    "fk_orphans_audit",
-    "revenue_mom_change",
-    "timeseries_decompose_daily",
-    "snapshot_diff_orders",
-    "partition_checksums",
-    # Remaining late-r03 analytics / pipeline.
-    "semdedup_embeddings",
-    "corpus_mixture_temperature",
-    "cms_frequency_estimate",
-    "market_basket_pairs",
-    "markov_event_transitions",
-    "pareto_frontier_parts",
-    "seasonal_dow_anomaly",
-    "top_event_paths",
-    "clamped_running_balance",
-    "hhi_supplier_concentration",
-    # Three riskiest r03 leftovers fill the window to 50.
-    "pipeline_training_corpus_v2",
-    "fn_variant_shred",
-    "schema_evolution_merge",
-    # -- slots 51-87: the r05 window (older, lower-risk code) ------
+    # -- slots 2-40: never in any driver window ----------------------
     "inverted_index_serve",
     "dedup_cluster_components",
     "dedup_cluster_survivors",
@@ -174,16 +122,69 @@ _R04_PRIORITY = [
     "quality_lm_trigram",
     "text_keyword_in_context",
     "embed_int8_quantize",
-    # -- slots 88-93: oracles NEW in r04 (portable-hash / fold-exact
-    # upgrades from rows-only to SQL-oracled) — never driver-checked,
-    # so they join the r05 rotation with the block above (37 + 6 = 43
-    # of the 50-slot r05 window).
+    "hll_sketch_rollup",
+    "ann_pq_topk",
+    # -- slots 41-44: r02-checked pre-oracle; first hash check -------
     "dedup_simhash",
     "dedup_minhash_lsh",
-    "hll_sketch_rollup",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "ann_pq_topk",
+    # -- slots 45-50: r05 re-verification insurance ------------------
+    "multimodal_features",
+    "agg_stats_moments",
+    "revenue_mom_change",
+    "cusum_daily_revenue",
+    "timeseries_decompose_daily",
+    "tpch_q22_global_sales_opportunity",
+    # -- the r01-r04 driver-green surface (unchanged code) -----------
+    # Kept in r04 window order after the r05 window; every name below
+    # has a green hash row in CORRECTNESS_r01-r04 at unchanged code.
+    "sql_recursive_reachability",
+    "sql_pipe_syntax_summary",
+    "sql_parameterized_filter",
+    "pandas_api_summary",
+    "fn_structs",
+    "stream_cdc_merge",
+    "stream_stream_full_outer",
+    "source_binaryfile_ingest",
+    "survival_user_retention",
+    "linear_counting_distinct",
+    "trending_decayed_counts",
+    "revenue_concentration_gini",
+    "fuzzy_join_part_names",
+    "entity_resolution_clusters",
+    "bfs_event_transitions",
+    "langid_confusion_kappa",
+    "langid_precision_recall",
+    "score_auc_quality",
+    "score_gain_deciles",
+    "chisq_segment_status",
+    "anova_segment_acctbal",
+    "mutual_information_lang_source",
+    "ks_statistic_status",
+    "profile_table_stats",
+    "benford_first_digit",
+    "mad_outlier_accounts",
+    "time_weighted_avg_value",
+    "gap_islands_active_days",
+    "rolling_corr_qty_price",
+    "cumulative_distinct_users",
+    "fk_orphans_audit",
+    "snapshot_diff_orders",
+    "partition_checksums",
+    "semdedup_embeddings",
+    "corpus_mixture_temperature",
+    "cms_frequency_estimate",
+    "market_basket_pairs",
+    "markov_event_transitions",
+    "pareto_frontier_parts",
+    "seasonal_dow_anomaly",
+    "top_event_paths",
+    "clamped_running_balance",
+    "hhi_supplier_concentration",
+    "pipeline_training_corpus_v2",
+    "fn_variant_shred",
+    "schema_evolution_merge",
     # -- rows-only by design: kept out of every driver window ------
     # (both exist to demonstrate Spark's NATIVE sketch APIs — GK
     # approx_percentile and HLL++ approx_count_distinct — whose
@@ -196,8 +197,8 @@ _R04_PRIORITY = [
 
 
 def _reorder() -> None:
-    known = set(_R04_PRIORITY)
-    ordered = [n for n in _R04_PRIORITY if n in QUERIES]
+    known = set(_R05_PRIORITY)
+    ordered = [n for n in _R05_PRIORITY if n in QUERIES]
     ordered += [n for n in QUERIES if n not in known]
     for reg in (QUERIES, ORACLES):
         snap = {n: reg[n] for n in ordered if n in reg}

@@ -2,7 +2,18 @@
 
 Runs a declared Spark query and its DuckDB oracle SQL on the same
 parquet fixtures and compares row count, column names, and values
-(order-insensitive; floats to 6 significant decimals).
+(order-insensitive; floats to 6 FIXED decimal places).
+
+Float canonicalization history: through r04 this used ``{v:.6g}`` —
+6 *significant* digits — which is provably weaker than the driver's
+value hash: the driver failed ``subsample_ci_revenue`` on a one-cent
+difference at magnitude 2.5e5 (250562.07 vs 250562.08) that ``.6g``
+canonicalizes identically ("250562"). Any absolute error below ~1 unit
+on values ≥ 1e5 was invisible locally. The canon is now FIXED decimal
+places (``{v:.6f}``), which resolves cents (and micro-units) at any
+money magnitude, while still absorbing benign sub-1e-6 ulp noise
+(e.g. 4e-12 OLS intercept drift). Queries whose outputs can't survive
+this precision cross-engine must be made integer-exact, not excused.
 """
 
 from __future__ import annotations
@@ -32,7 +43,12 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        # Fixed decimal places (driver-strength): resolves absolute
+        # differences ≥ 1e-6 at ANY magnitude, unlike significant-digit
+        # formatting which is blind to cents on ≥1e5-scale money values.
+        return f"{v:.6f}"
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     return str(v)
