@@ -515,8 +515,12 @@ def score_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
         SELECT n_subsamples,
-               s1 / 16.0 / 100.0 AS gm,
-               SQRT((s2 - s1 * s1 / 16.0) / 15.0) / 100.0 AS sd
+               s1 / n_subsamples / 100.0 AS gm,
+               CASE WHEN n_subsamples > 1 THEN
+                   SQRT(GREATEST(0.0,
+                        (s2 - s1 * s1 / n_subsamples)
+                        / (n_subsamples - 1))) / 100.0
+               END AS sd
         FROM moments
     )
     SELECT n_subsamples,
@@ -564,12 +568,23 @@ def subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("s2"),
     )
-    s1, s2 = F.col("s1"), F.col("s2")
+    s1, s2, n = F.col("s1"), F.col("s2"), F.col("n_subsamples")
     stats = moments.select(
         "n_subsamples",
-        (s1 / F.lit(16.0) / F.lit(100.0)).alias("gm"),
-        (
-            F.sqrt((s2 - s1 * s1 / F.lit(16.0)) / F.lit(15.0)) / F.lit(100.0)
+        (s1 / n / F.lit(100.0)).alias("gm"),
+        # n>1 gate mirrors STDDEV_SAMP's NULL on a single subsample;
+        # GREATEST(0, ·) clamps the -epsilon a zero-variance input can
+        # leave after the >2^53 s1*s1 product rounds (DuckDB errors on
+        # sqrt(-eps), Spark returns NaN — both wrong).
+        F.when(
+            n > 1,
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    (s2 - s1 * s1 / n) / (n - F.lit(1)),
+                )
+            )
+            / F.lit(100.0),
         ).alias("sd"),
     )
     gm, sd = F.col("gm"), F.col("sd")
