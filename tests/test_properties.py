@@ -7744,3 +7744,233 @@ def test_hash_sample_threshold_matches_python(spark, keys):
         k for k in keys if hashlib.md5(str(k).encode()).hexdigest()[:2] <= "14"
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: algorithmic rewrites / scale mechanisms that had no
+# brute-force witness. The oracle differential proves cross-engine parity
+# on fixture data; these prove the REWRITE equals the naive semantics on
+# arbitrary adversarial inputs (empty docs, all-duplicate texts, orphan
+# keys, single-day tables, exact-threshold ratios).
+# ---------------------------------------------------------------------------
+
+
+def _half_up(v: float, places: int) -> float:
+    """Spark's ROUND: HALF_UP over the exact decimal value of the double
+    (Scala BigDecimal(double) under DECIMAL128 — exact for any double),
+    unlike Python's banker's round()."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(v).quantize(q, rounding=ROUND_HALF_UP))
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_pairs_match_bruteforce(spark, word_lists):
+    """The posting-list (self-join-free) 3-gram Jaccard plan must emit
+    exactly the naive all-pairs >= 0.4 set: distinct word-3-gram
+    shingles per doc, |A∩B|/|A∪B|, doc_a < doc_b — including docs
+    shorter than 3 tokens (no shingles, never paired), identical texts
+    (jaccard 1.0), and ratios landing exactly on the 0.4 threshold."""
+    import impala_refresher_spark.operators.dedup as dd
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dd.dedup_ngram_jaccard(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+
+    def sh(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    shingles = {i: sh(ws) for i, ws in enumerate(word_lists)}
+    want = {}
+    for a in shingles:
+        for b in shingles:
+            if a >= b or not (shingles[a] & shingles[b]):
+                continue
+            inter = len(shingles[a] & shingles[b])
+            union = len(shingles[a] | shingles[b])
+            if 5 * inter >= 2 * union:  # inter/union >= 0.4, exact
+                want[(a, b)] = _half_up(inter / union, 4)
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(1, 7), st.integers(0, 400)),
+        min_size=0,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(1, 6),
+            st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+        ),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, items, orders):
+    """Skew-salting is a pure physical rewrite: the (key, salt)
+    equi-join against the salt-replicated dimension must reproduce the
+    plain join exactly — orphan fact rows drop out, matched rows are
+    counted once (never once-per-salt), and group totals are
+    unchanged. Prices are exact quarters so double sums are
+    order-independent and the comparison is exact."""
+    import impala_refresher_spark.operators.relational as rel
+
+    li = spark.createDataFrame(
+        [(ok, ln, q / 4.0) for ok, ln, q in items],
+        "l_orderkey long, l_linenumber int, l_extendedprice double",
+    )
+    o = spark.createDataFrame(
+        orders, "o_orderkey long, o_orderpriority string"
+    )
+    tables = {"lineitem": li, "orders": o}
+    orig = rel.load_table
+    rel.load_table = lambda spark, sf, name: tables[name]
+    try:
+        got = {
+            r.o_orderpriority: (r.revenue, r.n_items)
+            for r in rel.join_skew_salted(spark, "x").collect()
+        }
+    finally:
+        rel.load_table = orig
+
+    opri = dict(orders)
+    agg: dict = {}
+    for ok, ln, q in items:
+        if ok in opri:
+            p = opri[ok]
+            s, n = agg.get(p, (0.0, 0))
+            agg[p] = (s + q / 4.0, n + 1)
+    want = {p: (_half_up(s, 2), n) for p, (s, n) in agg.items()}
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 23),
+            st.sampled_from(["click", "view"]),
+            st.integers(0, 100),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_hypertable_incremental_refresh_matches_full_aggregate(
+    spark, tmp_path_factory, evs
+):
+    """Continuous-aggregate maintenance: build the hourly rollup
+    WITHOUT the last day, refresh that day through the incremental
+    path TWICE (dynamic partition overwrite must be idempotent — a
+    re-run replaces, never appends), then serve daily totals. Result
+    must equal the one-shot aggregate over all raw events, including
+    the all-events-on-one-day case where the pre-build writes an
+    empty rollup."""
+    from impala_refresher_spark.operators.rollup_hypertable import (
+        _serve_daily,
+        hourly_rollup,
+        refresh_rollup_incremental,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1 + d, h), et, q / 4.0) for d, h, et, q in evs
+    ]
+    events = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+    last_day = max(r[0].date() for r in rows)
+    path = str(tmp_path_factory.mktemp("rollup"))
+    (
+        hourly_rollup(events.filter(F.to_date("ts") < F.lit(str(last_day))))
+        .write.mode("overwrite")
+        .partitionBy("bucket_date")
+        .parquet(path)
+    )
+    refresh_rollup_incremental(spark, events, path, [last_day])
+    refresh_rollup_incremental(spark, events, path, [last_day])  # idempotent
+    got = {
+        (r.day, r.event_type): (r.n, r.total_value, r.avg_value)
+        for r in _serve_daily(spark.read.parquet(path)).collect()
+    }
+
+    agg: dict = {}
+    for d, h, et, q in evs:
+        key = (datetime(2024, 1, 1 + d).date(), et)
+        s, n = agg.get(key, (0.0, 0))
+        agg[key] = (s + q / 4.0, n + 1)
+    want = {
+        k: (n, _half_up(s, 2), _half_up(_half_up(s, 2) / n, 2))
+        for k, (s, n) in agg.items()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 40),
+            st.sampled_from(["en", "de"]),
+            st.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_weighted_reservoir_matches_python(spark, docs):
+    """Efraimidis-Spirakis A-Res with the deterministic md5 uniform:
+    the per-language window top-5 must equal the Python replica
+    (log-space keys u^(1/w) as ln(u)/w, rounded to 9 dp, es_key DESC
+    with doc_id tiebreak)."""
+    import hashlib
+    import math
+
+    import impala_refresher_spark.operators.pipeline as pl
+
+    df = spark.createDataFrame(docs, "doc_id long, lang string, n_chars int")
+    orig = pl.load_table
+    pl.load_table = lambda spark, sf, name: df
+    try:
+        got = [
+            (r.lang, r.doc_id, r.n_chars, r.rank)
+            for r in pl.sample_weighted_reservoir(spark, "x").collect()
+        ]
+    finally:
+        pl.load_table = orig
+
+    def key(doc_id, n_chars):
+        u = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1.0
+        ) / 4294967297.0
+        return _half_up(math.log(u) / n_chars, 9)
+
+    want = []
+    for lang in sorted({d[1] for d in docs}):
+        group = [(did, nc) for did, lg, nc in docs if lg == lang]
+        ranked = sorted(group, key=lambda t: (-key(t[0], t[1]), t[0]))
+        want += [
+            (lang, did, nc, i + 1) for i, (did, nc) in enumerate(ranked[:5])
+        ]
+    assert got == want
