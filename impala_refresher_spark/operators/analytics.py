@@ -238,14 +238,15 @@ def sessionize_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
              date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dayn,
-             ROUND(SUM(o_totalprice), 2) AS revenue
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
       FROM orders GROUP BY 1, 2
     )
-    SELECT day, revenue,
-           ROUND(AVG(revenue) OVER (ORDER BY dayn
-                                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
-             AS avg_7day
+    SELECT day,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+           ROUND(CAST(SUM(rev_cents) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w) / 100.0 AS avg_7day
     FROM daily
+    WINDOW w AS (ORDER BY dayn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
 def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,18 +254,39 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a RANGE frame over the day number — a range frame (not ROWS)
     so calendar gaps shorten the window instead of silently widening it.
 
+    Integer-cents discipline (caught by the r05 driver-precision canon
+    at sf0.001): the old ROUND(AVG(2-dp revenue), 2) averaged
+    cents-rounded doubles whose 7-day mean can land on a half-cent,
+    where the engines' ulp-different accumulations round apart. Daily
+    revenue is now an exact BIGINT cents sum; the frame's mean is the
+    exact windowed cents sum over the exact count. The final round is
+    SCALE-0 in the cents domain — ROUND(mean_cents)/100, never
+    ROUND(dollars, 2): a half-cent tie IS representable as k.5 cents
+    and both engines round it half-away, whereas scale-2 rounding of
+    the same double diverges (Spark rounds the shortest-decimal repr,
+    DuckDB the exact binary value).
+
     The day-grain aggregate shrinks the window input to ~one row per
     day BEFORE the unpartitioned sort — the windowed relation is tiny
     no matter the raw scale. At 100 TB with per-entity series, add the
     entity to partitionBy and the plan is fully parallel."""
     o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     daily = o.groupBy(
         F.to_date("o_orderdate").alias("day"),
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("dayn"),
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(F.sum(cents).alias("rev_cents"))
     w = Window.orderBy("dayn").rangeBetween(-6, 0)
     return daily.select(
-        "day", "revenue", F.round(F.avg("revenue").over(w), 2).alias("avg_7day")
+        "day",
+        (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+        (
+            F.round(
+                F.sum("rev_cents").over(w).cast("double")
+                / F.count("*").over(w)
+            )
+            / 100.0
+        ).alias("avg_7day"),
     )
 
 
@@ -950,9 +972,9 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "histogram_equidepth",
     """
-    SELECT CAST(i AS INTEGER) AS decile, ROUND(e, 2) AS edge
+    SELECT CAST(i AS INTEGER) AS decile, ROUND(e) / 100.0 AS edge
     FROM (
-      SELECT unnest(quantile_cont(o_totalprice,
+      SELECT unnest(quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT),
                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS e,
              unnest(generate_series(1, 9)) AS i
       FROM orders
@@ -966,18 +988,23 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (histogram_totalprice) would collapse under skew.
 
     Exact interpolated percentiles in one aggregate (both engines
-    interpolate linearly over the sorted values). At 100 TB swap in
-    approx_percentile — same output shape, sketch-mergeable."""
+    interpolate linearly over the sorted values). Interpolation runs
+    over exact BIGINT cents (the `agg_percentiles` discipline: a lerp
+    between adjacent money values can land exactly on a half-cent,
+    where ROUND(·, 2) of ulp-different engine lerps flips a cent);
+    round to integer cents once, divide by 100 last. At 100 TB swap
+    in approx_percentile — same output shape, sketch-mergeable."""
     o = load_table(spark, sf_dir, "orders")
     edges = F.expr(
-        "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        "percentile(cast(round(o_totalprice * 100) as bigint),"
+        " array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
     )
     return (
         o.agg(edges.alias("edges"))
         .select(F.posexplode("edges").alias("pos", "edge"))
         .select(
             (F.col("pos") + 1).cast("int").alias("decile"),
-            F.round("edge", 2).alias("edge"),
+            (F.round("edge") / 100).alias("edge"),
         )
     )
 

@@ -515,19 +515,19 @@ def score_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
         SELECT n_subsamples,
-               s1 / n_subsamples / 100.0 AS gm,
+               s1 / n_subsamples AS gm_c,
                CASE WHEN n_subsamples > 1 THEN
                    SQRT(GREATEST(0.0,
                         (s2 - s1 * s1 / n_subsamples)
-                        / (n_subsamples - 1))) / 100.0
-               END AS sd
+                        / (n_subsamples - 1)))
+               END AS sd_c
         FROM moments
     )
     SELECT n_subsamples,
-           ROUND(gm, 2) AS grand_mean,
-           ROUND(sd, 2) AS between_sd,
-           ROUND(gm - 2.131 * sd / 4.0, 2) AS ci_lo,
-           ROUND(gm + 2.131 * sd / 4.0, 2) AS ci_hi
+           ROUND(gm_c) / 100.0 AS grand_mean,
+           ROUND(sd_c) / 100.0 AS between_sd,
+           ROUND(gm_c - 2.131 * sd_c / 4.0) / 100.0 AS ci_lo,
+           ROUND(gm_c + 2.131 * sd_c / 4.0) / 100.0 AS ci_hi
     FROM stats
     """,
 )
@@ -571,7 +571,7 @@ def subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1, s2, n = F.col("s1"), F.col("s2"), F.col("n_subsamples")
     stats = moments.select(
         "n_subsamples",
-        (s1 / n / F.lit(100.0)).alias("gm"),
+        (s1 / n).alias("gm_c"),
         # n>1 gate mirrors STDDEV_SAMP's NULL on a single subsample;
         # GREATEST(0, ·) clamps the -epsilon a zero-variance input can
         # leave after the >2^53 s1*s1 product rounds (DuckDB errors on
@@ -583,18 +583,22 @@ def subsample_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0.0),
                     (s2 - s1 * s1 / n) / (n - F.lit(1)),
                 )
-            )
-            / F.lit(100.0),
-        ).alias("sd"),
+            ),
+        ).alias("sd_c"),
     )
-    gm, sd = F.col("gm"), F.col("sd")
-    half = F.lit(2.131) * sd / F.lit(4.0)
+    # Final rounds are SCALE-0 in the cents domain (ROUND(cents)/100,
+    # never ROUND(dollars, 2)): a half-cent tie is representable as
+    # k.5 cents and both engines round it half-away, whereas scale-2
+    # rounding of the same double diverges (Spark rounds the shortest-
+    # decimal repr, DuckDB the exact binary value).
+    gm_c, sd_c = F.col("gm_c"), F.col("sd_c")
+    half_c = F.lit(2.131) * sd_c / F.lit(4.0)
     return stats.select(
         "n_subsamples",
-        F.round(gm, 2).alias("grand_mean"),
-        F.round(sd, 2).alias("between_sd"),
-        F.round(gm - half, 2).alias("ci_lo"),
-        F.round(gm + half, 2).alias("ci_hi"),
+        (F.round(gm_c) / 100.0).alias("grand_mean"),
+        (F.round(sd_c) / 100.0).alias("between_sd"),
+        (F.round(gm_c - half_c) / 100.0).alias("ci_lo"),
+        (F.round(gm_c + half_c) / 100.0).alias("ci_hi"),
     )
 
 

@@ -705,8 +705,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     """
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-           ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                               0.5)) / 100.0 AS p50,
+           ROUND(quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                               0.95)) / 100.0 AS p95
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -717,11 +719,19 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile buffers each group's values — fine for bounded groups;
     for unbounded ones the scale path is ``percentile_approx``
     (t-digest sketch, mergeable map-side like any partial aggregate).
-    """
+
+    Integer-cents discipline (the subsample_ci class, caught by the
+    r05 driver-precision canon at sf0.001): a median of 2-dp money
+    values interpolates adjacent cents at f=0.5, landing EXACTLY on a
+    half-cent — ROUND(·, 2) of the two engines' ulp-different lerps
+    then flips a cent. Interpolating over exact BIGINT cents instead
+    makes the dyadic-f lerp exact on both engines; round to integer
+    cents once, divide by 100 last."""
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95"),
+        (F.round(F.percentile(cents, F.lit(0.5))) / 100).alias("p50"),
+        (F.round(F.percentile(cents, F.lit(0.95))) / 100).alias("p95"),
     )
 
 

@@ -450,12 +450,16 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q9_product_type_profit",
     """
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           ROUND(CAST(SUM(amount_e4) AS DOUBLE) / 100.0) / 100.0
+             AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(year(o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.6 * p_retailprice * l_quantity AS amount
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+               - 60 * CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_quantity) AS BIGINT) AS amount_e4
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -472,15 +476,30 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year. The fixture has no partsupp.ps_supplycost, so cost is
     modeled as 60% of p_retailprice per unit — same join tree and
     aggregate shape as the classic Q9 (part filter pruned at scan,
-    nation broadcast, fact-fact joins on their keys)."""
+    nation broadcast, fact-fact joins on their keys).
+
+    Integer-exact profit (caught by the r05 driver-precision canon at
+    sf0.001): ext*(1-disc) - 0.6*retail*qty over doubles can sum to a
+    half-cent tie where the engines' accumulation orders round apart.
+    All three factors are 2-dp money / integral quantity, so each
+    row's amount is EXACT in 1e-4-dollar units:
+    ext_cents*(100-disc_hundredths) - 60*retail_cents*qty. The group
+    sum is exact BIGINT; the final round is SCALE-0 in the cents
+    domain (ROUND(sum_e4/100)/100, never ROUND(dollars, 2)) — a
+    half-cent tie is representable as k.5 cents and both engines
+    round it half-away, whereas scale-2 rounding of the same double
+    diverges (Spark rounds the shortest-decimal repr, DuckDB the
+    exact binary value)."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    amount = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    ) - 60 * F.round(F.col("p_retailprice") * 100).cast("bigint") * F.round(
+        F.col("l_quantity")
+    ).cast("bigint")
     return (
         p.join(l, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -488,7 +507,11 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            (
+                F.round(F.sum(amount).cast("double") / 100.0) / 100.0
+            ).alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 

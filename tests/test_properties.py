@@ -7756,13 +7756,16 @@ def test_hash_sample_threshold_matches_python(spark, keys):
 
 
 def _half_up(v: float, places: int) -> float:
-    """Spark's ROUND: HALF_UP over the exact decimal value of the double
-    (Scala BigDecimal(double) under DECIMAL128 — exact for any double),
-    unlike Python's banker's round()."""
+    """Spark's ROUND: HALF_UP over the SHORTEST-DECIMAL repr of the
+    double (Java BigDecimal.valueOf = Double.toString; Python's repr
+    is the same shortest round-trip repr), unlike Python's banker's
+    round(). NB DuckDB differs at representability-boundary ties (it
+    rounds the exact binary value) — which is why query code rounds
+    money at scale 0 in the cents domain, where ties are exact."""
     from decimal import ROUND_HALF_UP, Decimal
 
     q = Decimal(1).scaleb(-places)
-    return float(Decimal(v).quantize(q, rounding=ROUND_HALF_UP))
+    return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 @given(
