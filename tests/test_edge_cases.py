@@ -748,3 +748,34 @@ def test_fn_math_negative_price_log_domain_matches_oracle(spark, tmp_path):
     assert got[-3][0] is None and got[1][0] is None  # gated domain
     assert got[-3][1] == 4  # pmod(-3, 7) = ((-3 % 7) + 7) % 7 = 4
     compare(out, con, ORACLES["fn_math"])
+
+
+def test_scale2_round_diverges_and_scale0_cents_round_agrees(spark):
+    """Pins the r05 scale-0 money-rounding discipline by demonstrating
+    the underlying engine divergence: ROUND(double, 2) at a
+    representability-boundary half-cent tie rounds a cent APART on
+    identical doubles (Spark rounds the shortest-decimal repr via
+    BigDecimal.valueOf; DuckDB rounds the exact binary value), while
+    the scale-0 form ROUND(cents)/100 agrees because k.5 cents is
+    exactly representable and both engines round it half-away.
+
+    If this test ever fails, either engine changed its double-rounding
+    semantics — re-audit every ROUND site before trusting the sweep.
+    Discipline users: subsample_ci_revenue, agg_percentiles,
+    histogram_equidepth, rolling_7day_revenue, tpch_q9."""
+    import duckdb
+
+    # 61394107 cents / 2 = 30697053.5 cents = 306970.535 dollars; the
+    # dollars double is 306970.53499999997...
+    x = 61394107 / 2 / 100
+
+    spark_scale2 = spark.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), 2) AS v").collect()[0].v
+    duck_scale2 = duckdb.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), 2) AS v").fetchone()[0]
+    assert spark_scale2 == 306970.54  # shortest repr "306970.535" HALF_UP
+    assert duck_scale2 == 306970.53  # exact binary value is below the tie
+    assert spark_scale2 != duck_scale2  # the trap scale-2 rounding sets
+
+    s0 = "SELECT ROUND(CAST(61394107 AS DOUBLE) / 2) / 100 AS v"
+    spark_scale0 = spark.sql(s0).collect()[0].v
+    duck_scale0 = duckdb.sql(s0).fetchone()[0]
+    assert spark_scale0 == duck_scale0 == 306970.54
