@@ -970,3 +970,75 @@ def test_pagerank_iterations_read_checkpointed_edges_once(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
     # degree window computed before the cut, never replayed per round
     assert "Window" not in plan, plan
+
+
+def test_tpch_q9_pushes_part_filter_and_broadcasts_nation(spark):
+    """The integer-cents profit rewrite must not disturb Q9's join
+    tree: the %bolt% part filter reaches the parquet scan as a
+    StringContains pushdown (pruning the probe side before any join),
+    nation stays broadcast, and each of the five tables is scanned
+    exactly once — the per-row exact-cents expression is map-side
+    arithmetic, free at any scale."""
+    import re
+
+    from impala_refresher_spark.operators.tpch import (
+        tpch_q9_product_type_profit,
+    )
+
+    plan = plan_of(tpch_q9_product_type_profit(spark, SF_SMOKE))
+    assert "StringContains(p_name,bolt)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 5, plan
+
+
+def test_rolling_7day_aggregates_to_day_grain_before_single_window(spark):
+    """The BIGINT-cents rewrite must keep the scale shape: one orders
+    scan, the day-grain hash aggregate BELOW the (single) range-frame
+    window — the windowed relation stays ~one row per day however big
+    the fact table — and no join anywhere."""
+    import re
+
+    from impala_refresher_spark.operators.analytics import (
+        rolling_7day_revenue,
+    )
+
+    plan = plan_of(rolling_7day_revenue(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Join" not in plan
+    tree = plan[: plan.find("(1) Scan")]
+    assert 0 <= tree.find("Window") < tree.rfind("HashAggregate"), plan
+
+
+def test_percentile_queries_single_scan_single_aggregate(spark):
+    """agg_percentiles and histogram_equidepth over BIGINT cents must
+    stay one parquet scan feeding one (object-)hash aggregate — the
+    cents conversion is a map-side projection, not an extra pass —
+    with no window and no join."""
+    import re
+
+    from impala_refresher_spark.operators.analytics import (
+        histogram_equidepth,
+    )
+    from impala_refresher_spark.operators.relational import agg_percentiles
+
+    for fn in (agg_percentiles, histogram_equidepth):
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+        assert "ObjectHashAggregate" in plan  # percentile buffer agg
+        assert "Join" not in plan and "Window (" not in plan
+
+
+def test_subsample_ci_single_scan_two_level_aggregate(spark):
+    """The integer-cents CI folds out of ONE orders scan through the
+    16-bucket aggregate and the 1-row moments aggregate — no join, no
+    window, and the only shuffles are the two aggregate exchanges."""
+    import re
+
+    from impala_refresher_spark.operators.evaluation import (
+        subsample_ci_revenue,
+    )
+
+    plan = plan_of(subsample_ci_revenue(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Join" not in plan and "Window (" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
