@@ -7977,3 +7977,113 @@ def test_weighted_reservoir_matches_python(spark, docs):
             (lang, did, nc, i + 1) for i, (did, nc) in enumerate(ranked[:5])
         ]
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user
+            st.integers(0, 9),  # minute (event_id disambiguates ties)
+            st.sampled_from(["signup", "click", "view", "buy", "churn"]),
+        ),
+        min_size=0,
+        max_size=14,
+    )
+)
+@settings(**_SETTINGS)
+def test_recursive_reachability_matches_python_bfs(spark, evs):
+    """The literal WITH RECURSIVE walk must equal a Python BFS over
+    the per-user consecutive-transition graph: min hop count from
+    'signup' capped at depth 3, self-transitions dropped, 'signup'
+    itself always present at distance 0 — including tied timestamps
+    (event_id tiebreak) and graphs with no signup edges at all."""
+    import impala_refresher_spark.sources.tables as tbl
+    from impala_refresher_spark.operators.graph import (
+        sql_recursive_reachability,
+    )
+
+    rows = [
+        (u, eid, _BASE + timedelta(minutes=m), et)
+        for eid, (u, m, et) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    orig = tbl.register_views
+    tbl.register_views = (
+        lambda spark, sf, tables=None: df.createOrReplaceTempView("events")
+    )
+    try:
+        got = {r.node: r.dist for r in sql_recursive_reachability(spark, "x").collect()}
+    finally:
+        tbl.register_views = orig
+
+    per_user: dict = {}
+    for u, eid, ts, et in rows:
+        per_user.setdefault(u, []).append((ts, eid, et))
+    edges = set()
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            if a != b:
+                edges.add((a, b))
+    want = {"signup": 0}
+    frontier = ["signup"]
+    for dist in (1, 2, 3):
+        frontier = [
+            d for s in frontier for (ss, d) in edges if ss == s
+        ]
+        for node in frontier:
+            want.setdefault(node, dist)
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-8, 8), min_size=64, max_size=64),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_pca_power_iteration_matches_python(spark, raw):
+    """Two unrolled Gram-free power iterations v <- X^T(Xv) must equal
+    the literal Python evaluation: strict L->R per-row dot folds, the
+    (dim, sum) aggregate, ROUND-stabilized iteration vectors. Inputs
+    are exact quarters so every sum is order-independent dyadic
+    arithmetic and the comparison is exact (final 2-dp round via the
+    Spark-semantics _half_up)."""
+    import impala_refresher_spark.operators.similarity as sim
+
+    vecs = [[x / 4.0 for x in row] for row in raw]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    orig = sim.load_table
+    sim.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.dim: r.loading
+            for r in sim.pca_power_iteration(spark, "x").collect()
+        }
+    finally:
+        sim.load_table = orig
+
+    # floats through a float32 column: quarters in [-2, 2] are exact
+    s1 = [sum(x * 0.125 for x in v) for v in vecs]
+    z1 = [
+        _half_up(sum(s * v[d] for s, v in zip(s1, vecs)), 4)
+        for d in range(64)
+    ]
+    s2 = []
+    for v in vecs:
+        acc = 0.0
+        for i in range(64):
+            acc += v[i] * z1[i]
+        s2.append(acc)
+    want = {
+        d: _half_up(sum(s * v[d] for s, v in zip(s2, vecs)), 2)
+        for d in range(64)
+    }
+    assert got == want
