@@ -22,17 +22,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 55
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # arg 1: a count (first-N registry entries, the driver-window shape)
+    # or a comma-separated name list for fast re-runs of known failures;
+    # arg 2: fixture dir. `--vanilla` anywhere uses a fully-default
+    # session (local[*], 200 shuffle partitions — the DRIVER's
+    # accumulation-order regime) instead of the local[8]/8 sim.
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    spec = args[0] if args else "55"
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("driver-sim")
-        .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
-    )
+    if vanilla:
+        spark = SparkSession.builder.getOrCreate()
+    else:
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("driver-sim")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
 
     from impala_refresher_spark.queries import ORACLES, QUERIES
 
@@ -40,7 +50,14 @@ def main() -> None:
     from oracle_util import compare, duckdb_conn
 
     con = duckdb_conn(sf_dir)
-    names = list(QUERIES)[:n]
+    if "," in spec or spec in QUERIES:
+        names = [s for s in spec.split(",") if s]
+        unknown = [s for s in names if s not in QUERIES]
+        if unknown:
+            print("unknown query names:", unknown)
+            sys.exit(2)
+    else:
+        names = list(QUERIES)[: int(spec)]
     ok, rows_only, failed = [], [], []
     for name in names:
         t0 = time.monotonic()
