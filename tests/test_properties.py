@@ -8087,3 +8087,80 @@ def test_pca_power_iteration_matches_python(spark, raw):
         for d in range(64)
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet=list("ab é\U0001f4a7"), max_size=12)
+        | st.none(),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_udtf_tokenize_matches_python(spark, texts):
+    """The lateral-joined Python UDTF must equal enumerate(split(' ')):
+    ordinals, tokens, and Python char lengths — across empty strings,
+    consecutive spaces (empty tokens), astral-plane characters, and
+    NULL text (outer lateral join, one ('', 0) row at pos 0)."""
+    import impala_refresher_spark.operators.udfs as ud
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = ud.load_table
+    ud.load_table = lambda spark, sf, name: df
+    try:
+        got = sorted(
+            (r.doc_id, r.pos, r.token, r.tok_chars)
+            for r in ud.udtf_tokenize(spark, "x").collect()
+        )
+    finally:
+        ud.load_table = orig
+
+    want = sorted(
+        (i, pos, tok, len(tok))
+        for i, t in rows
+        for pos, tok in enumerate((t or "").split(" "))
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["customer", "order", "x"]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_inverted_index_lookup_matches_python(spark, tmp_path_factory, docs):
+    """Serving a term from the materialized token-bucket-partitioned
+    posting index must equal the direct Python scan: every doc whose
+    whitespace tokens include the term, with its exact term frequency
+    — including corpora where the term never occurs (empty result)
+    and docs with repeated terms. A fresh fixture dir per example
+    exercises the freshness-keyed index build each time."""
+    from impala_refresher_spark.operators.lakehouse import (
+        inverted_index_serve,
+    )
+
+    d = str(tmp_path_factory.mktemp("ii_sf"))
+    rows = [(i, " ".join(ws), "en", len(" ".join(ws))) for i, ws in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars int"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.tf, r.lang, r.n_chars)
+        for r in inverted_index_serve(spark, d).collect()
+    }
+    want = {
+        i: (ws.count("customer"), "en", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+        if "customer" in ws
+    }
+    assert got == want
