@@ -1248,9 +1248,12 @@ def ols_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     islands AS (
       SELECT user_id, s, e,
-             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
+             -- CAST: DuckDB window-SUM over INTEGER yields HUGEINT, which
+             -- the driver's pandas canon renders as float64 ("2.000000")
+             -- while Spark's bigint renders "2" — the r05 hash mismatch.
+             CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island
       FROM flagged
     )
     SELECT user_id, island,

@@ -937,34 +937,19 @@ def kmeans_refine_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding storage quantization — per-vector int8 with scale factor
 # ---------------------------------------------------------------------------
 
-@query(
-    "embed_int8_quantize",
-    """
-    WITH scaled AS (
-      SELECT vec_id,
-             list_reduce(list_prepend(0.0, list_transform(embedding,
-               x -> abs(CAST(x AS DOUBLE)))), (acc, v) -> CASE WHEN v > acc THEN v ELSE acc END)
-               AS max_abs
-      FROM embeddings
-    )
-    SELECT e.vec_id,
-           ROUND(s.max_abs, 6) AS scale_factor,
-           list_transform(e.embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) / s.max_abs * 127) AS INTEGER)) AS q
-    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
-    WHERE s.max_abs > 0
-    """,
-)
-def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 quantization per vector: store q[i] =
+def int8_quantize_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector, ARRAY form: q[i] =
     round(x[i] / max|x| * 127) plus the one scale factor — 4× smaller
     than float32 (the storage/bandwidth lever between full floats and
     PQ codes; dequantize = q * scale / 127 with ~0.4% max error).
 
     Map-only: the max-|x| fold and the transform run per row inside
-    codegen, no shuffle, no Python. DuckDB's round() and Spark's
-    round() both do half-up on positives / half-away overall for
-    .5 ties at integer grain, so the codes compare exactly."""
+    codegen, no shuffle, no Python. This is the storage-layout form a
+    pipeline would actually persist; the DECLARED query below explodes
+    it to scalar rows because the driver's pandas-based canonicalizer
+    cannot lexsort list-typed cells (the r05 `err` — pytest keeps the
+    array-form contract in tests/test_properties.py /
+    tests/test_edge_cases.py)."""
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
     absmax = F.aggregate(
         F.transform("embedding", lambda x: F.abs(x.cast("double"))),
@@ -983,6 +968,44 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("max_abs", 6).alias("scale_factor"),
             q.alias("q"),
         )
+    )
+
+
+@query(
+    "embed_int8_quantize",
+    """
+    WITH scaled AS (
+      SELECT vec_id,
+             list_reduce(list_prepend(0.0, list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), (acc, v) -> CASE WHEN v > acc THEN v ELSE acc END)
+               AS max_abs
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           ROUND(s.max_abs, 6) AS scale_factor,
+           CAST(UNNEST(range(len(e.embedding))) AS INT) AS pos,
+           UNNEST(list_transform(e.embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) / s.max_abs * 127) AS INTEGER))) AS q_val
+    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+    WHERE s.max_abs > 0
+    """,
+)
+def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared form of :func:`int8_quantize_vectors`, exploded to one
+    row per (vec_id, pos) so every output column is scalar: the only
+    r05 query with an ``array<>`` output column crashed the driver's
+    pandas canonicalization (``sort_values`` → unhashable list). The
+    oracle zips two same-level UNNESTs (position + code), which DuckDB
+    aligns positionally — exactly ``posexplode``.
+
+    Scale note: the explode multiplies rows by the embedding dim (64)
+    but stays map-only (no shuffle, no Python); the persisted layout at
+    100 TB remains the array form."""
+    vecs = int8_quantize_vectors(spark, sf_dir)
+    return vecs.select(
+        "vec_id",
+        "scale_factor",
+        F.posexplode("q").alias("pos", "q_val"),
     )
 
 

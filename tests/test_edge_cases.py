@@ -302,7 +302,10 @@ def test_int8_quantize_zero_vector_excluded(spark, tmp_path):
     it BEFORE the divide, and the surviving codes must be exact."""
     import duckdb
 
-    from impala_refresher_spark.operators.similarity import embed_int8_quantize
+    from impala_refresher_spark.operators.similarity import (
+        embed_int8_quantize,
+        int8_quantize_vectors,
+    )
     from impala_refresher_spark.registry import ORACLES
     from oracle_util import compare
 
@@ -312,8 +315,7 @@ def test_int8_quantize_zero_vector_excluded(spark, tmp_path):
         "vec_id long, embedding array<float>, label int",
     ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
 
-    out = embed_int8_quantize(spark, d)
-    rows = out.collect()
+    rows = int8_quantize_vectors(spark, d).collect()
     assert [r.vec_id for r in rows] == [2]  # zero vector filtered, no error
     assert rows[0].q == [64, -127, 32]  # round(x/3.0*127)
 
@@ -321,7 +323,8 @@ def test_int8_quantize_zero_vector_excluded(spark, tmp_path):
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
     )
-    compare(out, con, ORACLES["embed_int8_quantize"])
+    # declared (exploded, scalar-only) form against the zipped-UNNEST oracle
+    compare(embed_int8_quantize(spark, d), con, ORACLES["embed_int8_quantize"])
 
 
 def test_nearest_event_same_ts_clicks_pick_min_id(spark, tmp_path):

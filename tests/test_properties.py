@@ -4631,7 +4631,7 @@ def test_int8_quantize_matches_python(spark, vecs):
     (x/max|x|*127); zero vectors are filtered before the divide."""
     import math
 
-    from impala_refresher_spark.operators.similarity import embed_int8_quantize
+    from impala_refresher_spark.operators.similarity import int8_quantize_vectors
     import impala_refresher_spark.operators.similarity as sim
 
     df = spark.createDataFrame(
@@ -4642,7 +4642,7 @@ def test_int8_quantize_matches_python(spark, vecs):
     try:
         got = {
             r.vec_id: (r.scale_factor, list(r.q))
-            for r in embed_int8_quantize(spark, "x").collect()
+            for r in int8_quantize_vectors(spark, "x").collect()
         }
     finally:
         sim.load_table = orig
