@@ -724,9 +724,14 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     r05 driver-precision canon at sf0.001): a median of 2-dp money
     values interpolates adjacent cents at f=0.5, landing EXACTLY on a
     half-cent — ROUND(·, 2) of the two engines' ulp-different lerps
-    then flips a cent. Interpolating over exact BIGINT cents instead
-    makes the dyadic-f lerp exact on both engines; round to integer
-    cents once, divide by 100 last."""
+    then flips a cent. Interpolating over exact BIGINT cents removes
+    that class for the dyadic f=0.5 (the lerp is exact IEEE); for
+    p95 and other non-dyadic fractions the lerp is still inexact
+    double arithmetic, and cross-engine agreement relies on both
+    engines computing the identical h = f·(n−1) lerp formula to
+    bit-identical doubles, plus scale-0 rounding being tie-safe in
+    the integer-cents domain — the guard is the pinned regression in
+    tests/test_edge_cases.py, not exactness."""
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     return li.groupBy("l_returnflag").agg(

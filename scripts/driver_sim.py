@@ -50,14 +50,16 @@ def main() -> None:
     from oracle_util import compare, duckdb_conn
 
     con = duckdb_conn(sf_dir)
-    if "," in spec or spec in QUERIES:
+    # Any non-numeric spec is a name list, so a single misspelled name
+    # reports "unknown query names" instead of an int() traceback.
+    if spec.isdigit():
+        names = list(QUERIES)[: int(spec)]
+    else:
         names = [s for s in spec.split(",") if s]
         unknown = [s for s in names if s not in QUERIES]
         if unknown:
             print("unknown query names:", unknown)
             sys.exit(2)
-    else:
-        names = list(QUERIES)[: int(spec)]
     ok, rows_only, failed = [], [], []
     for name in names:
         t0 = time.monotonic()
