@@ -956,9 +956,19 @@ def int8_quantize_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: F.when(v > acc, v).otherwise(acc),
     )
+    # try_divide, not /: the declared (posexplode) form makes
+    # InferFiltersFromGenerate synthesize `size(q) > 0` / `isnotnull(q)`
+    # predicates that land in the SAME Filter as `max_abs > 0`, and
+    # common-subexpression elimination evaluates the q transform there
+    # BEFORE the guard conjunct can short-circuit — an ANSI plain
+    # divide then errors on the all-zero vector the guard exists to
+    # drop. For every surviving row max_abs > 0, so try_divide is
+    # bit-identical to /.
     q = F.transform(
         "embedding",
-        lambda x: F.round(x.cast("double") / F.col("max_abs") * 127).cast("int"),
+        lambda x: F.round(
+            F.try_divide(x.cast("double"), F.col("max_abs")) * 127
+        ).cast("int"),
     )
     return (
         e.withColumn("max_abs", absmax)

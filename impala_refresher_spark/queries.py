@@ -51,10 +51,12 @@ def _load() -> None:
 # (oldest evidence first, name as tie-break), with this round's
 # code-changed queries pinned to the front — so each round's 50-slot
 # window re-verifies the stalest evidence and the rotation continues
-# automatically in later rounds (r06 window = the 2 fixes + all 46
-# r01-green + the 2 alphabetically-first r02-green; r07 inherits the
+# automatically in later rounds (r06 window = the 2 fixes +
+# agg_percentiles, whose source changed this round, + all 46
+# r01-green + the alphabetically-first r02-green; r07 inherits the
 # remaining r02 block, and so on). Max evidence age stays bounded at
-# ~5 rounds with zero manual curation.
+# ~5 rounds; re-queues are enforced mechanically by the source-hash
+# gate in scripts/gen_ledger.py (STALE GREEN exits nonzero).
 #
 # The 2 rows-only queries (`agg_approx_percentiles`,
 # `agg_approx_distinct`) sit at the LITERAL tail (every registry name
