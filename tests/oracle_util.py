@@ -95,9 +95,44 @@ def _canon_rows(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+_SPARK_TYPE_CLASS = {
+    "byte": "int", "short": "int", "integer": "int", "long": "int",
+    "float": "float", "double": "float", "decimal": "float",
+    "boolean": "bool", "string": "str",
+    "timestamp": "dt", "timestamp_ntz": "dt", "date": "dt",
+    "binary": "bin",
+}
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_DT = {
+    "TIMESTAMP", "DATE", "TIMESTAMP WITH TIME ZONE",
+    "TIMESTAMP_NS", "TIMESTAMP_MS",
+}
+
+
+def _duck_type_class(ts: str) -> str:
+    if ts in _DUCK_INT:
+        return "int"
+    if ts in ("FLOAT", "DOUBLE") or ts.startswith("DECIMAL"):
+        return "float"
+    if ts == "BOOLEAN":
+        return "bool"
+    if ts == "VARCHAR":
+        return "str"
+    if ts in _DUCK_DT:
+        return "dt"
+    if ts == "BLOB":
+        return "bin"
+    return ts
+
+
 def _gate_shapes(spark_df, con, sql: str) -> None:
-    """Static shape gates — the two r05 driver-red classes, enforced at
-    every differential run BEFORE any data moves:
+    """Static shape gates — the r04-r06 driver-red FAMILY (dtype-class
+    splits through the pandas marshaling), enforced at every
+    differential run BEFORE any data moves:
 
     (a) no nested (array/map/struct) output column on either side —
         the driver's pandas canon crashes lexsorting list cells
@@ -105,7 +140,13 @@ def _gate_shapes(spark_df, con, sql: str) -> None:
     (b) no HUGEINT-producing expression in the oracle's output — an
         uncast integer SUM arrives in pandas as float64 ("2.000000")
         against Spark's bigint ("2") and hash-fails at the driver
-        (r05 ``merge_overlapping_intervals`` hash mismatch).
+        (r05 ``merge_overlapping_intervals`` hash mismatch);
+    (c) per-column TYPE-CLASS agreement (int/float/bool/str/datetime/
+        binary) between the Spark schema and the DuckDB binder — the
+        generalization of (b): ANY integral-vs-floating split renders
+        "2" vs "2.000000" in the pandas canon. All 236 oracled queries
+        were class-aligned when this gate landed (r06 survey), so a
+        violation is always new drift, never legacy.
     """
     nested = [
         f.name
@@ -129,6 +170,21 @@ def _gate_shapes(spark_df, con, sql: str) -> None:
         f"driver-unsafe oracle output type(s) {bad}: HUGEINT renders as "
         "float64 in the driver's pandas canon (CAST the SUM to BIGINT); "
         "nested types cannot be sorted"
+    )
+    s_cls = {
+        f.name: _SPARK_TYPE_CLASS.get(f.dataType.typeName(), f.dataType.typeName())
+        for f in spark_df.schema.fields
+    }
+    d_cls = {c: _duck_type_class(str(t)) for c, t in zip(rel.columns, rel.types)}
+    split = [
+        (c, s_cls[c], d_cls[c])
+        for c in s_cls
+        if c in d_cls and s_cls[c] != d_cls[c]
+    ]
+    assert not split, (
+        f"dtype-class split(s) {split} (column, spark, duckdb): the "
+        "driver's pandas canon renders the two classes differently "
+        "(e.g. bigint '2' vs double '2.000000') — cast one side"
     )
 
 

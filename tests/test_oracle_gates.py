@@ -58,6 +58,17 @@ def test_gate_rejects_list_output_columns(spark, con):
         compare(df, con, sql)
 
 
+def test_gate_catches_dtype_class_split(spark, con):
+    """Gate (c), the generalization of the HUGEINT class: a declared
+    integral column on one side vs floating on the other renders
+    '2' vs '2.000000' in the pandas canon even when the VALUES agree —
+    the gate must fail it statically, before the value compare."""
+    df = spark.sql("SELECT CAST(2 AS BIGINT) AS v")
+    with pytest.raises(AssertionError, match="dtype-class split"):
+        compare(df, con, "SELECT CAST(2 AS DOUBLE) AS v")
+    compare(df, con, "SELECT CAST(2 AS BIGINT) AS v")
+
+
 def test_comparator_resolves_cents_at_money_magnitude(spark, con):
     """The r04 class stays pinned under the pandas-path comparator: a
     one-cent difference at magnitude 2.5e5 must fail (the old .6g canon
