@@ -1042,3 +1042,22 @@ def test_subsample_ci_single_scan_two_level_aggregate(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
     assert "Join" not in plan and "Window (" not in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan
+
+
+def test_int8_quantize_exploded_form_stays_map_only(spark):
+    """The declared (posexplode) quantize form must keep the array
+    form's scale shape: ONE embeddings scan, the Generate directly over
+    the projection, no keyed shuffle (fan_out's round-robin widening is
+    allowed), no join, and no Python in the data path — the explode
+    multiplies rows by the dim but never moves them."""
+    import re
+
+    from impala_refresher_spark.operators.similarity import embed_int8_quantize
+
+    plan = plan_of(embed_int8_quantize(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Generate" in plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Join" not in plan and "Window (" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
