@@ -755,10 +755,9 @@ _BM25_B = 0.75
 
 _BM25_IN = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
 
-
-@query(
-    "text_bm25_score",
-    f"""
+# Module constant so `retrieval_rrf_fusion` can embed the SAME lexical
+# scorer as a subquery — one BM25 definition, two oracles.
+_BM25_SQL = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ),
@@ -790,8 +789,10 @@ _BM25_IN = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
            + COALESCE(SUM(CASE WHEN token = 'table' THEN s END), 0.0)
            + COALESCE(SUM(CASE WHEN token = 'fast' THEN s END), 0.0) AS bm25
     FROM scored GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("text_bm25_score", _BM25_SQL)
 def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25(k1=1.2, b=0.75) of a fixed 3-term query against every
     document — the lexical-retrieval scorer that pairs with the dense
@@ -916,4 +917,186 @@ def gopher_gate_ids(d: DataFrame) -> DataFrame:
             & (top_bigram_frac <= 0.20)
         )
         .select("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (the RAG / embedding-prep splitter)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (overlap = W - S = 16 tokens)
+
+
+@query(
+    "text_chunk_sliding",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id, toks,
+             CAST(1 + ceil(greatest(len(toks) - {_CHUNK_W}, 0) / {_CHUNK_S}.0)
+                  AS INT) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(UNNEST(range(n_chunks)) AS INT) AS chunk_id,
+           UNNEST(list_transform(range(n_chunks),
+             k -> CAST(len(toks[k * {_CHUNK_S} + 1 : k * {_CHUNK_S} + {_CHUNK_W}])
+                       AS INT))) AS n_tokens,
+           UNNEST(list_transform(range(n_chunks),
+             k -> array_to_string(toks[k * {_CHUNK_S} + 1 : k * {_CHUNK_S} + {_CHUNK_W}],
+                                  ' '))) AS chunk_text
+    FROM m
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    {W}-token windows at stride {S} — the preprocessing step that feeds
+    an embedding model for RAG / dense retrieval (every doc yields >= 1
+    chunk; the last chunk may run short; a doc of <= {W} tokens is one
+    chunk). Chunk count = 1 + ceil(max(0, n - W) / S), so windows cover
+    every token and consecutive chunks share W - S tokens of context.
+
+    Map-only: token split, chunk count, and per-chunk slices all run
+    inside codegen on the scan projection; the explode (Generate)
+    multiplies rows by chunks-per-doc — bounded by document length,
+    never corpus size — and moves nothing (no shuffle, no Python).
+    At 100 TB this is the shape that matters: chunking is a pure map
+    stage that pipelines into the (stubbed) embedding UDF without a
+    repartition. The oracle zips three same-level UNNESTs (id, length,
+    text), which DuckDB aligns positionally — exactly posexplode over
+    the same slices; slicing clamps at the array end on both engines."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(F.size(toks) - _CHUNK_W, F.lit(0)) / F.lit(float(_CHUNK_S)))
+    ).cast("int")
+    base = d.select("doc_id", toks.alias("toks"), n_chunks.alias("n_chunks"))
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W)
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+text_chunk_sliding.__doc__ = text_chunk_sliding.__doc__.replace(
+    "{W}", str(_CHUNK_W)
+).replace("{S}", str(_CHUNK_S))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 (sparse) + cosine (dense)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60     # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_TOPN = 50  # candidates kept from each ranker before fusion
+
+
+def _rrf_oracle() -> str:
+    """Generated DuckDB twin of `retrieval_rrf_fusion`. Portable
+    because both rankers are already cross-engine exact: BM25 scores
+    match bitwise (`_BM25_SQL`'s fixed-order conditional sums) and the
+    cosine fold is the shared L->R list_reduce; both rankings use a
+    TOTAL order (score DESC, doc_id) so row_number agrees on ties, and
+    the fused score is a fixed two-term sum of exact-operand divisions
+    (1.0 / (rank + 60)) — correctly-rounded IEEE on both engines, so
+    the output is deliberately UNROUNDED."""
+    from impala_refresher_spark.operators.similarity import _sql_cosine
+
+    return f"""
+    WITH bm AS ({_BM25_SQL}),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS lex_rank
+      FROM bm QUALIFY lex_rank <= {_RRF_TOPN}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dn AS (
+      SELECT vec_id AS doc_id, {_sql_cosine("embedding", "qv")} AS sim
+      FROM embeddings, q WHERE vec_id <> 0
+    ),
+    dense AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INT)
+               AS dense_rank
+      FROM dn QUALIFY dense_rank <= {_RRF_TOPN}
+    )
+    SELECT doc_id, lex_rank, dense_rank,
+           COALESCE(1.0 / (lex_rank + {_RRF_K}), 0.0)
+           + COALESCE(1.0 / (dense_rank + {_RRF_K}), 0.0) AS rrf_score
+    FROM lex FULL JOIN dense USING (doc_id)
+    """
+
+
+@query("retrieval_rrf_fusion", _rrf_oracle())
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009,
+    the standard hybrid-search combiner): the top-50 BM25 (sparse) and
+    top-50 cosine (dense, vs the vec_id-0 query vector) candidate lists
+    merge on doc_id with score = sum over rankers of 1/(60 + rank); a
+    doc missing from one list contributes 0 from it. This is the
+    serving-side composition of `text_bm25_score` (lexical) and the
+    `cosine_topk` shape (dense) — rank-based, so the two scorers'
+    incomparable scales never need calibration.
+
+    Scale shape: each ranker reduces the corpus to a 50-row candidate
+    list BEFORE the fusion join, so the full-outer join is candidate-
+    sized regardless of corpus size; the global row_number windows run
+    over (a) BM25's query-term hits and (b) the dense scan — at 100 TB
+    (b) becomes TakeOrdered per shard + a final merge (the `ann_*`
+    index paths), and the fusion stage is unchanged. Ranks use a total
+    order (score DESC, doc_id) so ties are deterministic cross-engine;
+    the fused score is a fixed-order sum of two exact divisions and is
+    deliberately unrounded (bit-identical IEEE)."""
+    from pyspark.sql.window import Window
+
+    from impala_refresher_spark.operators.similarity import cosine
+
+    bm = text_bm25_score(spark, sf_dir)
+    lex = (
+        bm.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .alias("lex_rank"),
+        )
+        .filter(F.col("lex_rank") <= _RRF_TOPN)
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dn = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    dense = (
+        dn.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
+            .alias("dense_rank"),
+        )
+        .filter(F.col("dense_rank") <= _RRF_TOPN)
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.col("lex_rank") + _RRF_K), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.col("dense_rank") + _RRF_K), F.lit(0.0)
+    )
+    return lex.join(dense, "doc_id", "full").select(
+        "doc_id", "lex_rank", "dense_rank", rrf.alias("rrf_score")
     )

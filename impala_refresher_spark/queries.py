@@ -51,11 +51,13 @@ def _load() -> None:
 # (oldest evidence first, name as tie-break), with this round's
 # code-changed queries pinned to the front — so each round's 50-slot
 # window re-verifies the stalest evidence and the rotation continues
-# automatically in later rounds (r06 window = the 2 fixes +
-# agg_percentiles, whose source changed this round, + all 46
-# r01-green + the alphabetically-first r02-green; r07 inherits the
-# remaining r02 block, and so on). Max evidence age stays bounded at
-# ~5 rounds; re-queues are enforced mechanically by the source-hash
+# automatically in later rounds (r06 window = the 2 fixes + 2
+# source-changed re-queues (agg_percentiles, text_bm25_score) + the 2
+# net-new queries (text_chunk_sliding, retrieval_rrf_fusion — the
+# r05 verdict's <=5 allowance; surface now 240 = 238 oracled + 2
+# rows-only) + the 43 oldest r01-green; the last 3 r01 names and the
+# r02 block rotate to r07, and so on). Max evidence age stays bounded
+# at ~5 rounds; re-queues are enforced mechanically by the source-hash
 # gate in scripts/gen_ledger.py (STALE GREEN exits nonzero).
 #
 # The 2 rows-only queries (`agg_approx_percentiles`,
@@ -77,7 +79,14 @@ _R06_PRIORITY = [
     # -- slot 3: r06 source change (docstring softened per r05 ADVICE;
     #    re-queued by the gen_ledger hash gate, which caught it) ------
     "agg_percentiles",
-    # -- r01-green (slots 4-49) --
+    # -- slots 4-5: r06 net-new (the <=5 allowance): sliding-window
+    #    chunking and BM25+dense RRF hybrid retrieval — first checks --
+    "text_chunk_sliding",
+    "retrieval_rrf_fusion",
+    # -- slot 6: r06 source change (oracle SQL extracted to _BM25_SQL
+    #    for reuse by the fusion oracle; same bytes, hash re-queue) ---
+    "text_bm25_score",
+    # -- r01-green (slots 7-49; the last 3 r01 names rotate to r07) --
     "agg_count_distinct",
     "agg_cube",
     "agg_grouping_sets",
@@ -195,7 +204,6 @@ _R06_PRIORITY = [
     "stream_stream_join",
     "stream_stream_left_outer",
     "stream_windowed_topk",
-    "text_bm25_score",
     "timeseries_interpolate_linear",
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",

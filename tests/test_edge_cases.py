@@ -782,3 +782,92 @@ def test_scale2_round_diverges_and_scale0_cents_round_agrees(spark):
     spark_scale0 = spark.sql(s0).collect()[0].v
     duck_scale0 = duckdb.sql(s0).fetchone()[0]
     assert spark_scale0 == duck_scale0 == 306970.54
+
+
+def test_chunk_sliding_boundary_docs_match_oracle(spark, tmp_path):
+    """Chunk-count boundaries: a doc of exactly W tokens is ONE chunk;
+    W + k*S tokens fit exactly (last chunk full); one token past adds a
+    short chunk; a single-token doc is one 1-token chunk. Differential
+    proves Spark slice(start, W) and DuckDB l[a:b] clamp identically."""
+    import duckdb
+
+    from impala_refresher_spark.operators.text import (
+        _CHUNK_S,
+        _CHUNK_W,
+        text_chunk_sliding,
+    )
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    W, S = _CHUNK_W, _CHUNK_S
+    sizes = [1, W - 1, W, W + 1, W + S, W + S + 1, W + 2 * S, 3 * W]
+    rows = [(i + 1, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(sizes)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{d}/documents.parquet"
+    )
+
+    out = text_chunk_sliding(spark, d)
+    per_doc = {
+        r.doc_id: r.n for r in out.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    import math
+
+    for (doc_id, text), n in zip(rows, sizes):
+        assert per_doc[doc_id] == 1 + math.ceil(max(0, n - W) / S), (doc_id, n)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    compare(out, con, ORACLES["text_chunk_sliding"])
+
+
+def test_rrf_fusion_one_sided_candidates_match_oracle(spark, tmp_path):
+    """RRF membership edges: a doc with BM25 hits but NO embedding row
+    appears lexical-only (dense_rank NULL, single-term score); an
+    embedding whose doc has no query-term hits appears dense-only; a
+    BM25 TIE (identical texts) must break by doc_id identically on both
+    engines. Differential on a corpus built to hit all three."""
+    import duckdb
+
+    from impala_refresher_spark.operators.text import retrieval_rrf_fusion
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    docs = [
+        (0, "the query vector doc"),          # vec_id 0 = query, excluded from dense
+        (1, "customer table fast customer"),  # strong lexical, HAS embedding
+        (2, "customer table fast customer"),  # identical text -> bm25 tie with 1
+        (3, "customer fast"),                 # lexical, NO embedding row
+        (4, "nothing relevant here at all"),  # no hits, HAS embedding (dense-only)
+        (5, "table"),                         # weak lexical, HAS embedding
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    embs = [
+        (0, [1.0, 0.0, 0.5, 0.25], 0),
+        (1, [1.0, 0.0, 0.5, 0.25], 0),   # identical to query -> sim 1.0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.5, 0.5, 0.5, 0.5], 1),
+        (5, [-1.0, 0.0, -0.5, -0.25], 1),  # anti-parallel -> sim -1
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    out = retrieval_rrf_fusion(spark, d)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[3].dense_rank is None and rows[3].lex_rank is not None
+    assert rows[4].lex_rank is None and rows[4].dense_rank is not None
+    assert rows[1].lex_rank < rows[2].lex_rank  # bm25 tie -> doc_id order
+    assert 0 not in rows  # the query vector's own doc has no hits/candidacy
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    compare(out, con, ORACLES["retrieval_rrf_fusion"])

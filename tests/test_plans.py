@@ -1061,3 +1061,36 @@ def test_int8_quantize_exploded_form_stays_map_only(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert "Join" not in plan and "Window (" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_sliding_is_map_only_generate(spark):
+    """Chunking must stay a pure map stage: ONE documents scan, the
+    Generate (explode over chunk ids) with slices computed in codegen,
+    no keyed shuffle, no join, no window, no Python — the shape that
+    lets chunking pipeline into an embedding UDF at 100 TB without a
+    repartition."""
+    import re
+
+    from impala_refresher_spark.operators.text import text_chunk_sliding
+
+    plan = plan_of(text_chunk_sliding(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "Generate" in plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Join" not in plan and "Window (" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rrf_fusion_join_is_candidate_sized(spark):
+    """RRF's fusion join must run over the two 50-row candidate lists,
+    never the corpus: both ranker outputs pass through a rank filter
+    BEFORE the full-outer join, and the dense side's one-row query
+    vector attaches by broadcast (no cartesian)."""
+    from impala_refresher_spark.operators.text import retrieval_rrf_fusion
+
+    plan = plan_of(retrieval_rrf_fusion(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the rank <= 50 cut exists on both branches (filters over row_number)
+    assert plan.lower().count("lex_rank") >= 2 and plan.lower().count("dense_rank") >= 2

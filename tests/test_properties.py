@@ -8164,3 +8164,73 @@ def test_inverted_index_lookup_matches_python(spark, tmp_path_factory, docs):
         if "customer" in ws
     }
     assert got == want
+
+
+@st.composite
+def chunk_corpus(draw):
+    """Docs whose token counts straddle every chunk boundary class:
+    under one window (n < W), exactly W, exact multi-chunk fits
+    (n = W + k*S), one-past (n = W + k*S + 1), and a long tail."""
+    from impala_refresher_spark.operators.text import _CHUNK_S, _CHUNK_W
+
+    sizes = draw(
+        st.lists(
+            st.one_of(
+                st.integers(1, _CHUNK_W + 2),
+                st.sampled_from(
+                    [
+                        _CHUNK_W,
+                        _CHUNK_W + _CHUNK_S,
+                        _CHUNK_W + _CHUNK_S + 1,
+                        _CHUNK_W + 2 * _CHUNK_S,
+                        3 * _CHUNK_W,
+                    ]
+                ),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    return [(i + 1, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(sizes)]
+
+
+@given(chunk_corpus())
+@settings(**_SETTINGS)
+def test_chunk_sliding_matches_python(spark, docs):
+    """Every (doc, chunk) must equal the literal python slicing rule:
+    starts at 0, S, 2S, ... with n_chunks = 1 + ceil(max(0, n-W)/S);
+    windows clamp at the end; every token is covered; consecutive
+    chunks overlap by exactly W - S (except a short last chunk)."""
+    import math
+
+    import impala_refresher_spark.operators.text as txt
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    orig = txt.load_table
+    txt.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+            for r in txt.text_chunk_sliding(spark, "x").collect()
+        }
+    finally:
+        txt.load_table = orig
+
+    W, S = txt._CHUNK_W, txt._CHUNK_S
+    want = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        n_chunks = 1 + math.ceil(max(0, n - W) / S)
+        for k in range(n_chunks):
+            piece = toks[k * S : k * S + W]
+            want[(doc_id, k)] = (len(piece), " ".join(piece))
+    assert got == want
+    # coverage: concatenating chunk starts covers every token index
+    for doc_id, text in docs:
+        n = len(text.split(" "))
+        covered = set()
+        for (d, k), (ln, _) in want.items():
+            if d == doc_id:
+                covered.update(range(k * S, k * S + ln))
+        assert covered == set(range(n)), doc_id
