@@ -1052,29 +1052,31 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     `cosine_topk` shape (dense) — rank-based, so the two scorers'
     incomparable scales never need calibration.
 
-    Scale shape: each ranker reduces the corpus to a 50-row candidate
-    list BEFORE the fusion join, so the full-outer join is candidate-
-    sized regardless of corpus size; the global row_number windows run
-    over (a) BM25's query-term hits and (b) the dense scan — at 100 TB
-    (b) becomes TakeOrdered per shard + a final merge (the `ann_*`
-    index paths), and the fusion stage is unchanged. Ranks use a total
-    order (score DESC, doc_id) so ties are deterministic cross-engine;
-    the fused score is a fixed-order sum of two exact divisions and is
-    deliberately unrounded (bit-identical IEEE)."""
+    Scale shape: each ranker cuts to its 50-row candidate list with
+    `orderBy().limit()` — TakeOrderedAndProject, a per-partition top-k
+    heap merged at the driver (the `cosine_topk` shape), NEVER a
+    corpus-sized single-partition sort — so the only global windows
+    (the rank assignments) run over exactly 50 rows, and the full-outer
+    fusion join is candidate-sized regardless of corpus size. Ranks use
+    a total order (score DESC, doc_id) so the cut and the ties are
+    deterministic cross-engine; the fused score is a fixed-order sum of
+    two exact divisions and is deliberately unrounded (bit-identical
+    IEEE)."""
     from pyspark.sql.window import Window
 
     from impala_refresher_spark.operators.similarity import cosine
 
-    bm = text_bm25_score(spark, sf_dir)
-    lex = (
-        bm.select(
+    def _top_ranked(df: DataFrame, score, rank_name: str) -> DataFrame:
+        cand = df.orderBy(score.desc(), "doc_id").limit(_RRF_TOPN)
+        return cand.select(
             "doc_id",
             F.row_number()
-            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
-            .alias("lex_rank"),
+            .over(Window.orderBy(score.desc(), "doc_id"))
+            .alias(rank_name),
         )
-        .filter(F.col("lex_rank") <= _RRF_TOPN)
-    )
+
+    bm = text_bm25_score(spark, sf_dir)
+    lex = _top_ranked(bm, F.col("bm25"), "lex_rank")
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     dn = (
@@ -1085,15 +1087,7 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("embedding"), F.col("qv")).alias("sim"),
         )
     )
-    dense = (
-        dn.select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
-            .alias("dense_rank"),
-        )
-        .filter(F.col("dense_rank") <= _RRF_TOPN)
-    )
+    dense = _top_ranked(dn, F.col("sim"), "dense_rank")
     rrf = F.coalesce(F.lit(1.0) / (F.col("lex_rank") + _RRF_K), F.lit(0.0)) + F.coalesce(
         F.lit(1.0) / (F.col("dense_rank") + _RRF_K), F.lit(0.0)
     )

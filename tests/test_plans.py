@@ -1084,13 +1084,20 @@ def test_chunk_sliding_is_map_only_generate(spark):
 
 def test_rrf_fusion_join_is_candidate_sized(spark):
     """RRF's fusion join must run over the two 50-row candidate lists,
-    never the corpus: both ranker outputs pass through a rank filter
-    BEFORE the full-outer join, and the dense side's one-row query
-    vector attaches by broadcast (no cartesian)."""
+    never the corpus: each ranker's top-50 cut is TakeOrderedAndProject
+    (per-partition heap + driver merge — NEVER a corpus-sized single-
+    partition sort), the rank windows run over the already-cut 50 rows,
+    and the dense side's one-row query vector attaches by broadcast
+    (no cartesian)."""
+    import re
+
     from impala_refresher_spark.operators.text import retrieval_rrf_fusion
 
     plan = plan_of(retrieval_rrf_fusion(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # the rank <= 50 cut exists on both branches (filters over row_number)
+    # both candidate cuts are distributed top-k, not global sorts
+    assert len(re.findall(r"^\(\d+\) TakeOrderedAndProject", plan, re.M)) == 2, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    # ranks assigned AFTER the cut: each Window sits above a top-k
     assert plan.lower().count("lex_rank") >= 2 and plan.lower().count("dense_rank") >= 2
