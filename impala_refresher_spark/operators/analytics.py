@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from impala_refresher_spark.operators.prefix import ntile_of, with_global_running
 from impala_refresher_spark.registry import query
 from impala_refresher_spark.sources.tables import load_table
 
@@ -1806,26 +1807,33 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^61); at sf10 the int64 products overflow (ANSI error in
     Spark, silent HUGEINT widening in DuckDB). Above that bound,
     cast the weighted sum to DOUBLE (Gini needs ~6 significant
-    digits; 2^53 of double precision is ample) or rank within
-    equi-width buckets as noted below — the integer form is the
-    ≤sf1 differential-testing configuration, not an unconditional
-    claim. The ranking is a total order (rev, custkey) so
-    ties cannot wobble deciles. One customer-grain aggregate, one
-    sort at the customer grain (not the fact), then 10-row windows;
-    the at-scale variant ranks within equi-width revenue buckets
-    (same two-level trick as the AUC histogram form)."""
+    digits; 2^53 of double precision is ample) — the integer form
+    is the ≤sf1 differential-testing configuration, not an
+    unconditional claim. The ranking is a total order (rev,
+    custkey) so ties cannot wobble deciles, and it runs TWO-LEVEL
+    (`prefix.with_global_running`): row_number is bucket offset +
+    within-bucket rank over revenue-percentile buckets, and
+    NTILE(10) is recovered exactly from (i, n) by `prefix.ntile_of`
+    — so the customer-grain path is hash-partitioned windows only;
+    the single-partition exchanges that remain feed the 32-row
+    offsets window and the 10-row decile rollup."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("rev_cents")
     )
-    order = Window.orderBy("rev_cents", "o_custkey")
-    ranked = per_cust.select(
-        "rev_cents",
-        F.row_number().over(order).alias("i"),
-        F.ntile(10).over(order).alias("decile"),
-    )
+    # Two-level ranking (prefix.with_global_running): the customer-
+    # grain row_number runs bucket-partitioned (no single-partition
+    # exchange), and NTILE(10) is recovered exactly from (i, n) by the
+    # closed form in prefix.ntile_of — output values unchanged.
+    ranked = with_global_running(
+        per_cust,
+        key="rev_cents",
+        ascending=True,
+        tie_cols=["o_custkey"],
+        running={"i": F.lit(1).cast("long")},
+    ).select("rev_cents", "i")
     g = ranked.agg(
         F.sum(2 * F.col("i") * F.col("rev_cents")).alias("wsum"),
         F.sum("rev_cents").alias("total"),
@@ -1843,6 +1851,7 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.crossJoin(F.broadcast(g))
+        .withColumn("decile", ntile_of(F.col("i"), F.col("n"), 10))
         .groupBy("decile", "wsum", "total", "n")
         .agg(
             F.count("*").cast("long").alias("n_customers"),

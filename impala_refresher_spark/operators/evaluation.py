@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from impala_refresher_spark.operators.prefix import (
+    bucketed_prefix,
+    ntile_of,
+    with_global_running,
+)
 from impala_refresher_spark.registry import query
 from impala_refresher_spark.sources.tables import load_table
 
@@ -184,21 +189,32 @@ def score_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The tie-averaged rank derives from rank() + a per-score count
     window — both deterministic and engine-identical (no dense_rank
-    ambiguity, no float ordering). One global sort at this grain; at
-    100 TB use the bucketed form: histogram scores (map-side), then
-    AUC from cumulative negative counts per bucket — the same
-    statistic, fully partial-aggregable, with resolution set by the
-    bucket width. Ranks are integers, the rank-sum is exact in
+    ambiguity, no float ordering). The rank runs TWO-LEVEL
+    (`prefix.bucketed_prefix`): in-bucket rank() over score-percentile
+    buckets + the prior-bucket row count — equal to the global
+    min-rank because ties share a bucket — so the doc-grain path is
+    hash-partitioned windows only (the tie-count window was already
+    keyed by score). Ranks are integers, the rank-sum is exact in
     doubles far below 2^53, and only the final quotient rounds."""
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         F.col("n_chars").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
     )
-    ranked = scored.select(
+    # Two-level rank (prefix.bucketed_prefix): ties share a bucket, so
+    # in-bucket rank() + the prior-bucket row count equals the global
+    # min-rank exactly; the tie-count window stays keyed by score.
+    b, in_bucket = bucketed_prefix(
+        scored,
+        key="score",
+        ascending=True,
+        tie_cols=[],
+        totals={"cnt": F.lit(1).cast("long")},
+    )
+    ranked = b.select(
         "score",
         "pos",
-        F.rank().over(Window.orderBy("score")).alias("r"),
+        (F.col("_off_cnt") + F.rank().over(in_bucket)).alias("r"),
         F.count("*").over(Window.partitionBy("score")).alias("tie_n"),
     )
     avg_rank = (2.0 * F.col("r") + F.col("tie_n") - 1) / 2.0
@@ -444,20 +460,33 @@ def score_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NTILE runs over a TOTAL order (score DESC, doc_id) so decile
     assignment is deterministic and engine-identical even through
-    score ties. One global sort at this grain; the per-decile
-    aggregate and both report windows then run over 10 rows. At
-    100 TB replace NTILE with bucketing on the score histogram's
-    decile edges (`histogram_equidepth`) — map-only assignment, same
-    report."""
+    score ties — and it runs TWO-LEVEL: row_number via
+    `prefix.with_global_running` (bucket-partitioned windows + offset
+    broadcast) with NTILE(10) recovered exactly from (i, n) by
+    `prefix.ntile_of`, so no corpus-wide single-partition sort; the
+    per-decile aggregate and both report windows then run over 10
+    rows."""
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
         F.col("n_chars").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
     )
-    w = Window.orderBy(F.desc("score"), "doc_id")
+    # Two-level decile assignment (prefix.with_global_running): the
+    # doc-grain row_number runs bucket-partitioned and NTILE(10) is
+    # recovered exactly from (i, n) — no corpus-wide single-partition
+    # sort; output values unchanged.
+    run = with_global_running(
+        scored,
+        key="score",
+        ascending=False,
+        tie_cols=["doc_id"],
+        running={"i": F.lit(1).cast("long")},
+    )
+    n_all = scored.agg(F.count("*").cast("long").alias("n_all"))
     per = (
-        scored.select("pos", F.ntile(10).over(w).alias("decile"))
+        run.crossJoin(F.broadcast(n_all))
+        .select("pos", ntile_of(F.col("i"), F.col("n_all"), 10).alias("decile"))
         .groupBy("decile")
         .agg(F.count("*").alias("n"), F.sum("pos").cast("long").alias("n_pos"))
     )
@@ -759,11 +788,12 @@ def ks_statistic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values enter as integer cents (exact grouping); both empirical
     CDFs come from ONE pass: per-value counts for both samples in a
     single aggregate, then cumulative sums over the VALUE grain and a
-    max-abs-difference. The unpartitioned cumulative window is the
-    documented trade at this grain; the 100 TB form buckets values
-    first (equi-width cents buckets — D is then exact at bucket
-    resolution, the standard drift-monitor discretization) and the
-    window runs over buckets."""
+    max-abs-difference. The cumulative sums run TWO-LEVEL
+    (`prefix.with_global_running`: value-percentile buckets, offset
+    broadcast, bucket-partitioned windows) and the class totals attach
+    by broadcast — no value-grain single-partition window, and D stays
+    EXACT (not bucket-resolution approximate: the offsets preserve the
+    per-value CDF)."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus").isin("F", "O")
     )
@@ -775,14 +805,19 @@ def ks_statistic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_f").cast("long").alias("nf"),
         F.sum(1 - F.col("in_f")).cast("long").alias("no"),
     )
-    run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()
-    cum = per_v.select(
-        (F.sum("nf").over(run)).alias("cf"),
-        (F.sum("no").over(run)).alias("co"),
-        F.sum("nf").over(tot).alias("tf"),
-        F.sum("no").over(tot).alias("tot_o"),
+    # Two-level CDFs (prefix.with_global_running): the running counts
+    # over distinct cent values go bucket-partitioned and the class
+    # totals attach by broadcast — no value-grain single-partition
+    # window; output values unchanged.
+    run = with_global_running(
+        per_v,
+        key="v",
+        ascending=True,
+        tie_cols=[],
+        running={"cf": F.col("nf"), "co": F.col("no")},
     )
+    tots = per_v.agg(F.sum("nf").alias("tf"), F.sum("no").alias("tot_o"))
+    cum = run.crossJoin(F.broadcast(tots)).select("cf", "co", "tf", "tot_o")
     return cum.agg(
         F.max("tf").cast("long").alias("n_f"),
         F.max("tot_o").cast("long").alias("n_o"),

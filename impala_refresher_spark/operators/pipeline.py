@@ -300,12 +300,15 @@ def select_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     best until a token budget fills — how a fixed-compute training run
     decides WHAT to train on, not just what to drop.
 
-    The global ordered cumulative sum is dimension-thin (doc_id,
-    n_tok, score) — at 100 TB you pre-aggregate quality-score
-    histogram bins to find the admission threshold in one pass, then
-    admit with a plain filter; the windowed form here is exact and
-    right up to corpora of billions of rows of 24-byte triples."""
-    from pyspark.sql import Window
+    The global ordered cumulative sum runs two-level
+    (`prefix.with_global_running`): quality-percentile buckets, a
+    32-row exclusive-offset window, then windows PARTITIONED by
+    bucket — no single-partition exchange anywhere, so the admission
+    scan parallelizes at corpus grain. Every cum value is identical
+    to the naive global window (bucket id is a function of quality
+    alone, so ties stay in-bucket and bucket order refines the total
+    order)."""
+    from impala_refresher_spark.operators.prefix import with_global_running
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -316,14 +319,15 @@ def select_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
         ).alias("quality"),
     )
-    w = (
-        Window.orderBy(F.desc("quality"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    run = with_global_running(
+        base,
+        key="quality",
+        ascending=False,
+        tie_cols=["doc_id"],
+        running={"cum_incl": F.col("n_tok")},
     )
-    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
     return (
-        base.withColumn("cum_before", cum_before)
-        .filter(F.col("cum_before") < 10000)
+        run.filter(F.col("cum_incl") - F.col("n_tok") < 10000)
         .select("doc_id", "n_tok", "quality")
     )
 

@@ -1,0 +1,138 @@
+"""Distributed global running totals — the two-level bucket trick.
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` moves EVERY row to a
+single partition (Spark plans ``Exchange SinglePartition`` + one
+sorted window task): exact, but the one shape that cannot survive a
+corpus-grain input at 100 TB. The standard fix is two-level ranking:
+
+1. split the order key's range into B buckets (approximate percentile
+   cut points — balance, not correctness, depends on them);
+2. aggregate each bucket's row count / value totals (tiny: B rows);
+3. turn those into EXCLUSIVE prefix offsets with a B-row window;
+4. broadcast the offsets back and finish with a window PARTITIONED by
+   bucket — running total = bucket offset + within-bucket running sum.
+
+Every row's result is identical to the single-partition window because
+the bucket id is a function of the leading order key alone (equal keys
+share a bucket, so bucket order refines to the global total order),
+while the plan becomes: one tiny agg for cut points, one B-row offsets
+window, one broadcast join, and B independent window partitions that
+spill and parallelize like any keyed window. Skew caveat: a single key
+value holding most of the corpus collapses to one bucket — the same
+row distribution a range shuffle would produce; percentile cut points
+make that the worst case rather than the default.
+
+No reference analog (the reference is refresh orchestration only);
+this is the scale backbone for the cumulative/front-of-corpus
+operators (`select_corpus_token_budget`, `revenue_concentration_gini`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_N_BUCKETS = 32
+_PCTL_ACC = 10_000
+
+
+def bucketed_prefix(
+    df: DataFrame,
+    key: str,
+    ascending: bool,
+    tie_cols: list[str],
+    totals: dict[str, Column],
+    n_buckets: int = _N_BUCKETS,
+):
+    """Lower-level building block: bucket ``df`` on ``key``'s
+    percentile cut points and attach, per row, the EXCLUSIVE
+    prior-bucket totals ``_off_<name>`` for each entry of ``totals``
+    (per-row value expressions; ``F.lit(1)`` counts rows). Returns
+    ``(bucketed_df, in_bucket)`` where ``bucketed_df`` carries
+    ``_bkt`` + the offsets and ``in_bucket`` is the
+    ``partitionBy(_bkt).orderBy(key, *tie_cols)`` WindowSpec — any
+    window function evaluated over it plus the matching offset equals
+    its global-window value (equal keys share a bucket, so bucket
+    order refines the total order; rank()/row_number()/sum() all
+    compose this way).
+
+    The cut-point collect is B-1 scalars (KB-bounded, the broadcast
+    pattern used for centroids/codebooks elsewhere in this package).
+
+    PRECONDITION: ``key`` must be non-null on every row — the offsets
+    attach by an inner equi-join on the bucket id, and a NULL key
+    yields a NULL bucket that matches nothing (rows would silently
+    drop, where the naive window would sort NULLs first). Every call
+    site in this package feeds an aggregate or a size()/round()
+    expression that cannot be NULL.
+    """
+    order = [F.col(key).asc() if ascending else F.col(key).desc()] + [
+        F.col(c).asc() for c in tie_cols
+    ]
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(
+        set(df.agg(F.percentile_approx(key, qs, _PCTL_ACC).alias("b")).first().b or [])
+    )
+    # ascending bucket index: number of cut points strictly below the key
+    bkt_asc = sum(
+        (F.col(key) > F.lit(b)).cast("int") for b in bounds
+    ) if bounds else F.lit(0)
+    b = df.withColumn("_bkt", bkt_asc)
+
+    bkt_order = F.col("_bkt").asc() if ascending else F.col("_bkt").desc()
+    per_bucket = b.groupBy("_bkt").agg(
+        *[F.sum(expr).alias(f"_tot_{name}") for name, expr in totals.items()]
+    )
+    prior = Window.orderBy(bkt_order).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bkt",
+        *[
+            F.coalesce(F.sum(f"_tot_{name}").over(prior), F.lit(0)).alias(f"_off_{name}")
+            for name in totals
+        ],
+    )
+
+    in_bucket = Window.partitionBy("_bkt").orderBy(*order)
+    return b.join(F.broadcast(offsets), "_bkt"), in_bucket
+
+
+def with_global_running(
+    df: DataFrame,
+    key: str,
+    ascending: bool,
+    tie_cols: list[str],
+    running: dict[str, Column],
+    n_buckets: int = _N_BUCKETS,
+) -> DataFrame:
+    """Add INCLUSIVE global running sums over the total order
+    ``(key asc|desc, *tie_cols asc)`` without a single-partition window.
+
+    ``running`` maps output column name -> per-row value expression
+    (``F.lit(1)`` yields ``row_number``; subtract the row's own value
+    for an exclusive prefix). The order MUST be total: ``tie_cols``
+    must disambiguate rows sharing ``key``, and the bucket id depends
+    on ``key`` alone, so ties stay inside one bucket.
+    """
+    out, in_bucket = bucketed_prefix(df, key, ascending, tie_cols, running, n_buckets)
+    frame = in_bucket.rowsBetween(Window.unboundedPreceding, 0)
+    for name, expr in running.items():
+        out = out.withColumn(name, F.col(f"_off_{name}") + F.sum(expr).over(frame))
+    return out.drop("_bkt", *[f"_off_{name}" for name in running])
+
+
+def ntile_of(i: Column, n: Column, k: int) -> Column:
+    """Closed-form standard NTILE(k) from a 1-based global row_number
+    ``i`` and the total row count ``n`` (identical to Spark's and
+    DuckDB's NTILE: the first ``n % k`` tiles hold ``n div k + 1``
+    rows). Lets a two-level row_number (`with_global_running`) replace
+    an NTILE window without changing a single output value."""
+    base = (n / k).cast("long")  # floor: n, k nonneg
+    rem = n % k
+    big_span = rem * (base + 1)
+    return (
+        F.when(i <= big_span, ((i - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(rem + ((i - big_span - 1) / F.greatest(base, F.lit(1))).cast("long") + 1)
+        .cast("int")
+    )

@@ -51,12 +51,15 @@ def _load() -> None:
 # (oldest evidence first, name as tie-break), with this round's
 # code-changed queries pinned to the front — so each round's 50-slot
 # window re-verifies the stalest evidence and the rotation continues
-# automatically in later rounds (r06 window = the 2 fixes + 2
-# source-changed re-queues (agg_percentiles, text_bm25_score) + the 2
-# net-new queries (text_chunk_sliding, retrieval_rrf_fusion — the
-# r05 verdict's <=5 allowance; surface now 240 = 238 oracled + 2
-# rows-only) + the 43 oldest r01-green; the last 3 r01 names and the
-# r02 block rotate to r07, and so on). Max evidence age stays bounded
+# automatically in later rounds (r06 window = the 2 fixes + 7
+# source-changed re-queues (agg_percentiles, text_bm25_score, and the
+# five two-level rewrites: select_corpus_token_budget,
+# revenue_concentration_gini, score_auc_quality, score_gain_deciles,
+# ks_statistic_status) + the 2 net-new queries
+# (text_chunk_sliding, retrieval_rrf_fusion — the r05 verdict's <=5
+# allowance; surface now 240 = 238 oracled + 2 rows-only) + the 39
+# oldest r01-green; the last 7 r01 names and the r02 block rotate to
+# r07, and so on). Max evidence age stays bounded
 # at ~5 rounds; re-queues are enforced mechanically by the source-hash
 # gate in scripts/gen_ledger.py (STALE GREEN exits nonzero).
 #
@@ -86,7 +89,19 @@ _R06_PRIORITY = [
     # -- slot 6: r06 source change (oracle SQL extracted to _BM25_SQL
     #    for reuse by the fusion oracle; same bytes, hash re-queue) ---
     "text_bm25_score",
-    # -- r01-green (slots 7-49; the last 3 r01 names rotate to r07) --
+    # -- slots 7-8: r06 source change: the corpus-grain cumulative
+    #    windows went two-level (prefix.with_global_running — bucket-
+    #    partitioned windows + offset broadcast, NTILE by closed form);
+    #    values identical, hash re-queue -----------------------------
+    "select_corpus_token_budget",
+    "revenue_concentration_gini",
+    # -- slots 9-11: r06 source change, same two-level class: AUC's
+    #    global rank, gain-deciles' NTILE, and the KS CDFs now run
+    #    bucket-partitioned; values identical, hash re-queue ---------
+    "score_auc_quality",
+    "score_gain_deciles",
+    "ks_statistic_status",
+    # -- r01-green (slots 12-50; the last 7 r01 names rotate to r07) --
     "agg_count_distinct",
     "agg_cube",
     "agg_grouping_sets",
@@ -242,7 +257,6 @@ _R06_PRIORITY = [
     "fuzzy_join_part_names",
     "gap_islands_active_days",
     "hhi_supplier_concentration",
-    "ks_statistic_status",
     "langid_confusion_kappa",
     "langid_precision_recall",
     "linear_counting_distinct",
@@ -255,12 +269,9 @@ _R06_PRIORITY = [
     "partition_checksums",
     "pipeline_training_corpus_v2",
     "profile_table_stats",
-    "revenue_concentration_gini",
     "revenue_mom_change",
     "rolling_corr_qty_price",
     "schema_evolution_merge",
-    "score_auc_quality",
-    "score_gain_deciles",
     "seasonal_dow_anomaly",
     "semdedup_embeddings",
     "snapshot_diff_orders",
@@ -314,7 +325,6 @@ _R06_PRIORITY = [
     "revenue_share_by_nation",
     "rolling_7day_revenue",
     "sample_stratified_by_source",
-    "select_corpus_token_budget",
     "sql_exists_subquery",
     "subsample_ci_revenue",
     "text_keyword_in_context",

@@ -1101,3 +1101,63 @@ def test_rrf_fusion_join_is_candidate_sized(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     # ranks assigned AFTER the cut: each Window sits above a top-k
     assert plan.lower().count("lex_rank") >= 2 and plan.lower().count("dense_rank") >= 2
+
+
+def test_budget_selection_window_is_bucket_partitioned(spark):
+    """The corpus-grain cumulative sum in select_corpus_token_budget
+    must run two-level: its window is PARTITIONED by the quality
+    bucket (hash exchange), never a corpus-wide single-partition sort;
+    the only unpartitioned window is the <=32-row bucket-offsets one."""
+    import re
+
+    from impala_refresher_spark.operators.pipeline import select_corpus_token_budget
+
+    plan = plan_of(select_corpus_token_budget(spark, SF_SMOKE))
+    assert re.search(r"hashpartitioning\(_bkt", plan), plan
+    # the row-grain window carries the bucket as its partition spec
+    assert re.search(r"windowspecdefinition\(_bkt#\d+, quality", plan), plan
+    # and no window orders the corpus without a partition column
+    assert not re.search(r"windowspecdefinition\(quality", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gini_ranking_is_bucket_partitioned(spark):
+    """revenue_concentration_gini's customer-grain row_number must be
+    two-level (bucket-partitioned window + offset) with NTILE recovered
+    by closed form — no global ntile/row_number window over customers;
+    single-partition exchanges may only feed the tiny offsets/decile
+    rollups."""
+    import re
+
+    from impala_refresher_spark.operators.analytics import revenue_concentration_gini
+
+    plan = plan_of(revenue_concentration_gini(spark, SF_SMOKE))
+    assert re.search(r"hashpartitioning\(_bkt", plan), plan
+    assert re.search(r"windowspecdefinition\(_bkt#\d+, rev_cents", plan), plan
+    assert not re.search(r"windowspecdefinition\(rev_cents", plan), plan
+    assert "ntile(" not in plan, plan
+
+
+def test_evaluation_rank_windows_are_bucket_partitioned(spark):
+    """The three corpus/value-grain evaluation rankings (AUC rank, gain
+    deciles' NTILE replacement, the KS CDFs) must run two-level: their
+    row-grain windows are PARTITIONED by the percentile bucket, with no
+    unpartitioned window over score/v and no global ntile."""
+    import re
+
+    from impala_refresher_spark.operators.evaluation import (
+        ks_statistic_status,
+        score_auc_quality,
+        score_gain_deciles,
+    )
+
+    for fn, key in (
+        (score_auc_quality, "score"),
+        (score_gain_deciles, "score"),
+        (ks_statistic_status, "v"),
+    ):
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert re.search(r"hashpartitioning\(_bkt", plan), fn.__name__
+        assert re.search(rf"windowspecdefinition\(_bkt#\d+, {key}", plan), fn.__name__
+        assert not re.search(rf"windowspecdefinition\({key}#\d+(?: ASC| DESC)", plan), fn.__name__
+        assert "ntile(" not in plan, fn.__name__

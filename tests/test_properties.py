@@ -8234,3 +8234,67 @@ def test_chunk_sliding_matches_python(spark, docs):
             if d == doc_id:
                 covered.update(range(k * S, k * S + ln))
         assert covered == set(range(n)), doc_id
+
+
+@st.composite
+def prefix_rows(draw):
+    """(key, value) rows with deliberate heavy key ties (worst case for
+    bucketing: equal keys collapse to one bucket) plus a spread tail."""
+    n = draw(st.integers(1, 40))
+    keys = draw(
+        st.lists(
+            st.one_of(st.integers(0, 3), st.integers(0, 10_000)),
+            min_size=n, max_size=n,
+        )
+    )
+    vals = draw(st.lists(st.integers(0, 500), min_size=n, max_size=n))
+    return [(i + 1, k, v) for i, (k, v) in enumerate(zip(keys, vals))]
+
+
+@given(prefix_rows(), st.booleans())
+@settings(**_SETTINGS)
+def test_global_running_matches_naive_window(spark, rows, ascending):
+    """`with_global_running` must equal the naive single-partition
+    window on every row — for both sort directions, under key ties
+    (same bucket), and with n smaller than the bucket count — and
+    `ntile_of(i, n, k)` must equal F.ntile(k) over the same order."""
+    from pyspark.sql.window import Window as W
+
+    from impala_refresher_spark.operators.prefix import (
+        bucketed_prefix,
+        ntile_of,
+        with_global_running,
+    )
+
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    order = [F.col("k").asc() if ascending else F.col("k").desc(), F.col("id").asc()]
+    naive = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    key_only = F.col("k").asc() if ascending else F.col("k").desc()
+    want = {
+        (r.id): (r.cum, r.i, r.dec, r.rnk)
+        for r in df.select(
+            "id",
+            F.sum("v").over(naive).alias("cum"),
+            F.row_number().over(W.orderBy(*order)).alias("i"),
+            F.ntile(7).over(W.orderBy(*order)).alias("dec"),
+            F.rank().over(W.orderBy(key_only)).alias("rnk"),
+        ).collect()
+    }
+    run = with_global_running(
+        df, key="k", ascending=ascending, tie_cols=["id"],
+        running={"cum": F.col("v"), "i": F.lit(1).cast("long")},
+        n_buckets=4,
+    ).withColumn("dec", ntile_of(F.col("i"), F.lit(len(rows)).cast("long"), 7))
+    # tie-aware rank through the lower-level API (the AUC shape)
+    b, in_bucket = bucketed_prefix(
+        df, key="k", ascending=ascending, tie_cols=[],
+        totals={"cnt": F.lit(1).cast("long")}, n_buckets=4,
+    )
+    ranks = {
+        r.id: r.rnk
+        for r in b.select(
+            "id", (F.col("_off_cnt") + F.rank().over(in_bucket)).alias("rnk")
+        ).collect()
+    }
+    got = {r.id: (r.cum, r.i, r.dec, ranks[r.id]) for r in run.collect()}
+    assert got == want
