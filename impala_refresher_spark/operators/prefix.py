@@ -67,6 +67,17 @@ def bucketed_prefix(
     site in this package feeds an aggregate or a size()/round()
     expression that cannot be NULL.
     """
+    # Materialize the (thin) input once: the cut-point agg, the
+    # per-bucket totals, the offsets broadcast, and the row-grain join
+    # side would otherwise each recompute the upstream plan — for the
+    # callers that's re-tokenizing a corpus or re-running a fact-table
+    # aggregate 3-4x. Same localCheckpoint discipline as the MinHash
+    # candidate set and the CC loop. Fixed cost: ~3 extra small jobs
+    # (materialize, cut points, offsets) — at bench SF that makes these
+    # queries 2-4x slower in absolute ~1 s terms than the naive global
+    # window they replace (explained in SURVEY §7); at corpus scale the
+    # naive form is not runnable at all, and the extra jobs are noise.
+    df = df.localCheckpoint()
     order = [F.col(key).asc() if ascending else F.col(key).desc()] + [
         F.col(c).asc() for c in tie_cols
     ]
