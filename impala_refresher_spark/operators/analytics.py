@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from impala_refresher_spark.operators.prefix import ntile_of, with_global_running
+from impala_refresher_spark.operators.prefix import (
+    bucketed_prefix,
+    ntile_of,
+    with_global_running,
+)
 from impala_refresher_spark.registry import query
 from impala_refresher_spark.sources.tables import load_table
 
@@ -822,27 +826,42 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket assignment is total-order deterministic (and the oracle can
     check it exactly).
 
-    The windows run over the per-customer AGGREGATE (|customers|
-    rows), not orders; the unpartitioned NTILE is a global sort of
-    dimension-sized data. At 100 TB with billions of customers,
-    replace NTILE with percent_rank over a range-partitioned sort or
-    approx-quantile bucket edges — same scores, no single-task sort."""
-    from pyspark.sql import Window
-
+    The scores run over the per-customer AGGREGATE (|customers| rows),
+    not orders — and each of the three NTILEs runs TWO-LEVEL
+    (`prefix.with_global_running` per dimension: bucket-partitioned
+    row_number + `prefix.ntile_of` from (i, n)), so a corpus of
+    billions of customers never hits a single-task sort. Dates bucket
+    through their epoch-day integer twin (same total order); the three
+    passes chain, each materializing the thin score tuple once."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    ).withColumn(
+        "last_order_days",
+        F.datediff("last_order", F.lit("1970-01-01").cast("date")),
     )
-    nt = lambda col: F.ntile(4).over(
-        Window.orderBy(F.desc(col), "o_custkey")
-    ).cast("int")
-    return per_cust.select(
+    cur = per_cust
+    for key, i_name in (
+        ("last_order_days", "i_r"),
+        ("frequency", "i_f"),
+        ("monetary", "i_m"),
+    ):
+        cur = with_global_running(
+            cur,
+            key=key,
+            ascending=False,
+            tie_cols=["o_custkey"],
+            running={i_name: F.lit(1).cast("long")},
+        )
+    n_all = per_cust.agg(F.count("*").cast("long").alias("n_all"))
+    cur = cur.crossJoin(F.broadcast(n_all))
+    return cur.select(
         "o_custkey",
-        nt("last_order").alias("r_score"),
-        nt("frequency").alias("f_score"),
-        nt("monetary").alias("m_score"),
+        ntile_of(F.col("i_r"), F.col("n_all"), 4).alias("r_score"),
+        ntile_of(F.col("i_f"), F.col("n_all"), 4).alias("f_score"),
+        ntile_of(F.col("i_m"), F.col("n_all"), 4).alias("m_score"),
     )
 
 
@@ -1464,22 +1483,32 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     capability, best-effort/cost frontier).
 
     Spark-first REWRITE, not the quadratic definition: group to
-    per-price max size, sweep distinct prices in one ordered window
-    (running max of sizes at strictly lower prices via lag∘cummax),
-    then keep rows whose size tops both their price group and the
-    sweep. The window runs over DISTINCT PRICES — the value-domain
-    cardinality, not the fact table — so the unpartitioned sort is
-    bounded; the fact join against the per-price verdict broadcasts.
-    The oracle IS the quadratic NOT EXISTS — the differential proves
-    the sweep exact, same discipline as `range_join_count_orderstat`.
-    At 100 TB with a dense value domain, pre-bucket prices and sweep
-    bucket maxima the same way."""
+    per-price max size, sweep distinct prices with a running max of
+    sizes at strictly lower prices, then keep rows whose size tops
+    both their price group and the sweep. The sweep runs over
+    DISTINCT PRICES — the value-domain cardinality, not the fact
+    table — and TWO-LEVEL (`prefix.bucketed_prefix` with max offsets:
+    prev_cummax = greatest(prior-bucket max, in-bucket exclusive
+    running max), NULL meaning "no predecessor" exactly like the
+    naive exclusive window's first row), so even a dense value domain
+    never hits a single-task sort; the fact join against the
+    per-price verdict broadcasts. The oracle IS the quadratic NOT
+    EXISTS — the differential proves the sweep exact, same discipline
+    as `range_join_count_orderstat`."""
     p = load_table(spark, sf_dir, "part")
     per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
-    sweep = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
+    b, in_bucket = bucketed_prefix(
+        per_price,
+        key="p_retailprice",
+        ascending=True,
+        tie_cols=[],
+        totals={"mx": F.col("gmax")},
+        aggs={"mx": "max"},
     )
-    verdict = per_price.withColumn("prev_cummax", F.max("gmax").over(sweep))
+    prev_in = F.max("gmax").over(in_bucket.rowsBetween(Window.unboundedPreceding, -1))
+    verdict = b.withColumn("prev_cummax", F.greatest(F.col("_off_mx"), prev_in)).drop(
+        "_bkt", "_off_mx"
+    )
     return (
         p.join(F.broadcast(verdict), "p_retailprice")
         .filter(

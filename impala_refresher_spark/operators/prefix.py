@@ -44,6 +44,7 @@ def bucketed_prefix(
     tie_cols: list[str],
     totals: dict[str, Column],
     n_buckets: int = _N_BUCKETS,
+    aggs: dict[str, str] | None = None,
 ):
     """Lower-level building block: bucket ``df`` on ``key``'s
     percentile cut points and attach, per row, the EXCLUSIVE
@@ -56,6 +57,12 @@ def bucketed_prefix(
     its global-window value (equal keys share a bucket, so bucket
     order refines the total order; rank()/row_number()/sum() all
     compose this way).
+
+    ``aggs`` optionally overrides the offset combiner per name:
+    ``"sum"`` (default — offsets COALESCE to 0) or ``"max"`` (offsets
+    stay NULL when no prior bucket exists, so a running max composes
+    as ``F.greatest(_off_x, in-bucket max)`` with NULL meaning "no
+    predecessor", matching the naive exclusive window's first row).
 
     The cut-point collect is B-1 scalars (KB-bounded, the broadcast
     pattern used for centroids/codebooks elsewhere in this package).
@@ -93,17 +100,20 @@ def bucketed_prefix(
     b = df.withColumn("_bkt", bkt_asc)
 
     bkt_order = F.col("_bkt").asc() if ascending else F.col("_bkt").desc()
+    fns = {name: (aggs or {}).get(name, "sum") for name in totals}
+    _agg = {"sum": F.sum, "max": F.max}
     per_bucket = b.groupBy("_bkt").agg(
-        *[F.sum(expr).alias(f"_tot_{name}") for name, expr in totals.items()]
+        *[_agg[fns[name]](expr).alias(f"_tot_{name}") for name, expr in totals.items()]
     )
     prior = Window.orderBy(bkt_order).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_bucket.select(
-        "_bkt",
-        *[
-            F.coalesce(F.sum(f"_tot_{name}").over(prior), F.lit(0)).alias(f"_off_{name}")
-            for name in totals
-        ],
-    )
+
+    def _off(name):
+        run = _agg[fns[name]](f"_tot_{name}").over(prior)
+        return (F.coalesce(run, F.lit(0)) if fns[name] == "sum" else run).alias(
+            f"_off_{name}"
+        )
+
+    offsets = per_bucket.select("_bkt", *[_off(name) for name in totals])
 
     in_bucket = Window.partitionBy("_bkt").orderBy(*order)
     return b.join(F.broadcast(offsets), "_bkt"), in_bucket

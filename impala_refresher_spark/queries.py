@@ -51,14 +51,15 @@ def _load() -> None:
 # (oldest evidence first, name as tie-break), with this round's
 # code-changed queries pinned to the front — so each round's 50-slot
 # window re-verifies the stalest evidence and the rotation continues
-# automatically in later rounds (r06 window = the 2 fixes + 7
+# automatically in later rounds (r06 window = the 2 fixes + 9
 # source-changed re-queues (agg_percentiles, text_bm25_score, and the
-# five two-level rewrites: select_corpus_token_budget,
+# seven two-level rewrites: select_corpus_token_budget,
 # revenue_concentration_gini, score_auc_quality, score_gain_deciles,
-# ks_statistic_status) + the 2 net-new queries
+# ks_statistic_status, customer_rfm_segments, pareto_frontier_parts)
+# + the 2 net-new queries
 # (text_chunk_sliding, retrieval_rrf_fusion — the r05 verdict's <=5
-# allowance; surface now 240 = 238 oracled + 2 rows-only) + the 39
-# oldest r01-green; the last 7 r01 names and the r02 block rotate to
+# allowance; surface now 240 = 238 oracled + 2 rows-only) + the 37
+# oldest r01-green; the last 9 r01 names and the r02 block rotate to
 # r07, and so on). Max evidence age stays bounded
 # at ~5 rounds; re-queues are enforced mechanically by the source-hash
 # gate in scripts/gen_ledger.py (STALE GREEN exits nonzero).
@@ -101,7 +102,12 @@ _R06_PRIORITY = [
     "score_auc_quality",
     "score_gain_deciles",
     "ks_statistic_status",
-    # -- r01-green (slots 12-50; the last 7 r01 names rotate to r07) --
+    # -- slots 12-13: r06 source change, same two-level class: RFM's
+    #    three NTILEs and the pareto price sweep (max offsets);
+    #    values identical, hash re-queue -----------------------------
+    "customer_rfm_segments",
+    "pareto_frontier_parts",
+    # -- r01-green (slots 14-50; the last 9 r01 names rotate to r07) --
     "agg_count_distinct",
     "agg_cube",
     "agg_grouping_sets",
@@ -265,7 +271,6 @@ _R06_PRIORITY = [
     "markov_event_transitions",
     "mutual_information_lang_source",
     "pandas_api_summary",
-    "pareto_frontier_parts",
     "partition_checksums",
     "pipeline_training_corpus_v2",
     "profile_table_stats",
@@ -297,7 +302,6 @@ _R06_PRIORITY = [
     "cohort_retention",
     "corpus_shuffle_interleave",
     "corpus_source_quota",
-    "customer_rfm_segments",
     "cusum_daily_revenue",
     "daily_events_zero_filled",
     "decontaminate_train_set",

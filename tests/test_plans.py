@@ -1161,3 +1161,27 @@ def test_evaluation_rank_windows_are_bucket_partitioned(spark):
         assert re.search(rf"windowspecdefinition\(_bkt#\d+, {key}", plan), fn.__name__
         assert not re.search(rf"windowspecdefinition\({key}#\d+(?: ASC| DESC)", plan), fn.__name__
         assert "ntile(" not in plan, fn.__name__
+
+
+def test_rfm_and_pareto_windows_are_bucket_partitioned(spark):
+    """customer_rfm_segments' three NTILEs and pareto_frontier_parts'
+    price sweep must run two-level: row-grain windows partitioned by
+    the percentile bucket, no global ntile, no unpartitioned window
+    over the ranked column."""
+    import re
+
+    from impala_refresher_spark.operators.analytics import (
+        customer_rfm_segments,
+        pareto_frontier_parts,
+    )
+
+    plan = plan_of(customer_rfm_segments(spark, SF_SMOKE))
+    assert re.search(r"hashpartitioning\(_bkt", plan), plan
+    assert "ntile(" not in plan, plan
+    for key in ("last_order_days", "frequency", "monetary"):
+        assert not re.search(rf"windowspecdefinition\({key}#\d+ DESC", plan), key
+
+    plan = plan_of(pareto_frontier_parts(spark, SF_SMOKE))
+    assert re.search(r"hashpartitioning\(_bkt", plan), plan
+    assert re.search(r"windowspecdefinition\(_bkt#\d+, p_retailprice", plan), plan
+    assert not re.search(r"windowspecdefinition\(p_retailprice#\d+ ASC", plan), plan

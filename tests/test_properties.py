@@ -8298,3 +8298,27 @@ def test_global_running_matches_naive_window(spark, rows, ascending):
     }
     got = {r.id: (r.cum, r.i, r.dec, ranks[r.id]) for r in run.collect()}
     assert got == want
+    # exclusive running max through max offsets (the pareto-sweep
+    # shape): NULL on the first row, composed as greatest(prior-bucket
+    # max, in-bucket exclusive max)
+    want_mx = {
+        r.id: r.mx
+        for r in df.select(
+            "id",
+            F.max("v")
+            .over(W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1))
+            .alias("mx"),
+        ).collect()
+    }
+    bm, in_b = bucketed_prefix(
+        df, key="k", ascending=ascending, tie_cols=["id"],
+        totals={"mx": F.col("v")}, aggs={"mx": "max"}, n_buckets=4,
+    )
+    prev_in = F.max("v").over(in_b.rowsBetween(W.unboundedPreceding, -1))
+    got_mx = {
+        r.id: r.mx
+        for r in bm.select(
+            "id", F.greatest(F.col("_off_mx"), prev_in).alias("mx")
+        ).collect()
+    }
+    assert got_mx == want_mx
