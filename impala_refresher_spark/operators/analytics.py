@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from impala_refresher_spark.operators.prefix import (
     bucketed_prefix,
     ntile_of,
+    with_global_row_numbers,
     with_global_running,
 )
 from impala_refresher_spark.registry import query
@@ -827,12 +828,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     check it exactly).
 
     The scores run over the per-customer AGGREGATE (|customers| rows),
-    not orders — and each of the three NTILEs runs TWO-LEVEL
-    (`prefix.with_global_running` per dimension: bucket-partitioned
-    row_number + `prefix.ntile_of` from (i, n)), so a corpus of
-    billions of customers never hits a single-task sort. Dates bucket
-    through their epoch-day integer twin (same total order); the three
-    passes chain, each materializing the thin score tuple once."""
+    not orders — and all three NTILEs run TWO-LEVEL in ONE fused pass
+    (`prefix.with_global_row_numbers`: one checkpoint of the thin
+    tuple, one aggregate for all three cut-point sets, three
+    bucket-partitioned windows + `prefix.ntile_of` from (i, n)), so a
+    corpus of billions of customers never hits a single-task sort and
+    the fixed per-pass overhead (materialize + collect) is paid once,
+    not per dimension. Dates bucket through their epoch-day integer
+    twin (same total order). The NTILE total count reuses the same
+    checkpoint — no second pass over orders."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -842,20 +846,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_order_days",
         F.datediff("last_order", F.lit("1970-01-01").cast("date")),
     )
-    cur = per_cust
-    for key, i_name in (
-        ("last_order_days", "i_r"),
-        ("frequency", "i_f"),
-        ("monetary", "i_m"),
-    ):
-        cur = with_global_running(
-            cur,
-            key=key,
-            ascending=False,
-            tie_cols=["o_custkey"],
-            running={i_name: F.lit(1).cast("long")},
-        )
-    n_all = per_cust.agg(F.count("*").cast("long").alias("n_all"))
+    cur, base = with_global_row_numbers(
+        per_cust,
+        {
+            "i_r": ("last_order_days", False, ["o_custkey"]),
+            "i_f": ("frequency", False, ["o_custkey"]),
+            "i_m": ("monetary", False, ["o_custkey"]),
+        },
+    )
+    n_all = base.agg(F.count("*").cast("long").alias("n_all"))
     cur = cur.crossJoin(F.broadcast(n_all))
     return cur.select(
         "o_custkey",

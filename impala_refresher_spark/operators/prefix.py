@@ -143,6 +143,87 @@ def with_global_running(
     return out.drop("_bkt", *[f"_off_{name}" for name in running])
 
 
+def with_global_row_numbers(
+    df: DataFrame,
+    specs: dict[str, tuple[str, bool, list[str]]],
+    n_buckets: int = _N_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Fused multi-order variant of `with_global_running` for the
+    row-number case: add one INCLUSIVE global row-number column per
+    spec — each over its OWN total order — in a single
+    materialization pass. ``specs`` maps output name ->
+    ``(key, ascending, tie_cols)``.
+
+    Chaining K `with_global_running` calls pays K localCheckpoints and
+    K cut-point collect jobs over a plan that regrows each round. Here
+    the input materializes ONCE, ONE aggregate computes every spec's
+    percentile cut points, and the per-spec offsets (B-row broadcasts)
+    and bucket-partitioned windows all hang off the same checkpoint —
+    the K row-grain window exchanges remain (each order genuinely
+    needs its own shuffle), but the fixed per-pass overhead collapses
+    from K× to 1×. Returns ``(out, base)`` where ``base`` is the
+    checkpointed input, so callers can run side aggregates (e.g. a
+    total row count for NTILE) without recomputing the upstream plan.
+
+    Same correctness argument and NULL-key precondition as
+    `bucketed_prefix` (bucket id is a function of each spec's key
+    alone; equal keys share a bucket, so bucket order refines each
+    total order)."""
+    base = df.localCheckpoint()
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = base.agg(
+        *[
+            F.percentile_approx(key, qs, _PCTL_ACC).alias(name)
+            for name, (key, _, _) in specs.items()
+        ]
+    ).first()
+
+    out = base
+    for name, (key, _, _) in specs.items():
+        bounds = sorted(set(cuts[name] or []))
+        bkt = (
+            sum((F.col(key) > F.lit(bb)).cast("int") for bb in bounds)
+            if bounds
+            else F.lit(0)
+        )
+        out = out.withColumn(f"_bkt_{name}", bkt)
+
+    bucketed = out
+    for name, (_, asc, _) in specs.items():
+        bcol = f"_bkt_{name}"
+        per_bucket = bucketed.groupBy(bcol).agg(F.count("*").alias("_tot"))
+        bkt_order = F.col(bcol).asc() if asc else F.col(bcol).desc()
+        prior = Window.orderBy(bkt_order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = per_bucket.select(
+            bcol,
+            F.coalesce(F.sum("_tot").over(prior), F.lit(0)).alias(
+                f"_off_{name}"
+            ),
+        )
+        out = out.join(F.broadcast(offsets), bcol)
+
+    for name, (key, asc, tie_cols) in specs.items():
+        order = [F.col(key).asc() if asc else F.col(key).desc()] + [
+            F.col(c).asc() for c in tie_cols
+        ]
+        frame = (
+            Window.partitionBy(f"_bkt_{name}")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = out.withColumn(
+            name, F.col(f"_off_{name}") + F.sum(F.lit(1).cast("long")).over(frame)
+        )
+    return (
+        out.drop(
+            *[f"_bkt_{n}" for n in specs], *[f"_off_{n}" for n in specs]
+        ),
+        base,
+    )
+
+
 def ntile_of(i: Column, n: Column, k: int) -> Column:
     """Closed-form standard NTILE(k) from a 1-based global row_number
     ``i`` and the total row count ``n`` (identical to Spark's and
