@@ -8322,3 +8322,39 @@ def test_global_running_matches_naive_window(spark, rows, ascending):
         ).collect()
     }
     assert got_mx == want_mx
+
+
+@given(prefix_rows(), st.booleans())
+@settings(**_SETTINGS)
+def test_fused_row_numbers_match_naive_windows(spark, rows, ascending):
+    """`with_global_row_numbers` (the fused multi-order pass) must
+    equal a naive row_number window per spec — two specs over
+    DIFFERENT keys with OPPOSITE sort directions in one call, under
+    heavy ties, n < bucket count, and with the returned base usable
+    for the side count."""
+    from pyspark.sql.window import Window as W
+
+    from impala_refresher_spark.operators.prefix import with_global_row_numbers
+
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    k_ord = [F.col("k").asc() if ascending else F.col("k").desc(), F.col("id").asc()]
+    v_ord = [F.col("v").desc() if ascending else F.col("v").asc(), F.col("id").asc()]
+    want = {
+        r.id: (r.ik, r.iv)
+        for r in df.select(
+            "id",
+            F.row_number().over(W.orderBy(*k_ord)).alias("ik"),
+            F.row_number().over(W.orderBy(*v_ord)).alias("iv"),
+        ).collect()
+    }
+    out, base = with_global_row_numbers(
+        df,
+        {
+            "ik": ("k", ascending, ["id"]),
+            "iv": ("v", not ascending, ["id"]),
+        },
+        n_buckets=4,
+    )
+    got = {r.id: (r.ik, r.iv) for r in out.collect()}
+    assert got == want
+    assert base.count() == len(rows)
