@@ -407,6 +407,164 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — local fingerprint selection + match join
+# ---------------------------------------------------------------------------
+
+# Winnowing window width: every substring match of at least
+# w + k - 1 = 6 tokens is guaranteed to share a selected fingerprint
+# (Schleimer/Wilkerson/Aiken, SIGMOD 2003).
+_WINNOW_W = 4
+
+
+@query(
+    "fingerprint_winnowing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t) - 2),
+               i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT) AS h
+      FROM toks
+    ),
+    win AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(h) - {_WINNOW_W - 1}, 1)),
+               i -> list_min(h[i:i+{_WINNOW_W - 1}]))) AS fp_list
+      FROM grams
+    ),
+    fps AS (SELECT doc_id, len(fp_list) AS n_fp, unnest(fp_list) AS fp FROM win),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             CAST(MAX(a.n_fp) AS BIGINT) AS n_fp_a,
+             CAST(MAX(b.n_fp) AS BIGINT) AS n_fp_b
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared, n_fp_a, n_fp_b
+    FROM shared WHERE n_shared >= 2
+    """,
+)
+def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer
+    et al. SIGMOD 2003): hash every token 3-gram, slide a width-4
+    window over the hash SEQUENCE (positional, not deduplicated —
+    unlike `_shingles`), keep each window's minimum, and match
+    documents on shared selected fingerprints. The selection guarantee
+    is LOCAL: any shared token run of length >= w+k-1 = 6 contributes
+    a common fingerprint, while storage is ~2/(w+1) of all grams — the
+    standard plagiarism / boilerplate detector, complementary to
+    MinHash (global similarity) and `doc_fingerprint` (whole-doc).
+
+    Spark-first shape: gram hashing is ONE higher-order-function pass
+    (the hash array evaluates once per document — a nested
+    `array_min(slice(h, i, w))` HOF would re-evaluate the whole md5
+    array per WINDOW, measured O(n²): 23 s vs 1 s at sf0.01), then the
+    sliding minimum is a row-grain `min() OVER (PARTITION BY doc ORDER
+    BY pos ROWS CURRENT..w-1)` on the posexploded hashes. The
+    collect_set aggregate that rebuilds per-doc fingerprint sets
+    reuses the window's doc-grain hashpartitioning, so selection costs
+    exactly one bounded keyed exchange. Keeping only the min VALUE per
+    window (not its position) makes the output tie-order-free and
+    therefore oracle-checkable. The match join reuses the
+    `dedup_ngram_jaccard` posting-list idiom: pairs are emitted in
+    place from each fingerprint's sorted id list (no exploded
+    self-join), with the `_MAX_DF` quadratic-blowup guard for
+    boilerplate fingerprints at scale. Hashes use the portable
+    md5-60-bit discipline; output is INTEGER-only (shared/total
+    fingerprint counts), so there is no cross-engine float surface at
+    all.
+
+    No reference analog (the reference is refresh orchestration only;
+    /root/reference/impala-refresher.go:46-181)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    doc = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(F.col("t"), i + j) for j in range(3)]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    from pyspark.sql.window import Window
+
+    g = doc.select("doc_id", F.posexplode(gram_hashes).alias("pos", "gh"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    per_doc = Window.partitionBy("doc_id")
+    # full windows only (the trailing clipped frames would add
+    # spurious suffix minima); a doc with fewer than w grams keeps its
+    # single clipped window at pos 0 = min of all grams — the same
+    # short-doc semantics as the oracle's clipped list slice
+    sel = g.select(
+        "doc_id",
+        "pos",
+        F.min("gh").over(win).alias("fp"),
+        F.max("pos").over(per_doc).alias("mx"),
+    ).filter(
+        (F.col("pos") <= F.col("mx") - (_WINNOW_W - 1)) | (F.col("pos") == 0)
+    )
+    wd = sel.groupBy("doc_id").agg(F.collect_set("fp").alias("fps"))
+    ex = wd.select(
+        F.struct(F.col("doc_id").alias("id"), F.size("fps").alias("n")).alias(
+            "doc"
+        ),
+        F.explode("fps").alias("fp"),
+    )
+    posting = (
+        ex.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_DF))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(
+                        x["id"].alias("doc_a"),
+                        y["id"].alias("doc_b"),
+                        x["n"].alias("n_a"),
+                        y["n"].alias("n_b"),
+                    ),
+                ),
+            )
+        )
+    )
+    shared = (
+        posting.select(pair.alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return shared.filter(F.col("n_shared") >= 2).select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        F.col("n_a").cast("long").alias("n_fp_a"),
+        F.col("n_b").cast("long").alias("n_fp_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup (bitwise fingerprint; rows-only check)
 # ---------------------------------------------------------------------------
 

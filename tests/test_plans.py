@@ -1185,3 +1185,24 @@ def test_rfm_and_pareto_windows_are_bucket_partitioned(spark):
     assert re.search(r"hashpartitioning\(_bkt", plan), plan
     assert re.search(r"windowspecdefinition\(_bkt#\d+, p_retailprice", plan), plan
     assert not re.search(r"windowspecdefinition\(p_retailprice#\d+ ASC", plan), plan
+
+
+def test_winnowing_selection_shares_one_doc_exchange(spark):
+    """fingerprint_winnowing's sliding-min windows and the per-doc
+    fingerprint-set aggregate must share ONE doc-grain exchange (the
+    collect_set partial/final pair runs on the window's partitioning),
+    with no nested-HOF minimum (array_min over a slice re-evaluates
+    the whole md5 gram array per window — measured O(n²)) and no
+    cartesian product."""
+    import re
+
+    from impala_refresher_spark.operators.dedup import fingerprint_winnowing
+
+    plan = plan_of(fingerprint_winnowing(spark, SF_SMOKE))
+    assert "array_min" not in plan and "slice(h" not in plan
+    assert "Cartesian" not in plan
+    # exactly one doc_id-grain exchange: the window's; collect_set
+    # reuses it (fan_out's round-robin + the two posting/pair
+    # exchanges are the only others)
+    assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1, plan
+    assert re.search(r"windowspecdefinition\(doc_id#\d+L?, pos", plan), plan

@@ -7814,6 +7814,62 @@ def test_ngram_jaccard_pairs_match_bruteforce(spark, word_lists):
 
 @given(
     st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_winnowing_fingerprints_match_python(spark, word_lists):
+    """`fingerprint_winnowing` must emit exactly the from-spec MOSS
+    pairs: md5-60-bit 3-gram hashes, min per full width-4 window
+    (single clipped window for docs with 1..3 grams), distinct
+    fingerprint VALUES per doc, pairs sharing >= 2 — under heavy
+    gram repetition (3-letter alphabet), docs shorter than 3 tokens
+    (never fingerprinted), and identical texts."""
+    import hashlib
+
+    import impala_refresher_spark.operators.dedup as dd
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.doc_a, r.doc_b): (r.n_shared, r.n_fp_a, r.n_fp_b)
+            for r in dd.fingerprint_winnowing(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+
+    def fps(ws):
+        if len(ws) < 3:
+            return set()
+        h = [
+            int(
+                hashlib.md5(" ".join(ws[i : i + 3]).encode()).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(ws) - 2)
+        ]
+        starts = range(len(h) - 3) if len(h) >= 4 else [0]
+        return {min(h[i : i + 4]) for i in starts}
+
+    sets = {i: fps(ws) for i, ws in enumerate(word_lists)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            shared = len(sets[a] & sets[b])
+            if shared >= 2:
+                want[(a, b)] = (shared, len(sets[a]), len(sets[b]))
+    assert got == want
+
+
+@given(
+    st.lists(
         st.tuples(st.integers(1, 5), st.integers(1, 7), st.integers(0, 400)),
         min_size=0,
         max_size=12,
