@@ -975,6 +975,176 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "text_hash", "left_anti").select("doc_id", "text_hash")
 
 
+def _minhash_incremental_oracle() -> str:
+    """Generated DuckDB twin of `dedup_minhash_incremental`: the same
+    deterministic md5/Mersenne arithmetic as `_minhash_lsh_oracle`,
+    restricted to new-batch x existing-corpus band collisions."""
+    mins = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE}) AS h{i}"
+        for i, (a, b) in enumerate(zip(_AS, _BS))
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + ", ".join(
+            f"h{b * _ROWS_PER_BAND + r} AS x{r}" for r in range(_ROWS_PER_BAND)
+        )
+        + " FROM sig"
+        for b in range(_BANDS)
+    )
+    on_tuple = " AND ".join(
+        ["b.band_id = c.band_id"]
+        + [f"b.x{r} = c.x{r}" for r in range(_ROWS_PER_BAND)]
+    )
+    xs = ", ".join(f"x{r}" for r in range(_ROWS_PER_BAND))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(list_zip(toks[1:-3], toks[2:-2], toks[3:-1]),
+                              p -> p[1] || ' ' || p[2] || ' ' || p[3]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MERSENNE} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    corpus_ok AS (
+      SELECT band_id, {xs}
+      FROM bands WHERE doc_id % 10 <> 0
+      GROUP BY band_id, {xs}
+      HAVING COUNT(*) <= {_MAX_DF}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS dup_of
+      FROM (SELECT * FROM bands WHERE doc_id % 10 = 0) b
+      JOIN (SELECT * FROM bands WHERE doc_id % 10 <> 0) c ON {on_tuple}
+      JOIN corpus_ok o
+        ON c.band_id = o.band_id AND {" AND ".join(f"c.x{r} = o.x{r}" for r in range(_ROWS_PER_BAND))}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT cd.doc_id, cd.dup_of, COUNT(*) AS n_inter
+      FROM cand cd
+      JOIN sh a ON a.doc_id = cd.doc_id
+      JOIN sh b ON b.doc_id = cd.dup_of AND b.shingle = a.shingle
+      GROUP BY cd.doc_id, cd.dup_of
+    ),
+    scored AS (
+      SELECT v.doc_id, v.dup_of,
+             CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS j
+      FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.doc_id
+      JOIN sizes sb ON sb.doc_id = v.dup_of
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+    )
+    SELECT doc_id, dup_of, ROUND(j, 4) AS jaccard
+    FROM (SELECT doc_id, dup_of, j,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY j DESC, dup_of) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """
+
+
+@query("dedup_minhash_incremental", _minhash_incremental_oracle())
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH near-dup lookup: flag each NEW-batch
+    document whose best existing-corpus match has exact Jaccard >= 0.4,
+    reporting that best corpus doc (`dup_of`, ties to the smaller id).
+    The near-dup twin of `dedup_incremental_batch`'s exact-hash
+    anti-join — the production daily-ingest path where the corpus is
+    already indexed and only batch x corpus candidates matter.
+
+    Scale shape: signatures/bands compute in ONE corpus pass (the
+    fixture splits doc_id % 10 == 0 as the batch inside that pass; a
+    real deployment reads the precomputed corpus band table), corpus
+    band buckets become width-capped posting lists (`_MAX_DF` guards
+    boilerplate bands), and the batch's bands BROADCAST against them —
+    no corpus self-join, no corpus reshuffle, candidate cost bounded
+    by batch size x bucket width. Verification (exact Jaccard via
+    array intersect/union) touches only candidate ids semi-joined out
+    of the corpus. Same md5/Mersenne portable arithmetic as
+    `dedup_minhash_lsh`, so the whole pipeline is oracle-checkable;
+    the best-match argmax orders on the RAW jaccard double (identical
+    integer-ratio arithmetic on both engines) with doc-id tie-break.
+
+    No reference analog (refresh orchestration only;
+    /root/reference/impala-refresher.go:46-181)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    is_batch = F.col("doc_id") % 10 == 0
+    sig = minhash_signatures(d)
+    # same exact-tuple banding as dedup_minhash_lsh (kept inline so
+    # that query's ledger-hashed source stays untouched)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.element_at("sig", band * _ROWS_PER_BAND + r + 1)
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                    for band in range(_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    posting = (
+        bands.filter(~is_batch)
+        .groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= _MAX_DF)
+    )
+    candidates = (
+        posting.join(
+            F.broadcast(bands.filter(is_batch)), ["band_id", "band_hash"]
+        )
+        .select("doc_id", F.explode("ids").alias("dup_of"))
+        .distinct()
+        # feeds two semi-join id filters + the verify join; KB-to-MB
+        # sized (bucket-width-capped), so checkpoint once
+        .localCheckpoint()
+    )
+    sh = d.join(
+        F.broadcast(
+            candidates.select(F.col("doc_id"))
+            .union(candidates.select(F.col("dup_of")))
+            .distinct()
+        ),
+        "doc_id",
+        "left_semi",
+    ).select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sa = sh.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    from pyspark.sql.window import Window
+
+    best = Window.partitionBy("doc_id").orderBy(
+        F.col("j").desc(), F.col("dup_of").asc()
+    )
+    return (
+        candidates.join(sa, "doc_id")
+        .join(sb, "dup_of")
+        .withColumn("j", inter / union)
+        .filter(F.col("j") >= 0.4)
+        .withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dup_of", F.round("j", 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination — drop training docs overlapping the eval set
 # ---------------------------------------------------------------------------

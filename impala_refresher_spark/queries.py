@@ -56,11 +56,11 @@ def _load() -> None:
 # seven two-level rewrites: select_corpus_token_budget,
 # revenue_concentration_gini, score_auc_quality, score_gain_deciles,
 # ks_statistic_status, customer_rfm_segments, pareto_frontier_parts)
-# + the 3 net-new queries
-# (text_chunk_sliding, retrieval_rrf_fusion, fingerprint_winnowing —
-# the r05 verdict's <=5
-# allowance; surface now 241 = 239 oracled + 2 rows-only) + the 36
-# oldest r01-green; the last 10 r01 names and the r02 block rotate to
+# + the 4 net-new queries
+# (text_chunk_sliding, retrieval_rrf_fusion, fingerprint_winnowing,
+# dedup_minhash_incremental — the r05 verdict's <=5
+# allowance; surface now 242 = 240 oracled + 2 rows-only) + the 35
+# oldest r01-green; the last 11 r01 names and the r02 block rotate to
 # r07, and so on). Max evidence age stays bounded
 # at ~5 rounds; re-queues are enforced mechanically by the source-hash
 # gate in scripts/gen_ledger.py (STALE GREEN exits nonzero).
@@ -88,9 +88,11 @@ _R06_PRIORITY = [
     #    chunking and BM25+dense RRF hybrid retrieval — first checks --
     "text_chunk_sliding",
     "retrieval_rrf_fusion",
-    # -- r06 net-new #3 (still inside the <=5 allowance): winnowing
-    #    (MOSS) local fingerprints + match join — first check ---------
+    # -- r06 net-new #3-4 (still inside the <=5 allowance): winnowing
+    #    (MOSS) local fingerprints + match join, and the incremental
+    #    MinHash-LSH batch-vs-corpus lookup — first checks ------------
     "fingerprint_winnowing",
+    "dedup_minhash_incremental",
     # -- slot 6: r06 source change (oracle SQL extracted to _BM25_SQL
     #    for reuse by the fusion oracle; same bytes, hash re-queue) ---
     "text_bm25_score",

@@ -5787,6 +5787,83 @@ def test_minhash_lsh_matches_python(spark, texts):
     assert got == want
 
 
+@given(_mh_docs())
+@settings(**_SETTINGS)
+def test_minhash_incremental_matches_python(spark, texts):
+    """The incremental batch-vs-corpus LSH lookup must equal the
+    from-spec python model: batch docs (id % 10 == 0) band-collide
+    against corpus docs only, verify by exact Jaccard >= 0.4, and each
+    flagged batch doc reports its best corpus match (max jaccard, ties
+    to the smaller corpus id) — never a batch-batch or corpus-corpus
+    pair. Ids stride by 5 so half the docs land in the batch
+    partition (i*5 % 10 == 0 for even i)."""
+    import hashlib
+
+    from impala_refresher_spark.operators.dedup import (
+        _AS,
+        _BANDS,
+        _BS,
+        _MERSENNE,
+        _ROWS_PER_BAND,
+        dedup_minhash_incremental,
+    )
+    import impala_refresher_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(
+        [(i * 5, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            r.doc_id: (r.dup_of, r.jaccard)
+            for r in dedup_minhash_incremental(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i * 5: shingles(t) for i, t in enumerate(texts)}
+    sig = {}
+    for i, s in sh.items():
+        if not s:
+            continue
+        hs = [
+            int(hashlib.md5(x.encode()).hexdigest()[:15], 16) % _MERSENNE for x in s
+        ]
+        sig[i] = [min((a * h + b) % _MERSENNE for h in hs) for a, b in zip(_AS, _BS)]
+    corpus_buckets: dict[tuple, list] = {}
+    for i, s in sig.items():
+        if i % 10 == 0:
+            continue
+        for band in range(_BANDS):
+            key = (band, tuple(s[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]))
+            corpus_buckets.setdefault(key, []).append(i)
+    cands = set()
+    for i, s in sig.items():
+        if i % 10 != 0:
+            continue
+        for band in range(_BANDS):
+            key = (band, tuple(s[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]))
+            ids = corpus_buckets.get(key, [])
+            if len(ids) <= 1000:
+                cands.update((i, c) for c in ids)
+    want = {}
+    for b, c in cands:
+        inter = len(sh[b] & sh[c])
+        union = len(sh[b] | sh[c])
+        if inter / union >= 0.4:
+            prev = want.get(b)
+            cur = (-(inter / union), c)
+            if prev is None or cur < prev:
+                want[b] = cur
+    want = {b: (c, _r4(-negj)) for b, (negj, c) in want.items()}
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # TPC-H decorrelations and tie semantics vs literal python evaluation
 # ---------------------------------------------------------------------------
