@@ -200,6 +200,85 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(jac >= 0.4).select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
 
 
+@query(
+    "quote_containment_join",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(list_zip(toks[1:-3], toks[2:-2], toks[3:-1]),
+                              p -> p[1] || ' ' || p[2] || ' ' || p[3]))) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    snip AS (
+      SELECT doc_id AS snip_id, unnest(list_distinct(
+               list_transform(list_zip(p[1:-3], p[2:-2], p[3:-1]),
+                              q -> q[1] || ' ' || q[2] || ' ' || q[3]))) AS shingle
+      FROM (SELECT doc_id, (string_split(text, ' '))[1:12] AS p
+            FROM documents WHERE doc_id % 7 = 0)
+    ),
+    ssizes AS (SELECT snip_id, COUNT(*) AS n_s FROM snip GROUP BY snip_id),
+    hits AS (
+      SELECT s.snip_id, c.doc_id, COUNT(*) AS n_hit
+      FROM snip s JOIN sh c ON c.shingle = s.shingle
+      GROUP BY 1, 2
+    )
+    SELECT snip_id, doc_id,
+           ROUND(CAST(n_hit AS DOUBLE) / n_s, 4) AS containment
+    FROM hits JOIN ssizes USING (snip_id)
+    WHERE CAST(n_hit AS DOUBLE) / n_s >= 0.8
+    """,
+)
+def quote_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (quote-detection) join: which corpus
+    documents CONTAIN each snippet — containment = |snip ∩ doc| /
+    |snip| >= 0.8 over 3-gram shingles, the direction Jaccard misses
+    (a short quote embedded in a long doc dilutes |A∪B|, so the
+    symmetric score stays low while the snippet is fully covered).
+    The snippet relation here is derived in-query (the first 12
+    tokens of every 7th document — each snippet provably matches at
+    least its source doc and that doc's exact dups, so the check is
+    never vacuous); a real pipeline feeds its quote/eval-fragment
+    table instead.
+
+    Scale shape: the snippet side is tiny next to the corpus, so its
+    exploded shingles BROADCAST against the corpus shingle stream —
+    ONE corpus scan, no corpus reshuffle (the groupBy shuffles only
+    snippet-hit rows, bounded by |snippets| x df), the same
+    small-side-broadcast discipline as `decontaminate_train_set`. The
+    containment threshold compares a raw integer-ratio double both
+    engines compute bit-identically.
+
+    No reference analog (refresh orchestration only;
+    /root/reference/impala-refresher.go:46-181)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    corpus = d.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    )
+    prefix = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 12))
+    snip = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").alias("snip_id"),
+            _shingles(prefix).alias("ssh"),
+        )
+        .select(
+            F.struct(
+                F.col("snip_id").alias("id"), F.size("ssh").alias("n_s")
+            ).alias("s"),
+            F.explode("ssh").alias("shingle"),
+        )
+    )
+    hits = (
+        corpus.join(F.broadcast(snip), "shingle")
+        .groupBy(F.col("s.id").alias("snip_id"), "doc_id", F.col("s.n_s").alias("n_s"))
+        .agg(F.count("*").alias("n_hit"))
+    )
+    cont = F.col("n_hit").cast("double") / F.col("n_s")
+    return hits.filter(cont >= 0.8).select(
+        "snip_id", "doc_id", F.round(cont, 4).alias("containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # L2 — MinHash + LSH banding (the scale path; rows-only check)
 # ---------------------------------------------------------------------------

@@ -56,11 +56,12 @@ def _load() -> None:
 # seven two-level rewrites: select_corpus_token_budget,
 # revenue_concentration_gini, score_auc_quality, score_gain_deciles,
 # ks_statistic_status, customer_rfm_segments, pareto_frontier_parts)
-# + the 4 net-new queries
+# + the 5 net-new queries
 # (text_chunk_sliding, retrieval_rrf_fusion, fingerprint_winnowing,
-# dedup_minhash_incremental — the r05 verdict's <=5
-# allowance; surface now 242 = 240 oracled + 2 rows-only) + the 35
-# oldest r01-green; the last 11 r01 names and the r02 block rotate to
+# dedup_minhash_incremental, dedup_overlap_containment — the r05
+# verdict's <=5 allowance, fully spent;
+# surface now 243 = 241 oracled + 2 rows-only) + the 34
+# oldest r01-green; the last 12 r01 names and the r02 block rotate to
 # r07, and so on). Max evidence age stays bounded
 # at ~5 rounds; re-queues are enforced mechanically by the source-hash
 # gate in scripts/gen_ledger.py (STALE GREEN exits nonzero).
@@ -93,6 +94,9 @@ _R06_PRIORITY = [
     #    MinHash-LSH batch-vs-corpus lookup — first checks ------------
     "fingerprint_winnowing",
     "dedup_minhash_incremental",
+    # -- r06 net-new #5 (the last of the <=5 allowance): asymmetric
+    #    quote/snippet containment join (the direction jaccard misses) -
+    "quote_containment_join",
     # -- slot 6: r06 source change (oracle SQL extracted to _BM25_SQL
     #    for reuse by the fusion oracle; same bytes, hash re-queue) ---
     "text_bm25_score",

@@ -7947,6 +7947,51 @@ def test_winnowing_fingerprints_match_python(spark, word_lists):
 
 @given(
     st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=20),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_quote_containment_matches_python(spark, word_lists):
+    """`quote_containment_join` must equal the from-spec model:
+    first-12-token prefixes of every 7th doc, distinct 3-gram shingle
+    containment |snip ∩ doc| / |snip| >= 0.8 against EVERY corpus doc
+    — under docs shorter than the prefix, docs shorter than 3 tokens
+    (no snippet, no corpus shingles), and heavy shingle repetition.
+    Ids stride by 7 so every doc is a snippet source."""
+    import impala_refresher_spark.operators.dedup as dd
+
+    rows = [(i * 7, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dd.load_table
+    dd.load_table = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.snip_id, r.doc_id): r.containment
+            for r in dd.quote_containment_join(spark, "x").collect()
+        }
+    finally:
+        dd.load_table = orig
+
+    def sh(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    docs = {i * 7: ws for i, ws in enumerate(word_lists)}
+    want = {}
+    for sid, ws in docs.items():
+        snip = sh(ws[:12])
+        if not snip:
+            continue
+        for did, dws in docs.items():
+            hit = len(snip & sh(dws))
+            if 5 * hit >= 4 * len(snip):  # hit/|snip| >= 0.8, exact
+                want[(sid, did)] = _half_up(hit / len(snip), 4)
+    assert got == want
+
+
+@given(
+    st.lists(
         st.tuples(st.integers(1, 5), st.integers(1, 7), st.integers(0, 400)),
         min_size=0,
         max_size=12,
