@@ -1206,3 +1206,26 @@ def test_winnowing_selection_shares_one_doc_exchange(spark):
     # exchanges are the only others)
     assert len(re.findall(r"hashpartitioning\(doc_id", plan)) == 1, plan
     assert re.search(r"windowspecdefinition\(doc_id#\d+L?, pos", plan), plan
+
+
+def test_incremental_lsh_and_containment_plan_shapes(spark):
+    """dedup_minhash_incremental's verify tail must consume the
+    checkpointed candidate set (ExistingRDD — the corpus-sized LSH
+    pipeline ran exactly once, eagerly) through broadcast joins with
+    no cartesian; quote_containment_join must broadcast the snippet
+    shingles against the corpus scan (hash join on the shingle key,
+    never a nested-loop)."""
+    from impala_refresher_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        quote_containment_join,
+    )
+
+    plan = plan_of(dedup_minhash_incremental(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    plan = plan_of(quote_containment_join(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
