@@ -73,6 +73,7 @@ def main() -> None:
         "ann_lsh_topk", "ann_ivf_topk", "multimodal_features", "text_tfidf",
         "star_join_revenue", "stream_stateful_totals", "recover_partitions_status",
         "dedup_cluster_components", "ann_pq_topk", "quality_lm_trigram",
+        "dedup_minhash_incremental", "fingerprint_winnowing",
     }
     mid_dir = "/root/testdata/sf0.01"
     if not (os.path.isdir(mid_dir) and os.path.realpath(mid_dir) != os.path.realpath(sf_dir)):
