@@ -871,3 +871,77 @@ def test_rrf_fusion_one_sided_candidates_match_oracle(spark, tmp_path):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
         )
     compare(out, con, ORACLES["retrieval_rrf_fusion"])
+
+
+def test_new_dedup_family_degenerate_docs(spark, tmp_path):
+    """NULL text, empty text, and sub-shingle docs sit outside the
+    fixture's 44+-token floor — run the r06 dedup additions (winnowing,
+    incremental LSH, quote containment) against their oracles on a
+    corpus full of them, plus hand-pinned structure: identical 3-token
+    docs share ONE winnowing fingerprint (below the >=2 pair
+    threshold), the near-dup batch doc resolves its argmax TIE to the
+    smaller corpus id, and a snippet of an exactly-duplicated doc is
+    contained in both copies at 1.0."""
+    import duckdb
+
+    from impala_refresher_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        fingerprint_winnowing,
+        quote_containment_join,
+    )
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    doc_a = " ".join(f"t{i}" for i in range(1, 21))       # 20 tokens
+    doc_b = " ".join(f"t{i}" for i in range(1, 20)) + " zz"  # near-dup of A
+    docs = [
+        (0, None),        # batch + snippet source: NULL text
+        (7, "a b"),       # 2 tokens: no shingles anywhere
+        (10, "x y z"),    # batch: exactly one gram / one fingerprint
+        (14, "x y z"),    # corpus + snippet source: exact dup of 10
+        (3, doc_a),       # corpus
+        (21, doc_a),      # corpus + snippet source: exact dup of 3
+        (30, doc_b),      # batch: near-dup of BOTH 3 and 21 (tie)
+        (35, ""),         # snippet source: empty text
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{d}/documents.parquet"
+    )
+
+    win = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in fingerprint_winnowing(spark, d).collect()
+    }
+    # identical 20-token docs pair up; the single-fingerprint pair
+    # (10, 14) stays below the >=2 threshold
+    assert (3, 21) in win and win[(3, 21)] >= 2
+    assert (10, 14) not in win
+
+    inc = {
+        r.doc_id: (r.dup_of, r.jaccard)
+        for r in dedup_minhash_incremental(spark, d).collect()
+    }
+    assert inc[10] == (14, 1.0)
+    # 30 matches 3 and 21 with the SAME jaccard: tie resolves low
+    assert inc[30][0] == 3
+    assert inc[30][1] < 1.0
+
+    quo = {
+        (r.snip_id, r.doc_id): r.containment
+        for r in quote_containment_join(spark, d).collect()
+    }
+    # snippet of the duplicated doc is fully contained in BOTH copies
+    assert quo[(21, 3)] == 1.0 and quo[(21, 21)] == 1.0
+    assert quo[(14, 10)] == 1.0 and quo[(14, 14)] == 1.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    for fn, name in (
+        (fingerprint_winnowing, "fingerprint_winnowing"),
+        (dedup_minhash_incremental, "dedup_minhash_incremental"),
+        (quote_containment_join, "quote_containment_join"),
+    ):
+        compare(fn(spark, d), con, ORACLES[name])
