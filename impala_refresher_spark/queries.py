@@ -66,6 +66,15 @@ def _load() -> None:
 # at ~5 rounds; re-queues are enforced mechanically by the source-hash
 # gate in scripts/gen_ledger.py (STALE GREEN exits nonzero).
 #
+# r07 MUST also re-queue the three _shingles consumers OUTSIDE this
+# round's window: dedup_ngram_jaccard, dedup_minhash_lsh,
+# decontaminate_train_set — the shared helper was rewritten late in
+# r06 (zip_with shingling, 1.9x; values proven identical by exceptAll
+# diff + all five consumers' 2-SF differentials + their properties),
+# and the ledger's per-QUERY source hash cannot see helper changes.
+# quote_containment_join and dedup_minhash_incremental sit in the r06
+# window, so their round-end driver rows already cover the new code.
+#
 # The 2 rows-only queries (`agg_approx_percentiles`,
 # `agg_approx_distinct`) sit at the LITERAL tail (every registry name
 # is listed here explicitly, so _reorder's append branch is empty and
