@@ -194,16 +194,27 @@ def fn_array_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     """
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
-           json_extract_string(props, '$.missing') AS absent
+           CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS k_str,
+           TRY_CAST(CASE WHEN json_valid(props) AND json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                         THEN json_extract(props, '$.k') END AS INTEGER) AS k_int,
+           CASE WHEN json_valid(props) THEN json_extract_string(props, '$.missing') END AS absent
     FROM events
     """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: get_json_object (path extraction) + from_json (typed parse).
     At scale prefer from_json once into a struct over repeated
-    get_json_object calls — one parse instead of N."""
+    get_json_object calls — one parse instead of N.
+
+    Oracle dialect notes (r06 degenerate-input hardening; fixture
+    props are always valid `{"k": <int>}` so these paths never fired):
+    Spark's get_json_object NULLs on malformed/NULL/empty JSON where
+    DuckDB's json functions RAISE — the oracle guards with
+    json_valid(); and Spark's from_json is TYPE-STRICT (k INT yields
+    NULL for "12", 2.7, true) where DuckDB's JSON→INTEGER cast
+    coerces (12, 3, 1) — the oracle gates on json_type() IN
+    (U)BIGINT. Pinned by the adversarial differential in
+    tests/test_edge_cases.py."""
     e = load_table(spark, sf_dir, "events")
     parsed = F.from_json("props", "k INT")
     return e.select(

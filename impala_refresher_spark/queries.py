@@ -106,6 +106,10 @@ _R06_PRIORITY = [
     # -- r06 net-new #5 (the last of the <=5 allowance): asymmetric
     #    quote/snippet containment join (the direction jaccard misses) -
     "quote_containment_join",
+    # -- r06 late source change: fn_json oracle hardened against
+    #    degenerate JSON (json_valid guard + json_type strictness
+    #    gate); fixture-identical, re-queued by the ledger hash gate --
+    "fn_json",
     # -- slot 6: r06 source change (oracle SQL extracted to _BM25_SQL
     #    for reuse by the fusion oracle; same bytes, hash re-queue) ---
     "text_bm25_score",
@@ -188,7 +192,6 @@ _R06_PRIORITY = [
     "fn_arrays",
     "fn_conditional",
     "fn_dates",
-    "fn_json",
     "fn_math",
     "fn_strings",
     "frame_sample",

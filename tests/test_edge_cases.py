@@ -945,3 +945,52 @@ def test_new_dedup_family_degenerate_docs(spark, tmp_path):
         (quote_containment_join, "quote_containment_join"),
     ):
         compare(fn(spark, d), con, ORACLES[name])
+
+
+def test_fn_json_adversarial_props(spark, tmp_path):
+    """Fixture props are always valid {"k": <int>} — adversarial JSON
+    is where the engines split: DuckDB's json functions RAISE on
+    malformed input where get_json_object NULLs, and DuckDB's
+    JSON→INTEGER cast coerces quoted/float/bool values ("12"→12,
+    2.7→3, true→1) where Spark's from_json(k INT) is type-strict
+    (NULL for all three). The r06-hardened oracle (json_valid guard +
+    json_type gate) must match Spark on every class."""
+    import duckdb
+
+    from impala_refresher_spark.functions.scalar import fn_json
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    rows = [
+        (1, '{"k": 5}'),
+        (2, '{"k": "12"}'),     # quoted number: typed parse NULLs
+        (3, '{"k": "abc"}'),
+        (4, '{"k": null}'),
+        (5, '{"k": {"nested": 1}}'),
+        (6, '{"k": [1,2]}'),
+        (7, 'not json at all'),  # DuckDB raises without json_valid
+        (8, None),
+        (9, ''),
+        (10, '{"K": 1}'),        # path is case-sensitive on both
+        (11, '{"k": 2.7}'),      # DOUBLE: strict INT parse NULLs
+        (12, '{"k": true}'),     # BOOLEAN: strict INT parse NULLs
+        (13, '{"k": "é中"}'),
+        (14, '{"k": -7}'),
+    ]
+    spark.createDataFrame(rows, "event_id long, props string").coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    got = {r.event_id: (r.k_str, r.k_int, r.absent) for r in fn_json(spark, d).collect()}
+    assert got[1] == ("5", 5, None)
+    assert got[2] == ("12", None, None)
+    assert got[7] == (None, None, None)
+    assert got[11] == ("2.7", None, None)
+    assert got[12] == ("true", None, None)
+    assert got[14] == ("-7", -7, None)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    compare(fn_json(spark, d), con, ORACLES["fn_json"])
