@@ -306,32 +306,54 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_variant_shred",
     """
+    WITH shred AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props) THEN
+               CASE json_type(props, '$.k')
+                 WHEN 'UBIGINT' THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER)
+                 WHEN 'BIGINT'  THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER)
+                 WHEN 'DOUBLE'  THEN TRY_CAST(TRUNC(TRY_CAST(json_extract(props, '$.k') AS DOUBLE)) AS INTEGER)
+                 WHEN 'BOOLEAN' THEN CASE json_extract_string(props, '$.k') WHEN 'true' THEN 1 ELSE 0 END
+                 WHEN 'VARCHAR' THEN CASE
+                   WHEN regexp_full_match(json_extract_string(props, '$.k'), '\\s*[-+]?[0-9]+\\s*')
+                   THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END
+               END
+             END AS k_int,
+             CASE WHEN json_valid(props) THEN json_extract_string(props, '$.missing') END AS missing
+      FROM events
+    )
     SELECT event_type,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
-           CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           CAST(SUM(k_int) AS BIGINT) AS sum_k,
+           CAST(MAX(k_int) AS INTEGER) AS max_k,
+           CAST(SUM(CASE WHEN missing IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM events GROUP BY event_type
+    FROM shred GROUP BY event_type
     """,
 )
 def fn_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: semi-structured ingestion through Spark 4's open VARIANT
-    type — `parse_json` once into a binary variant, then typed
-    `variant_get` path extraction (no per-query re-parse, no schema
-    declared up front), shredded straight into an aggregate. Missing
-    paths come back NULL (counted here), which is the
-    schema-on-read contract.
+    type — `try_parse_json` once into a binary variant, then typed
+    `try_variant_get` path extraction (no per-query re-parse, no
+    schema declared up front), shredded straight into an aggregate.
+    Missing paths and malformed documents come back NULL (counted
+    here), which is the schema-on-read contract — the non-try forms
+    would CRASH the whole job on one malformed producer record
+    (r06 hardening; fixture props always parse, so the crash path
+    was unreachable in the differential).
 
     At 100 TB VARIANT beats string-JSON because the parse cost is paid
     once at ingest and the binary encoding supports typed,
     pushdown-friendly field access; it beats rigid structs because
-    producers can add fields without a migration. Oracle uses DuckDB's
-    JSON path extraction over the same strings."""
+    producers can add fields without a migration. Oracle replicates
+    the VARIANT int-coercion table per JSON type (integral → value,
+    double → TRUNC toward zero — DuckDB's plain cast ROUNDS, a silent
+    divergence at 2.7 → Spark 2 vs DuckDB 3 — bool → 0/1, integral
+    string → parsed, everything else NULL), pinned adversarially in
+    tests/test_edge_cases.py."""
     e = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    k = F.variant_get(v, "$.k", "int")
-    missing = F.variant_get(v, "$.missing", "string")
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "string")
     return e.groupBy("event_type").agg(
         F.sum(k).cast("bigint").alias("sum_k"),
         F.max(k).alias("max_k"),

@@ -106,10 +106,13 @@ _R06_PRIORITY = [
     # -- r06 net-new #5 (the last of the <=5 allowance): asymmetric
     #    quote/snippet containment join (the direction jaccard misses) -
     "quote_containment_join",
-    # -- r06 late source change: fn_json oracle hardened against
-    #    degenerate JSON (json_valid guard + json_type strictness
-    #    gate); fixture-identical, re-queued by the ledger hash gate --
+    # -- r06 late source changes: the JSON pair hardened against
+    #    degenerate input (json_valid guards; fn_json's json_type
+    #    strictness gate; variant shred moved to try_parse_json/
+    #    try_variant_get with a per-type coercion-table oracle);
+    #    fixture-identical, re-queued by the ledger hash gate ---------
     "fn_json",
+    "fn_variant_shred",
     # -- slot 6: r06 source change (oracle SQL extracted to _BM25_SQL
     #    for reuse by the fusion oracle; same bytes, hash re-queue) ---
     "text_bm25_score",
@@ -281,7 +284,6 @@ _R06_PRIORITY = [
     "entity_resolution_clusters",
     "fk_orphans_audit",
     "fn_structs",
-    "fn_variant_shred",
     "fuzzy_join_part_names",
     "gap_islands_active_days",
     "hhi_supplier_concentration",

@@ -994,3 +994,60 @@ def test_fn_json_adversarial_props(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
     )
     compare(fn_json(spark, d), con, ORACLES["fn_json"])
+
+
+def test_fn_variant_shred_adversarial_props(spark, tmp_path):
+    """VARIANT shredding on JSON the fixtures never produce: malformed
+    docs (parse_json would CRASH the job; try_parse_json NULLs),
+    doubles (Spark's variant int cast TRUNCATES toward zero where
+    DuckDB's plain JSON cast ROUNDS — 2.7 -> 2 vs 3), quoted integral
+    strings (coerced), non-integral strings / overflow / arrays /
+    objects (try_variant_get NULLs where the non-try form raises).
+    The oracle's per-json_type coercion table must match Spark on
+    every class."""
+    import duckdb
+
+    from impala_refresher_spark.functions.scalar import fn_variant_shred
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    rows = [
+        (1, "a", '{"k": 5}'),
+        (2, "a", '{"k": "12"}'),
+        (3, "a", '{"k": 2.7}'),
+        (4, "b", '{"k": -2.7}'),
+        (5, "b", '{"k": true}'),
+        (6, "b", '{"k": false}'),
+        (7, "c", '{"k": "abc"}'),
+        (8, "c", '{"k": "2.9"}'),
+        (9, "c", '{"k": null}'),
+        (10, "c", '{"k": 99999999999}'),
+        (11, "d", '{"k": [1]}'),
+        (12, "d", '{"k": {"a": 1}}'),
+        (13, "d", "not json at all"),
+        (14, "d", None),
+        (15, "d", '{"missing": "present!"}'),
+        (16, "e", '{"k": "+12"}'),   # signed/padded integral strings
+        (17, "e", '{"k": "007"}'),   # parse on BOTH engines
+        (18, "e", '{"k": "1e3"}'),   # scientific: Spark NULL, regex-gated
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, props string"
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    got = {
+        r.event_type: (r.sum_k, r.max_k, r.n_missing, r.n)
+        for r in fn_variant_shred(spark, d).collect()
+    }
+    assert got["a"] == (5 + 12 + 2, 12, 3, 3)
+    assert got["b"] == (-2 + 1 + 0, 1, 3, 3)
+    assert got["c"] == (None, None, 4, 4)
+    assert got["d"] == (None, None, 4, 5)  # row 15 has the path
+    assert got["e"] == (12 + 7, 12, 3, 3)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    compare(fn_variant_shred(spark, d), con, ORACLES["fn_variant_shred"])
