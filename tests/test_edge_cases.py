@@ -1051,3 +1051,45 @@ def test_fn_variant_shred_adversarial_props(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
     )
     compare(fn_variant_shred(spark, d), con, ORACLES["fn_variant_shred"])
+
+
+def test_levenshtein_unicode_dialect_limitation(spark, tmp_path):
+    """Spark's levenshtein counts CODEPOINT edits; DuckDB 1.x's is
+    BYTE-based ('é' vs 'e': 1 vs 2; '中文' vs '中': 1 vs 3). The
+    fixtures are ASCII so the fuzzy-join differential never sees it —
+    pin (a) exact oracle parity on an adversarial ASCII vocabulary
+    (ties, block edges, the distance-3 boundary) and (b) the ENGINE's
+    codepoint semantics on non-ASCII names with hand-computed values,
+    documenting that only the DuckDB side is byte-limited (see the
+    linkage module docstring)."""
+    import duckdb
+
+    from impala_refresher_spark.operators.linkage import fuzzy_join_part_names
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    names = [
+        "small brass widget", "smell brass widget",   # dist 1, same block
+        "smalle brass widget",                        # insert, dist 1/2
+        "tiny brass widget",                          # dist 4+ to small: cut
+        "small brass gadget",                         # different block
+        "x widget",                                   # short, same block
+    ]
+    spark.createDataFrame([(n,) for n in names], "p_name string").coalesce(1).write.parquet(
+        f"{d}/part.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{d}/part.parquet/*.parquet')"
+    )
+    compare(fuzzy_join_part_names(spark, d), con, ORACLES["fuzzy_join_part_names"])
+
+    # engine-side codepoint semantics on non-ASCII (no oracle compare)
+    uni = spark.createDataFrame(
+        [("café widget", "cafe widget"), ("中文 widget", "中 widget")],
+        "a string, b string",
+    )
+    got = [r.d for r in uni.select(F.levenshtein("a", "b").alias("d")).collect()]
+    assert got == [1, 1]
