@@ -13,6 +13,19 @@ product surface):
 - DuckDB has no ``pmod`` → oracle uses ``((x % m) + m) % m``.
 - Per-row ROUND is avoided at .xx5-prone boundaries (see relational.py);
   round is applied only where the operand has non-terminating decimals.
+
+r06 dialect audit — classes that DIVERGE only outside the fixtures'
+ASCII text, documented rather than oracle-patched (the divergences
+are locale/engine-deep, and Spark's behavior is the product
+contract; pinned in tests/test_edge_cases.py):
+
+- Exotic case mapping (`fn_strings`): Spark upper('ß') = 'SS' (Java
+  full case mapping) vs DuckDB 'ẞ'; Spark lower('İ') keeps the
+  combining dot ('i̇') vs DuckDB 'i'. Plain Latin/accents agree
+  ('café' ↔ 'CAFÉ').
+- JSON strictness/coercion (`fn_json`, `fn_variant_shred`): RESOLVED
+  on the oracle side — see those queries' docstrings.
+- Levenshtein bytes-vs-codepoints: see operators/linkage.py.
 """
 
 from __future__ import annotations

@@ -1093,3 +1093,43 @@ def test_levenshtein_unicode_dialect_limitation(spark, tmp_path):
     )
     got = [r.d for r in uni.select(F.levenshtein("a", "b").alias("d")).collect()]
     assert got == [1, 1]
+
+
+def test_fn_strings_ascii_parity_and_case_mapping_limitation(spark, tmp_path):
+    """fn_strings vs its oracle on adversarial-but-ASCII documents
+    (empty text, 1-char, whitespace runs, regex-special chars) — plus
+    the documented exotic-case-mapping divergence (scalar.py module
+    docstring): Spark upper('ß') = 'SS' (Java full case mapping) where
+    DuckDB yields 'ẞ', so the oracle contract holds for ASCII and
+    plain-accent text ('café' ↔ 'CAFÉ' agrees) while exotic locale
+    forms keep engine semantics."""
+    import duckdb
+
+    from impala_refresher_spark.functions.scalar import fn_strings
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    docs = [
+        (1, "", "en", "web"),
+        (2, "x", "EN", "web"),
+        (3, "   spaced   out   ", "En", "books"),
+        (4, "a.b*c(d)e|f", "fr", "web"),
+        (5, "café au lait", "FR", "books"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    compare(fn_strings(spark, d), con, ORACLES["fn_strings"])
+
+    # the documented divergence class, engine side (no oracle compare)
+    got = spark.createDataFrame([("ß",)], "s string").select(
+        F.upper("s").alias("u")
+    ).first()
+    assert got.u == "SS"
+    assert con.execute("SELECT upper('ß')").fetchone()[0] == "ẞ"
