@@ -42,130 +42,61 @@ def _load() -> None:
 
 
 # The driver's correctness pass walks the registry in order and checks
-# the FIRST 50 entries per round. After r05, 234 of the 236 SQL-oracled
-# queries are hash-green in some round; the two r05 reds (both
-# harness-shape classes, fixed this round) take slots 1-2. The binding
-# constraint is now EVIDENCE FRESHNESS, not coverage: 46 queries' last
-# green row is r01 and 43 more are r02. Steady-state policy (SURVEY §7):
-# order the whole oracled surface by last-green round ascending
-# (oldest evidence first, name as tie-break), with this round's
-# code-changed queries pinned to the front — so each round's 50-slot
-# window re-verifies the stalest evidence and the rotation continues
-# automatically in later rounds (r06 window = the 2 fixes + 9
-# source-changed re-queues (agg_percentiles, text_bm25_score, and the
-# seven two-level rewrites: select_corpus_token_budget,
-# revenue_concentration_gini, score_auc_quality, score_gain_deciles,
-# ks_statistic_status, customer_rfm_segments, pareto_frontier_parts)
-# + the 5 net-new queries
-# (text_chunk_sliding, retrieval_rrf_fusion, fingerprint_winnowing,
-# dedup_minhash_incremental, dedup_overlap_containment — the r05
-# verdict's <=5 allowance, fully spent;
-# surface now 243 = 241 oracled + 2 rows-only) + the 34
-# oldest r01-green; the last 12 r01 names and the r02 block rotate to
-# r07, and so on). Max evidence age stays bounded
-# at ~5 rounds; re-queues are enforced mechanically by the source-hash
-# gate in scripts/gen_ledger.py (STALE GREEN exits nonzero).
+# the FIRST 50 entries per round. After r06, ALL 241 SQL-oracled
+# queries are hash-green in some round (100% cumulative coverage); the
+# binding constraint is EVIDENCE FRESHNESS. Steady-state policy
+# (SURVEY §7): order the whole oracled surface by last-green round
+# ascending (oldest evidence first, name as tie-break), with each
+# round's code-changed / hash-requeued queries pinned to the front.
 #
-# r07 MUST also re-queue the three _shingles consumers OUTSIDE this
-# round's window: dedup_ngram_jaccard, dedup_minhash_lsh,
-# decontaminate_train_set — the shared helper was rewritten late in
-# r06 (zip_with shingling, 1.9x; values proven identical by exceptAll
-# diff + all five consumers' 2-SF differentials + their properties),
-# and the ledger's per-QUERY source hash cannot see helper changes.
-# quote_containment_join and dedup_minhash_incremental sit in the r06
-# window, so their round-end driver rows already cover the new code.
+# r07 window (slots 1-50): the three _shingles consumers the r06
+# per-query ledger hash could not see (the shared shingling helper was
+# rewritten to zip_with late in r06 AFTER dedup_ngram_jaccard /
+# dedup_minhash_lsh / decontaminate_train_set were certified; values
+# were proven identical by exceptAll diff + 2-SF differentials, but
+# the rotation exists precisely to re-prove them under the driver) --
+# then the three r07 ADVICE re-queues (the _shingles n-param drop
+# stales quote_containment_join + dedup_minhash_incremental; the
+# winnowing oracle df-cap stales fingerprint_winnowing), then the 14
+# names whose newest green row is still r01, then the 30
+# alphabetically-first r02 names. The 12 remaining r02 names plus the
+# r03 block head the r08 window. Max evidence age stays bounded at
+# ~5 rounds; re-queues are enforced mechanically by the TRANSITIVE
+# source-hash gate in scripts/gen_ledger.py (covers same-package
+# helpers reachable from each query, so the r06 _shingles blind spot
+# is closed; STALE GREEN exits nonzero).
 #
 # The 2 rows-only queries (`agg_approx_percentiles`,
 # `agg_approx_distinct`) sit at the LITERAL tail (every registry name
 # is listed here explicitly, so _reorder's append branch is empty and
-# the tail invariant holds by construction — r05 ADVICE). Permanent
-# evidence story, restated each round per the r05 verdict: both exist
-# to demonstrate Spark's NATIVE sketch APIs (GK percentile_approx and
+# the tail invariant holds by construction). Permanent evidence
+# story, restated each round per the r05 verdict: both exist to
+# demonstrate Spark's NATIVE sketch APIs (GK percentile_approx and
 # HLL++ approx_count_distinct), whose sketch internals are
 # engine-specific by definition, so a DuckDB value oracle cannot
 # apply; their accuracy contracts (ε bounds vs exact) live in pytest
 # (tests/test_llm_ops.py), and their PORTABLE twins are fully oracled
 # (histogram_equidepth, linear_counting_distinct, hll_sketch_rollup).
 # They never burn a driver window slot as `err: no_oracle`.
-_R06_PRIORITY = [
-    # -- slots 1-2: the two r05 driver reds, fixed this round ------
-    "merge_overlapping_intervals",
-    "embed_int8_quantize",
-    # -- slot 3: r06 source change (docstring softened per r05 ADVICE;
-    #    re-queued by the gen_ledger hash gate, which caught it) ------
-    "agg_percentiles",
-    # -- slots 4-5: r06 net-new (the <=5 allowance): sliding-window
-    #    chunking and BM25+dense RRF hybrid retrieval — first checks --
-    "text_chunk_sliding",
-    "retrieval_rrf_fusion",
-    # -- r06 net-new #3-4 (still inside the <=5 allowance): winnowing
-    #    (MOSS) local fingerprints + match join, and the incremental
-    #    MinHash-LSH batch-vs-corpus lookup — first checks ------------
-    "fingerprint_winnowing",
-    "dedup_minhash_incremental",
-    # -- r06 net-new #5 (the last of the <=5 allowance): asymmetric
-    #    quote/snippet containment join (the direction jaccard misses) -
+_R07_PRIORITY = [
+    # -- slots 1-3: the three _shingles consumers the per-query ledger
+    #    hash could not see (zip_with shingling rewrite landed late in
+    #    r06 after their certification; obligation pinned by the r06
+    #    verdict)  --
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "decontaminate_train_set",
+    # -- slots 4-6: r07 source changes (r06 ADVICE follow-through),
+    #    re-queued by the now-transitive ledger hash gate:
+    #    quote_containment_join + dedup_minhash_incremental consume
+    #    the edited _shingles (unused-n-param drop), and
+    #    fingerprint_winnowing's oracle gained the _MAX_DF df-cap CTE
+    #    the Spark side already applied --
     "quote_containment_join",
-    # -- r06 late source changes: the JSON pair hardened against
-    #    degenerate input (json_valid guards; fn_json's json_type
-    #    strictness gate; variant shred moved to try_parse_json/
-    #    try_variant_get with a per-type coercion-table oracle);
-    #    fixture-identical, re-queued by the ledger hash gate ---------
-    "fn_json",
-    "fn_variant_shred",
-    # -- slot 6: r06 source change (oracle SQL extracted to _BM25_SQL
-    #    for reuse by the fusion oracle; same bytes, hash re-queue) ---
-    "text_bm25_score",
-    # -- slots 7-8: r06 source change: the corpus-grain cumulative
-    #    windows went two-level (prefix.with_global_running — bucket-
-    #    partitioned windows + offset broadcast, NTILE by closed form);
-    #    values identical, hash re-queue -----------------------------
-    "select_corpus_token_budget",
-    "revenue_concentration_gini",
-    # -- slots 9-11: r06 source change, same two-level class: AUC's
-    #    global rank, gain-deciles' NTILE, and the KS CDFs now run
-    #    bucket-partitioned; values identical, hash re-queue ---------
-    "score_auc_quality",
-    "score_gain_deciles",
-    "ks_statistic_status",
-    # -- slots 12-13: r06 source change, same two-level class: RFM's
-    #    three NTILEs and the pareto price sweep (max offsets);
-    #    values identical, hash re-queue -----------------------------
-    "customer_rfm_segments",
-    "pareto_frontier_parts",
-    # -- r01-green (slots 14-50; the last 9 r01 names rotate to r07) --
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_pivot",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "except_all_keys",
-    "explode_tokens",
-    "filter_compound",
-    "fn_maps",
-    "intersect_all_keys",
-    "intersect_keys",
-    "join_anti",
-    "join_broadcast_dim",
-    "join_bucketed",
-    "join_full_outer",
-    "join_inner",
-    "join_left_outer",
-    "join_range",
-    "join_right_outer",
-    "join_semi",
-    "join_skew_salted",
-    "order_global_sort",
-    "order_topn",
-    "posexplode_tokens",
-    "project_computed",
-    "refresh_many_status",
-    "refresh_table_status",
-    "sample_hash_deterministic",
-    "scan_parquet",
-    "star_join_revenue",
+    "dedup_minhash_incremental",
+    "fingerprint_winnowing",
+    # -- slots 7-20: the 14 r01-evidence names (oldest green in the
+    #    rotation) --
     "text_bigrams",
     "text_tokenize",
     "topk_per_group",
@@ -180,7 +111,10 @@ _R06_PRIORITY = [
     "window_range_frame",
     "window_ranking",
     "window_sliding",
-    # -- r02-green --
+    # -- slots 21-50: the 30 alphabetically-first r02-evidence names;
+    #    the 3 displaced by the ADVICE re-queues (sql_star_revenue,
+    #    stream_dedup_counts, stream_session_windows) plus the
+    #    remaining 9 r02 names head the r08 window --
     "above_avg_orders",
     "asof_click_attribution",
     "cosine_similarity_join",
@@ -188,7 +122,6 @@ _R06_PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_exact_hash",
-    "dedup_ngram_jaccard",
     "doc_fingerprint",
     "first_touch_attribution",
     "fn_array_vector",
@@ -215,6 +148,7 @@ _R06_PRIORITY = [
     "sql_star_revenue",
     "stream_dedup_counts",
     "stream_session_windows",
+    # -- r02-green (rotates in later rounds) --
     "stream_sliding_counts",
     "stream_stateful_totals",
     "stream_tumbling_counts",
@@ -223,7 +157,7 @@ _R06_PRIORITY = [
     "text_tfidf",
     "token_count_regex",
     "top_account_by_nation",
-    # -- r03-green --
+    # -- r03-green (rotates in later rounds) --
     "catalog_describe_table",
     "catalog_list_tables",
     "compact_small_files",
@@ -272,7 +206,7 @@ _R06_PRIORITY = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "zorder_cluster_stats",
-    # -- r04-green --
+    # -- r04-green (rotates in later rounds) --
     "anova_segment_acctbal",
     "benford_first_digit",
     "bfs_event_transitions",
@@ -315,7 +249,7 @@ _R06_PRIORITY = [
     "timeseries_decompose_daily",
     "top_event_paths",
     "trending_decayed_counts",
-    # -- r05-green (agg_percentiles moved to slot 3: r06 source change) --
+    # -- r05-green (rotates in later rounds) --
     "agg_ewma_per_user",
     "agg_stats_moments",
     "ann_ivf_topk",
@@ -328,11 +262,9 @@ _R06_PRIORITY = [
     "corpus_source_quota",
     "cusum_daily_revenue",
     "daily_events_zero_filled",
-    "decontaminate_train_set",
     "dedup_cluster_components",
     "dedup_cluster_survivors",
     "dedup_incremental_batch",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "dq_rule_violations",
     "fn_try_safe",
@@ -361,6 +293,54 @@ _R06_PRIORITY = [
     "tpch_q9_product_type_profit",
     "train_val_test_split",
     "window_dedup_keep_first",
+    # -- r06-green (rotates in later rounds) --
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "customer_rfm_segments",
+    "embed_int8_quantize",
+    "except_all_keys",
+    "explode_tokens",
+    "filter_compound",
+    "fn_json",
+    "fn_maps",
+    "fn_variant_shred",
+    "intersect_all_keys",
+    "intersect_keys",
+    "join_anti",
+    "join_broadcast_dim",
+    "join_bucketed",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_range",
+    "join_right_outer",
+    "join_semi",
+    "join_skew_salted",
+    "ks_statistic_status",
+    "merge_overlapping_intervals",
+    "order_global_sort",
+    "order_topn",
+    "pareto_frontier_parts",
+    "posexplode_tokens",
+    "project_computed",
+    "refresh_many_status",
+    "refresh_table_status",
+    "retrieval_rrf_fusion",
+    "revenue_concentration_gini",
+    "sample_hash_deterministic",
+    "scan_parquet",
+    "score_auc_quality",
+    "score_gain_deciles",
+    "select_corpus_token_budget",
+    "star_join_revenue",
+    "text_bm25_score",
+    "text_chunk_sliding",
     # -- rows-only by design (literal tail) --
     "agg_approx_percentiles",
     "agg_approx_distinct",
@@ -368,8 +348,8 @@ _R06_PRIORITY = [
 
 
 def _reorder() -> None:
-    known = set(_R06_PRIORITY)
-    ordered = [n for n in _R06_PRIORITY if n in QUERIES]
+    known = set(_R07_PRIORITY)
+    ordered = [n for n in _R07_PRIORITY if n in QUERIES]
     ordered += [n for n in QUERIES if n not in known]
     for reg in (QUERIES, ORACLES):
         snap = {n: reg[n] for n in ordered if n in reg}

@@ -24,11 +24,24 @@ Status legend:
 
 Hash enforcement (r05 ADVICE): the ledger used to TRUST that green
 evidence referred to the current code — the SURVEY §7 re-queue policy
-was manual. Now LEDGER_HASHES.json records, per query, a sha256 of
-``inspect.getsource(fn)`` + the oracle SQL as of the last time that
+was manual. Now LEDGER_HASHES.json records, per query, a sha256 of the
+query's TRANSITIVE source + the oracle SQL as of the last time that
 query's green round advanced; on regeneration, a query whose current
 hash differs from the recorded one is downgraded out of
 "green, unchanged" and must sit in the current window.
+
+Transitivity (r06 verdict item 2): hashing only
+``inspect.getsource(fn)`` missed edits to shared same-package helpers
+— the r06 ``_shingles`` rewrite changed five consumers' semantics
+surface without flipping a single recorded hash, and the re-queue
+obligation had to ride in a hand-written comment. ``_source_hash`` now
+walks the function's code object (including nested lambdas /
+comprehensions) for referenced globals, recursing into same-package
+functions (``_shingles``, ``minhash_signatures``, ``prefix.*`` …) and
+folding in the repr of referenced module-level constants
+(``_MAX_DF``, ``_BM25_SQL`` …), so a helper or constant edit
+mechanically stales every consumer. ``tests/test_ledger.py`` proves a
+helper edit fires STALE GREEN.
 """
 
 from __future__ import annotations
@@ -40,23 +53,105 @@ import json
 import os
 import re
 import sys
+import types
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 HEADING = "## Driver verification ledger (last green round per query)"
 HASHES_PATH = os.path.join(ROOT, "LEDGER_HASHES.json")
+_PACKAGE = "impala_refresher_spark"
 
 
-def _source_hash(fn, oracle: str | None) -> str:
+def _referenced_names(fn) -> set[str]:
+    """Global names referenced by ``fn``'s code object, including from
+    nested code objects (lambdas, comprehensions, inner defs)."""
+    code = getattr(fn, "__code__", None)
+    names: set[str] = set()
+    stack = [code] if code is not None else []
+    while stack:
+        c = stack.pop()
+        names.update(c.co_names)
+        for const in c.co_consts:
+            if isinstance(const, types.CodeType):
+                stack.append(const)
+    return names
+
+
+def _collect_sources(fn, package: str, seen: set[int], out: list[str]) -> None:
+    """Append ``fn``'s source plus, recursively, the source of every
+    same-package function and the repr of every simple module-level
+    constant it references. Deterministic: contributions are gathered
+    in sorted-name order at each level."""
+    if id(fn) in seen:
+        return
+    seen.add(id(fn))
     try:
-        src = inspect.getsource(fn)
+        out.append(inspect.getsource(fn))
     except (OSError, TypeError):
-        src = repr(fn)
+        out.append(repr(fn))
+    g = getattr(fn, "__globals__", {})
+    for nm in sorted(_referenced_names(fn)):
+        obj = g.get(nm)
+        if obj is None:
+            continue
+        if isinstance(obj, types.FunctionType) and getattr(
+            obj, "__module__", ""
+        ).startswith(package):
+            _collect_sources(obj, package, seen, out)
+        elif isinstance(obj, (str, bytes, int, float, bool, tuple, frozenset)):
+            out.append(f"{nm}={obj!r}")
+
+
+def _source_hash(fn, oracle: str | None, package: str = _PACKAGE) -> str:
+    parts: list[str] = []
+    _collect_sources(fn, package, set(), parts)
     h = hashlib.sha256()
-    h.update(src.encode())
+    for p in parts:
+        h.update(p.encode())
+        h.update(b"\x00")
     h.update((oracle or "").encode())
     return h.hexdigest()[:16]
+
+
+def compute_statuses(
+    names: list[str],
+    oracled: set[str],
+    last_green: dict[str, int],
+    stored: dict[str, dict],
+    current: dict[str, str],
+    window: set[str],
+    cur: int,
+) -> tuple[list[tuple[str, str, str]], list[str], list[str]]:
+    """Pure status computation (unit-tested in tests/test_ledger.py).
+
+    Returns (rows, backlog, stale) where rows = [(name, last_green_str,
+    status)]. BACKLOG / STALE GREEN must be empty for a clean exit."""
+    rows: list[tuple[str, str, str]] = []
+    backlog: list[str] = []
+    stale: list[str] = []
+    for n in names:
+        if n not in oracled:
+            lg, status = "—", "rows-only by design (pytest accuracy contract)"
+        elif n in last_green:
+            lg = f"r{last_green[n]:02d}"
+            changed = stored.get(n, {}).get("hash") != current[n]
+            if n in window:
+                status = f"r{cur:02d} window (re-verify)"
+            elif changed:
+                status = "STALE GREEN (source changed since green; re-queue!)"
+                stale.append(n)
+            else:
+                status = "green, unchanged"
+        else:
+            lg = "never"
+            if n in window:
+                status = f"r{cur:02d} window (first hash check)"
+            else:
+                status = "BACKLOG"
+                backlog.append(n)
+        rows.append((n, lg, status))
+    return rows, backlog, stale
 
 
 def main() -> None:
@@ -86,12 +181,18 @@ def main() -> None:
     # Advance the recorded hash whenever a query's green round advanced
     # (that green certified the code as it exists NOW — gen_ledger runs
     # right after each round's CORRECTNESS file lands, before new edits).
+    # --rebaseline: rewrite EVERY stored hash with the current
+    # algorithm/code, keeping green rounds. ONLY legitimate immediately
+    # after a full-registry sweep (driver_sim N --vanilla, 0 failed) has
+    # certified HEAD — used once in r07 when the hash algorithm went
+    # transitive (old per-function hashes are incomparable).
+    rebaseline = "--rebaseline" in sys.argv[1:]
     for n in names:
         lg = last_green.get(n)
         if lg is None:
             continue
         rec = stored.get(n)
-        if rec is None or lg > rec.get("green_round", 0):
+        if rec is None or lg > rec.get("green_round", 0) or rebaseline:
             stored[n] = {"green_round": lg, "hash": current[n]}
     json.dump(
         {n: stored[n] for n in sorted(stored)}, open(HASHES_PATH, "w"), indent=1
@@ -113,27 +214,10 @@ def main() -> None:
         "| Query | Last driver-green | Status |",
         "|---|---|---|",
     ]
-    backlog, stale = [], []
-    for n in names:
-        if n not in ORACLES:
-            lg, status = "—", "rows-only by design (pytest accuracy contract)"
-        elif n in last_green:
-            lg = f"r{last_green[n]:02d}"
-            changed = stored.get(n, {}).get("hash") != current[n]
-            if n in window:
-                status = f"r{cur:02d} window (re-verify)"
-            elif changed:
-                status = "STALE GREEN (source changed since green; re-queue!)"
-                stale.append(n)
-            else:
-                status = "green, unchanged"
-        else:
-            lg = "never"
-            if n in window:
-                status = f"r{cur:02d} window (first hash check)"
-            else:
-                status = "BACKLOG"
-                backlog.append(n)
+    rows, backlog, stale = compute_statuses(
+        names, set(ORACLES), last_green, stored, current, window, cur
+    )
+    for n, lg, status in rows:
         lines.append(f"| `{n}` | {lg} | {status} |")
 
     cov_path = os.path.join(ROOT, "COVERAGE.md")
