@@ -44,8 +44,12 @@ _BS = [(i * 0x85EBCA77 + 7) % _MERSENNE for i in range(1, _MINHASH_K + 1)]
 _MAX_DF = 1000
 
 
-def _shingles(col, n: int = 3):
-    """Word n-gram shingles as an array column (deduplicated).
+def _shingles(col):
+    """Word 3-gram shingles as an array column (deduplicated).
+
+    Arity is fixed at 3 — the only one this package uses, and the zip
+    chain below is written for it (r06 ADVICE: the former ``n``
+    parameter promised a generality the implementation asserted away).
 
     Built by zipping the token array with its own 1- and 2-shifted
     slices — every reference to the split is a ROW-level argument, so
@@ -55,14 +59,13 @@ def _shingles(col, n: int = 3):
     Spark re-evaluates per ELEMENT ACCESS — 3n re-splits per doc,
     measured 1.9x slower on the corpus-wide shingle pass (the same
     per-element re-evaluation trap `fingerprint_winnowing` hit at
-    O(n²) with md5 arrays). Only n=3 is used in this package; the
-    zip chain below is written for that arity.
+    O(n²) with md5 arrays).
 
     Guarded for docs shorter than n tokens (zip_with pads the short
     slices with NULL, which would otherwise yield truncated trailing
     grams — the outer slice cuts to exactly size-n+1 full grams).
     """
-    assert n == 3, "zip chain below is 3-gram specific"
+    n = 3
     toks = F.split(col, " ")
     size = F.size(toks)
     g = F.zip_with(
@@ -533,12 +536,14 @@ _WINNOW_W = 4
       FROM grams
     ),
     fps AS (SELECT doc_id, len(fp_list) AS n_fp, unnest(fp_list) AS fp FROM win),
+    fp_ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {_MAX_DF}),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS n_shared,
              CAST(MAX(a.n_fp) AS BIGINT) AS n_fp_a,
              CAST(MAX(b.n_fp) AS BIGINT) AS n_fp_b
-      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      FROM fps a JOIN fp_ok ok ON ok.fp = a.fp
+      JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_shared, n_fp_a, n_fp_b
@@ -570,7 +575,10 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_ngram_jaccard` posting-list idiom: pairs are emitted in
     place from each fingerprint's sorted id list (no exploded
     self-join), with the `_MAX_DF` quadratic-blowup guard for
-    boilerplate fingerprints at scale. Hashes use the portable
+    boilerplate fingerprints at scale — replicated on the oracle side
+    as an `fp_ok HAVING COUNT(*) <= _MAX_DF` CTE (r06 ADVICE), so
+    engine and oracle agree even when a fingerprint's document
+    frequency exceeds the cap (>1000 exact boilerplate copies). Hashes use the portable
     md5-60-bit discipline; output is INTEGER-only (shared/total
     fingerprint counts), so there is no cross-engine float surface at
     all.
