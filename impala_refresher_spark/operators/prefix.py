@@ -25,6 +25,30 @@ make that the worst case rather than the default.
 No reference analog (the reference is refresh orchestration only);
 this is the scale backbone for the cumulative/front-of-corpus
 operators (`select_corpus_token_budget`, `revenue_concentration_gini`).
+
+Measured overhead/crossover (scripts/measure_prefix.py, local[32],
+best of reps, running token sum over (key desc, doc_id asc); values
+proven identical to the naive global window at every size — the r06
+verdict asked the "slower at toy SF, mandatory at scale" claim to
+carry its own numbers):
+
+| input rows        | naive 1-partition | two-level | ratio |
+|-------------------|-------------------|-----------|-------|
+| 500  (sf0.001/01) | 0.11 s            | 0.79 s    | 7.2x slower |
+| 5 000 (sf0.1)     | 0.16 s            | 0.74 s    | 4.6x slower |
+| 100 000 synthetic | 0.48 s            | 1.13 s    | 2.4x slower |
+| 1 M   synthetic   | 1.45 s            | 3.49 s    | 2.4x slower |
+| 10 M  synthetic   | 18.9 s            | 5.95 s    | **3.2x faster** |
+
+The two-level cost is a ~0.7 s FIXED floor (localCheckpoint + cut
+points + offsets jobs) plus near-linear growth; the naive form grows
+13x from 1 M to 10 M (one task sorts and windows everything, spilling)
+and is 32-thread-idle by construction. Crossover lands at a few
+million rows on this box; on a 1000-executor cluster the naive plan is
+not merely slow but un-runnable (one task must hold the corpus), which
+is why every corpus-grain ranking in this package takes the fixed toy-
+SF overhead deliberately (the per-query deltas are pre-declared in
+SURVEY §7).
 """
 
 from __future__ import annotations
