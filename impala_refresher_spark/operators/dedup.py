@@ -1377,6 +1377,124 @@ def dup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_span_removal",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i + {_SPAN_N - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, len(w) - {_SPAN_N - 2})) AS u(i)
+    ),
+    dup AS (
+      SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+      ) x WHERE nd >= 2
+    ),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_SPAN_N - 1}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS isl_id
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, isl_id, MAX(pos) - MIN(pos) + {_SPAN_N} AS covered
+      FROM grp GROUP BY doc_id, isl_id
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS n_dup FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_dup, 0) AS n_dup_tokens,
+           ROUND(COALESCE(p.n_dup, 0) * 1.0 / len(t.w), 4) AS dup_ratio
+    FROM t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass over `dup_span_ngrams`' inventory (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    per document, how many token positions are covered by the union of
+    all cross-document duplicated {_SPAN_N}-word spans — the number a
+    span-excision pass deletes, reported as exact interval-union
+    coverage (overlapping spans are merged, not double-counted).
+
+    Plan: positional grams are the same single higher-order transform
+    as `span_grams` (one pass over the token array, no Python, no
+    self-join) but keep the start offset via posexplode; the
+    duplicated-gram set comes from the two-level (gram, doc) → gram
+    partial-aggregable pipeline of `dup_span_ngrams`; hit positions
+    join back on the gram key (at 100 TB the join key becomes
+    xxhash64(gram) — 8 bytes — exactly as dup_span_ngrams' docstring
+    prescribes for its shuffle); interval union is the gaps-and-
+    islands idiom over a DOC-GRAIN window (partitioned by doc_id —
+    parallel and bounded, never single-partition). Integer-dominated
+    output; the one float (coverage ratio) divides two exact integers
+    identically on both engines.
+
+    Complements the family: `dedup_exact`/`_minhash_lsh` drop whole
+    documents, `quote_containment_join` finds asymmetric overlap,
+    this measures and prices the span-level excision a pretraining
+    cleanup actually performs.
+
+    No reference analog (refresh orchestration only,
+    /root/reference/impala-refresher.go:46-181)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    docs = d.select("doc_id", w.alias("w")).localCheckpoint()
+    n = F.size("w")
+    idx = F.when(
+        n >= _SPAN_N, F.sequence(F.lit(1), n - (_SPAN_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice("w", i, _SPAN_N))
+    )
+    g = docs.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    per = g.groupBy("gram", "doc_id").agg(F.count("*").alias("c"))
+    dup = (
+        per.groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select("doc_id", "pos")
+
+    from pyspark.sql.window import Window
+
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(by_doc) <= _SPAN_N - 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = hits.withColumn(
+        "isl_id",
+        F.sum(brk).over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cov = isl.groupBy("doc_id", "isl_id").agg(
+        (F.max("pos") - F.min("pos") + _SPAN_N).alias("covered")
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.sum("covered").cast("long").alias("n_dup")
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup_tokens"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0)) / F.size("w"), 4
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def _cluster_survivors_oracle() -> str:
     from impala_refresher_spark.operators.similarity import _SQL_UNIT, _sql_dot
 

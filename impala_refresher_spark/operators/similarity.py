@@ -1019,6 +1019,83 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dim reduction before ANN)
+# ---------------------------------------------------------------------------
+
+_RP_K = 16  # output dimensionality
+
+
+def _rp_sign(j: int, i: int) -> float:
+    """Deterministic Rademacher ±1 for projection row j, input dim i —
+    md5-keyed like every other portable hash in this package, so the
+    'random' matrix is identical across engines, runs, and cluster
+    sizes (an Achlioptas 2003 sign matrix; no RNG state to ship)."""
+    import hashlib
+
+    return (
+        1.0
+        if int(hashlib.md5(f"rp-{j}-{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+        else -1.0
+    )
+
+
+def _rp_oracle() -> str:
+    rows = ", ".join(
+        "(%d, [%s])" % (j, ", ".join(f"{_rp_sign(j, i):.1f}" for i in range(_DIM)))
+        for j in range(_RP_K)
+    )
+    return f"""
+    WITH proj AS (
+      SELECT e.vec_id, p.pos,
+             list_reduce(list_prepend(0.0,
+               list_transform(range(1, {_DIM + 1}),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * p.s[i])),
+               (acc, v) -> acc + v) * 0.25 AS val
+      FROM embeddings e, (VALUES {rows}) AS p(pos, s)
+    )
+    SELECT vec_id, CAST(pos AS INT) AS pos, ROUND(val, 6) AS proj_val
+    FROM proj
+    """
+
+
+@query("embed_random_projection", _rp_oracle())
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-surface: Johnson-Lindenstrauss random projection 64 → 16 dims
+    (y_j = k^-1/2 * Σ_i ±x_i, Rademacher signs) — the standard
+    dimensionality-reduction step BEFORE the LSH/IVF/PQ indexes when
+    the raw embedding is wide: JL preserves pairwise distances within
+    (1±ε) w.h.p., so bucketing in 16-d costs a fraction of the hash
+    work and the index shrinks 4x.
+
+    Spark-first shape: the sign matrix is 16 plan-time literal arrays
+    (md5-derived, no RNG, no broadcast — it compiles into the
+    projection expressions), each output dim is one zip_with multiply
+    + one strict L→R aggregate fold in double (the `_dot` discipline,
+    bitwise-reproducible against DuckDB's list_reduce), and the
+    16-value array posexplodes to scalar rows (driver canonicalization
+    cannot sort list cells — the embed_int8_quantize lesson). Map-only:
+    no shuffle, no Python, rows × 16 out. 1/sqrt(16) = 0.25 is exact
+    binary, so the only rounding is the final display ROUND 6.
+
+    No reference analog (refresh orchestration only,
+    /root/reference/impala-refresher.go:46-181)."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    dims = []
+    for j in range(_RP_K):
+        signs = F.array(*[F.lit(_rp_sign(j, i)) for i in range(_DIM)])
+        prods = F.zip_with("embedding", signs, lambda x, s: x.cast("double") * s)
+        dims.append(
+            F.round(
+                F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v) * F.lit(0.25),
+                6,
+            )
+        )
+    return e.select(
+        "vec_id", F.posexplode(F.array(*dims)).alias("pos", "proj_val")
+    )
+
+
 @query(
     "knn_join_topk",
     f"""

@@ -95,6 +95,12 @@ _R07_PRIORITY = [
     "quote_containment_join",
     "dedup_minhash_incremental",
     "fingerprint_winnowing",
+    # -- slots 7-8: r07 net-new (2 of the <=5 allowance) — first
+    #    checks: the span-excision coverage pass over dup_span_ngrams'
+    #    inventory (Lee et al. 2022), and JL random projection ahead of
+    #    the ANN indexes --
+    "dedup_span_removal",
+    "embed_random_projection",
     # -- slots 7-20: the 14 r01-evidence names (oldest green in the
     #    rotation) --
     "text_bigrams",

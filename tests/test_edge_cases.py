@@ -1133,3 +1133,82 @@ def test_fn_strings_ascii_parity_and_case_mapping_limitation(spark, tmp_path):
     ).first()
     assert got.u == "SS"
     assert con.execute("SELECT upper('ß')").fetchone()[0] == "ẞ"
+
+
+def test_span_removal_interval_union_hand_values(spark, tmp_path):
+    """Coverage must be the interval UNION, not a per-gram sum: a doc
+    fully duplicated elsewhere has ratio 1.0 even though its 3
+    overlapping dup grams would naively sum to 24 of 10 tokens; a doc
+    sharing exactly one 8-gram counts exactly 8 covered tokens; short
+    (<8 tokens) and unique docs count 0."""
+    import duckdb
+
+    from impala_refresher_spark.operators.dedup import dedup_span_removal
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    shared = " ".join(f"t{i}" for i in range(10))  # t0..t9
+    partial = "x1 x2 " + " ".join(f"t{i}" for i in range(8)) + " x3 x4"
+    docs = [
+        (1, shared, "en", "web", len(shared)),
+        (2, shared, "en", "web", len(shared)),
+        (3, " ".join(f"u{i}" for i in range(10)), "en", "web", 29),
+        (4, partial, "en", "web", len(partial)),
+        (5, "a b c d e", "en", "web", 9),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.dup_ratio)
+        for r in dedup_span_removal(spark, d).collect()
+    }
+    assert got[1] == (10, 10, 1.0)
+    assert got[2] == (10, 10, 1.0)
+    assert got[3] == (10, 0, 0.0)
+    assert got[4] == (12, 8, 0.6667)
+    assert got[5] == (5, 0, 0.0)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    compare(dedup_span_removal(spark, d), con, ORACLES["dedup_span_removal"])
+
+
+def test_random_projection_basis_and_zero_vectors(spark, tmp_path):
+    """A basis vector e_0 projects to exactly sign(j, 0)/4 in every
+    output dim (the sign matrix is deterministic md5, so the expected
+    values are computable in the test); the zero vector projects to
+    exactly zero; every vector emits exactly _RP_K rows."""
+    import duckdb
+
+    from impala_refresher_spark.operators.similarity import (
+        _RP_K,
+        _rp_sign,
+        embed_random_projection,
+    )
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    basis = [1.0] + [0.0] * 63
+    rows = [(1, basis, 0), (2, [0.0] * 64, 1)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    out = embed_random_projection(spark, d).collect()
+    assert len(out) == 2 * _RP_K
+    got = {(r.vec_id, r.pos): r.proj_val for r in out}
+    for j in range(_RP_K):
+        assert got[(1, j)] == _rp_sign(j, 0) * 0.25
+        assert got[(2, j)] == 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    compare(embed_random_projection(spark, d), con, ORACLES["embed_random_projection"])

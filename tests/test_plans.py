@@ -1229,3 +1229,39 @@ def test_incremental_lsh_and_containment_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_random_projection_is_map_only(spark):
+    """JL projection must compile to a pure map stage: the sign matrix
+    is plan-time literals (no broadcast, no join), each output dim one
+    zip_with/aggregate fold in codegen, posexplode the only Generate —
+    no keyed shuffle, no window, no Python. At 100 TB this pipelines
+    into the LSH/IVF index builds without a repartition."""
+    from impala_refresher_spark.operators.similarity import (
+        embed_random_projection,
+    )
+
+    plan = plan_of(embed_random_projection(spark, SF_SMOKE))
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Join" not in plan and "Window (" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan
+
+
+def test_span_removal_windows_share_one_doc_exchange(spark):
+    """dedup_span_removal's interval-union pass (lag + running island
+    sum + per-island and per-doc aggregates) must all run on ONE
+    doc-grain exchange — HashPartitioning(doc_id) satisfies the
+    (doc_id, isl_id) and (doc_id) clusterings — with windows always
+    PARTITIONED (never single-partition), no cartesian, no Python."""
+    import re
+
+    from impala_refresher_spark.operators.dedup import dedup_span_removal
+
+    plan = plan_of(dedup_span_removal(spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan
+    assert "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert re.search(r"windowspecdefinition\(doc_id#\d+L?, pos", plan), plan
+    assert len(re.findall(r"hashpartitioning\(doc_id#\d+L?, 32", plan)) == 1, plan
