@@ -1447,6 +1447,13 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference analog (refresh orchestration only,
     /root/reference/impala-refresher.go:46-181)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
+    return span_removal_coverage(d)
+
+
+def span_removal_coverage(d: DataFrame) -> DataFrame:
+    """Core of `dedup_span_removal` over any (doc_id, text) relation —
+    separated so the hypothesis property can drive it against a
+    brute-force python model on arbitrary corpora."""
     w = F.split("text", " ")
     docs = d.select("doc_id", w.alias("w")).localCheckpoint()
     n = F.size("w")

@@ -1081,6 +1081,13 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference analog (refresh orchestration only,
     /root/reference/impala-refresher.go:46-181)."""
     e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return random_project(e)
+
+
+def random_project(e: DataFrame) -> DataFrame:
+    """Core of `embed_random_projection` over any (vec_id, embedding)
+    relation — separated so the hypothesis property can drive it
+    against a brute-force python fold on arbitrary vectors."""
     dims = []
     for j in range(_RP_K):
         signs = F.array(*[F.lit(_rp_sign(j, i)) for i in range(_DIM)])

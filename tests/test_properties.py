@@ -8536,3 +8536,108 @@ def test_fused_row_numbers_match_naive_windows(spark, rows, ascending):
     got = {r.id: (r.ik, r.iv) for r in out.collect()}
     assert got == want
     assert base.count() == len(rows)
+
+
+@st.composite
+def span_corpus(draw):
+    """Small corpora with forced duplication pressure: token alphabet
+    of 4 symbols keeps 8-gram collisions plausible, and each doc is
+    either fresh or a (possibly token-perturbed) copy of an earlier
+    one, so dup spans of every overlap shape appear."""
+    alpha = ["a", "b", "c", "d"]
+    docs = []
+    n_docs = draw(st.integers(2, 6))
+    for _ in range(n_docs):
+        if docs and draw(st.booleans()):
+            base = list(draw(st.sampled_from(docs)))
+            if base and draw(st.booleans()):
+                i = draw(st.integers(0, len(base) - 1))
+                base[i] = draw(st.sampled_from(alpha))
+            docs.append(base)
+        else:
+            docs.append(
+                draw(st.lists(st.sampled_from(alpha), min_size=1, max_size=14))
+            )
+    return docs
+
+
+@given(span_corpus())
+@settings(**_SETTINGS)
+def test_span_removal_matches_python_interval_union(spark, docs):
+    from impala_refresher_spark.operators.dedup import (
+        _SPAN_N,
+        span_removal_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens)
+        for r in span_removal_coverage(df).collect()
+    }
+
+    # brute force: dup grams = 8-grams in >= 2 distinct docs; coverage
+    # per doc = size of the UNION of [p, p+7] position sets
+    grams_by_doc = [
+        [
+            (p, tuple(toks[p : p + _SPAN_N]))
+            for p in range(len(toks) - _SPAN_N + 1)
+        ]
+        for toks in docs
+    ]
+    df_count: dict[tuple, set] = {}
+    for i, grams in enumerate(grams_by_doc):
+        for _, gr in grams:
+            df_count.setdefault(gr, set()).add(i)
+    dup = {gr for gr, ds in df_count.items() if len(ds) >= 2}
+    for i, toks in enumerate(docs):
+        covered: set[int] = set()
+        for p, gr in grams_by_doc[i]:
+            if gr in dup:
+                covered.update(range(p, p + _SPAN_N))
+        assert got[i] == (len(toks), len(covered)), (i, docs)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0, max_value=2.0, allow_nan=False, width=32
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(**_SETTINGS)
+def test_random_projection_matches_python_fold(spark, vecs):
+    """Spark's zip_with/aggregate fold (float32 widened to double,
+    strict L→R) must agree with the identical python fold to within
+    the final ROUND-6 display step (|round6(x) - x| <= 5e-7)."""
+    import numpy as np
+
+    from impala_refresher_spark.operators.similarity import (
+        _RP_K,
+        _rp_sign,
+        random_project,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_project(df).collect()
+    assert len(out) == len(vecs) * _RP_K
+    got = {(r.vec_id, r.pos): r.proj_val for r in out}
+    for i, v in enumerate(vecs):
+        stored = [float(np.float32(x)) for x in v]  # parquet float32
+        for j in range(_RP_K):
+            acc = 0.0
+            for k, x in enumerate(stored):
+                acc = acc + x * _rp_sign(j, k)
+            want = acc * 0.25
+            assert abs(got[(i, j)] - want) <= 5e-7 + 1e-12, (i, j, want)
