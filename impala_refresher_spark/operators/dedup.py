@@ -131,7 +131,7 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    """
+    f"""
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct(
                list_transform(list_zip(toks[1:-3], toks[2:-2], toks[3:-1]),
@@ -139,9 +139,12 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    sh_ok AS (SELECT shingle FROM sh GROUP BY shingle
+              HAVING COUNT(*) <= {_MAX_DF}),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh_ok ok ON ok.shingle = a.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -170,9 +173,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, so Zipfian/hot shingles (stopword 3-grams) need the df
     cutoff below (_MAX_DF) — dropping ubiquitous shingles loses only
     intersections that contribute negligibly to jaccard >= 0.4 pairs
-    when df >> typical doc length; at the fixture's near-uniform df
-    (max 25) the cutoff never trips, so the oracle still matches
-    exactly. MinHash-LSH below is the alternative 100 TB path.
+    when df >> typical doc length. The oracle replicates the cutoff
+    (sh_ok HAVING COUNT(*) <= _MAX_DF, excluded from INTERSECTIONS
+    only — set sizes stay full, exactly like the engine, which caps
+    posting lists after the per-doc shingle count is already packed
+    into the struct), so engine and oracle agree even past the cap
+    (r07: the same parity fix the r06 ADVICE asked of winnowing).
+    MinHash-LSH below is the alternative 100 TB path.
     """
     d = fan_out(load_table(spark, sf_dir, "documents"))
     # Each shingle row carries its document's (id, |shingles|) struct:

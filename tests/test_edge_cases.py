@@ -1212,3 +1212,51 @@ def test_random_projection_basis_and_zero_vectors(spark, tmp_path):
         f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
     )
     compare(embed_random_projection(spark, d), con, ORACLES["embed_random_projection"])
+
+
+def test_ngram_jaccard_df_cap_parity_when_cap_fires(spark, tmp_path, monkeypatch):
+    """The _MAX_DF posting-list cap must change ENGINE and ORACLE
+    identically when it actually fires (the fixtures' max df never
+    trips it): with a hot shingle shared by 5 docs and the cap
+    shrunk to 3, the (A, B) pair whose jaccard reaches 0.4 only
+    THROUGH the hot shingle must disappear on BOTH sides — set sizes
+    stay full, only intersections lose the capped shingle."""
+    import duckdb
+
+    from impala_refresher_spark.operators import dedup
+    from impala_refresher_spark.registry import ORACLES
+    from oracle_util import compare
+
+    d = str(tmp_path)
+    docs = [
+        (1, "p q r s t", "en", "web", 9),   # {pqr, qrs, rst}
+        (2, "p q r s u", "en", "web", 9),   # {pqr, qrs, rsu} — j(1,2)=0.5 with pqr
+        (3, "p q r v1 v2", "en", "web", 10),
+        (4, "p q r w1 w2", "en", "web", 10),
+        (5, "p q r y1 y2", "en", "web", 10),  # pqr df=5
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+
+    # uncapped semantics first: the hot shingle carries (1,2) to 0.5
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(spark, d).collect()
+    }
+    assert uncapped[(1, 2)] == 0.5
+
+    # shrink the cap so pqr (df=5) trips it; engine reads _MAX_DF at
+    # plan-build time, the registered oracle gets the same cap spliced
+    monkeypatch.setattr(dedup, "_MAX_DF", 3)
+    capped_oracle = ORACLES["dedup_ngram_jaccard"].replace("<= 1000", "<= 3")
+    assert "<= 3" in capped_oracle
+    got = dedup.dedup_ngram_jaccard(spark, d)
+    assert (1, 2) not in {
+        (r.doc_a, r.doc_b) for r in got.collect()
+    }, "capped engine must drop the hot-shingle-dependent pair"
+    compare(got, con, capped_oracle)
