@@ -812,6 +812,133 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANN index-quality scoreboard: recall@10 of every index vs exact
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+
+
+def _ann_recall_oracle() -> str:
+    """Composes the three generated index oracles (each a complete
+    WITH..SELECT, nested as CTE subqueries) against one brute-force
+    exact top-{k} CTE — possible precisely BECAUSE all three index
+    pipelines are already fully SQL-oracled (r04), so the recall
+    arithmetic on top is plain integer counting."""
+    cos = _sql_cosine("e.embedding", "q.qv")
+    return f"""
+    WITH lsh AS ( {_ann_lsh_oracle()} ),
+    ivf AS ( {_ann_ivf_oracle()} ),
+    pq AS ( {_pq_oracle()} ),
+    ann AS (
+      SELECT 'lsh' AS index_name, q_id, vec_id FROM lsh
+      UNION ALL SELECT 'ivf', q_id, vec_id FROM ivf
+      UNION ALL SELECT 'pq', q_id, vec_id FROM pq
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.q_id, e.vec_id, ROUND({cos}, 6) AS cos_sim
+      FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+    ),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM pairs
+      ) r WHERE rk <= {_RECALL_K}
+    ),
+    hits AS (
+      SELECT a.index_name, a.q_id, COUNT(*) AS n
+      FROM ann a JOIN exact x ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      GROUP BY a.index_name, a.q_id
+    )
+    SELECT g.index_name, g.q_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n, 0) / {_RECALL_K}.0, 4) AS recall_at_k
+    FROM (SELECT i.index_name, q.q_id
+          FROM (VALUES ('lsh'), ('ivf'), ('pq')) i(index_name)
+          CROSS JOIN q) g
+    LEFT JOIN hits h ON h.index_name = g.index_name AND h.q_id = g.q_id
+    """
+
+
+@query("ann_recall_at_k", _ann_recall_oracle())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality scoreboard: recall@{k} of EVERY approximate
+    index in this package (LSH multi-probe, IVF 2-probe, PQ-ADC) per
+    query vector, against the brute-force exact top-{k} — the
+    regression gate a production vector pipeline runs before swapping
+    an index config, promoted from a pytest-only contract to a
+    driver-oracled query so the measurement ITSELF is cross-engine
+    verified.
+
+    Scale shape: the exact side is |Q| x N with the sampled query set
+    broadcast — ground-truth eval is always run on a bounded query
+    SAMPLE at scale (here the shared vec_id < 5 set every index
+    already uses), never all-pairs; each index branch reuses its own
+    (already plan-audited) pipeline, and the recall join touches only
+    3 x |Q| x k candidate rows. Honest fixture note: the synthetic
+    embeddings are near-isotropic, so absolute recall is LOW
+    (~0-0.2) — exactly what unstructured vectors + 256 LSH buckets /
+    16 IVF cells should score; the op's value is the measurement
+    machinery, which the three-engine-oracle composition proves
+    correct.
+
+    No reference analog (refresh orchestration only,
+    /root/reference/impala-refresher.go:46-181)."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    pairs = e.join(F.broadcast(q), e.vec_id != q.q_id).select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql import Window as W
+
+    exact = (
+        pairs.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _RECALL_K)
+        .select("q_id", "vec_id")
+    )
+    branches = [
+        ("lsh", ann_lsh_topk),
+        ("ivf", ann_ivf_topk),
+        ("pq", ann_pq_topk),
+    ]
+    ann = None
+    for name, fn in branches:
+        b = fn(spark, sf_dir).select(
+            F.lit(name).alias("index_name"), "q_id", "vec_id"
+        )
+        ann = b if ann is None else ann.unionAll(b)
+    hits = (
+        ann.join(exact, ["q_id", "vec_id"])
+        .groupBy("index_name", "q_id")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = q.select("q_id").crossJoin(
+        spark.createDataFrame([("lsh",), ("ivf",), ("pq",)], "index_name string")
+    )
+    return grid.join(hits, ["index_name", "q_id"], "left").select(
+        "index_name",
+        "q_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("n"), F.lit(0)) / _RECALL_K, 4).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Iterative ML on DataFrames: k-means refinement (2 Lloyd iterations)
 # ---------------------------------------------------------------------------
 

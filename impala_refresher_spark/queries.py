@@ -57,9 +57,11 @@ def _load() -> None:
 # the rotation exists precisely to re-prove them under the driver) --
 # then the three r07 ADVICE re-queues (the _shingles n-param drop
 # stales quote_containment_join + dedup_minhash_incremental; the
-# winnowing oracle df-cap stales fingerprint_winnowing), then the 14
-# names whose newest green row is still r01, then the 30
-# alphabetically-first r02 names. The 12 remaining r02 names plus the
+# winnowing oracle df-cap stales fingerprint_winnowing), then the
+# three r07 net-new (dedup_span_removal, embed_random_projection,
+# ann_recall_at_k — 3 of the <=5 allowance), then the 14 names whose
+# newest green row is still r01, then the 27
+# alphabetically-first r02 names. The 15 remaining r02 names plus the
 # r03 block head the r08 window. Max evidence age stays bounded at
 # ~5 rounds; re-queues are enforced mechanically by the TRANSITIVE
 # source-hash gate in scripts/gen_ledger.py (covers same-package
@@ -95,13 +97,15 @@ _R07_PRIORITY = [
     "quote_containment_join",
     "dedup_minhash_incremental",
     "fingerprint_winnowing",
-    # -- slots 7-8: r07 net-new (2 of the <=5 allowance) — first
+    # -- slots 7-9: r07 net-new (3 of the <=5 allowance) — first
     #    checks: the span-excision coverage pass over dup_span_ngrams'
-    #    inventory (Lee et al. 2022), and JL random projection ahead of
-    #    the ANN indexes --
+    #    inventory (Lee et al. 2022), JL random projection ahead of
+    #    the ANN indexes, and the ANN recall@10 scoreboard composing
+    #    all three index oracles against brute-force exact --
     "dedup_span_removal",
     "embed_random_projection",
-    # -- slots 7-20: the 14 r01-evidence names (oldest green in the
+    "ann_recall_at_k",
+    # -- slots 10-23: the 14 r01-evidence names (oldest green in the
     #    rotation) --
     "text_bigrams",
     "text_tokenize",
@@ -117,10 +121,12 @@ _R07_PRIORITY = [
     "window_range_frame",
     "window_ranking",
     "window_sliding",
-    # -- slots 21-50: the 30 alphabetically-first r02-evidence names;
-    #    the 3 displaced by the ADVICE re-queues (sql_star_revenue,
-    #    stream_dedup_counts, stream_session_windows) plus the
-    #    remaining 9 r02 names head the r08 window --
+    # -- slots 24-50: the 27 alphabetically-first r02-evidence names;
+    #    the 6 displaced by the ADVICE/net-new re-queues
+    #    (sessionize_user_activity, sink_csv_roundtrip,
+    #    sink_parquet_roundtrip, sql_star_revenue, stream_dedup_counts,
+    #    stream_session_windows) plus the remaining 9 r02 names head
+    #    the r08 window --
     "above_avg_orders",
     "asof_click_attribution",
     "cosine_similarity_join",

@@ -329,3 +329,24 @@ def test_bfs_root_and_monotone_frontier(spark):
     assert dist.get("signup") == 0
     assert all(d >= 0 for d in dist.values())
     assert sorted(set(dist.values())) == list(range(max(dist.values()) + 1))
+
+
+def test_ann_recall_scoreboard_shape_and_bounds(spark, sf_dir):
+    """Structural contract: one row per (index, query) — 3 x 5 — with
+    0 <= n_hits <= k, recall = n_hits/k, and every index's hit set a
+    subset of its own top-k join against exact by construction."""
+    from impala_refresher_spark.operators.similarity import (
+        _RECALL_K,
+        ann_recall_at_k,
+    )
+
+    rows = ann_recall_at_k(spark, sf_dir).collect()
+    assert len(rows) == 15
+    by_index = {}
+    for r in rows:
+        assert 0 <= r.n_hits <= _RECALL_K
+        assert r.recall_at_k == round(r.n_hits / _RECALL_K, 4)
+        by_index.setdefault(r.index_name, set()).add(r.q_id)
+    assert {k: len(v) for k, v in by_index.items()} == {
+        "lsh": 5, "ivf": 5, "pq": 5,
+    }
