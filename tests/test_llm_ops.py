@@ -350,3 +350,42 @@ def test_ann_recall_scoreboard_shape_and_bounds(spark, sf_dir):
     assert {k: len(v) for k, v in by_index.items()} == {
         "lsh": 5, "ivf": 5, "pq": 5,
     }
+
+
+def test_dedup_quality_scoreboard_python_model(spark, sf_dir):
+    """The scoreboard's precision/recall must equal a pure-python
+    recount over its own component outputs (truth = exact-Jaccard
+    pairs, detected = each detector's pairs) — and minhash_lsh's
+    verified-subset construction forces precision exactly 1.0 with
+    its hit set equal to its detected set."""
+    from impala_refresher_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_quality_scoreboard,
+        dedup_simhash,
+    )
+
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    detected = {
+        "minhash_lsh": {
+            (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        },
+        "simhash": {
+            (r.doc_a, r.doc_b) for r in dedup_simhash(spark, sf_dir).collect()
+        },
+    }
+    rows = {r.detector: r for r in dedup_quality_scoreboard(spark, sf_dir).collect()}
+    assert set(rows) == {"minhash_lsh", "simhash"}
+    for det, pairs in detected.items():
+        r = rows[det]
+        hits = pairs & truth
+        assert r.n_detected == len(pairs)
+        assert r.n_truth == len(truth)
+        assert r.n_hits == len(hits)
+        assert r.precision == (round(len(hits) / len(pairs), 4) if pairs else None)
+        assert r.recall == (round(len(hits) / len(truth), 4) if truth else None)
+    assert rows["minhash_lsh"].precision == 1.0
+    assert detected["minhash_lsh"] <= truth

@@ -1265,3 +1265,20 @@ def test_span_removal_windows_share_one_doc_exchange(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert re.search(r"windowspecdefinition\(doc_id#\d+L?, pos", plan), plan
     assert len(re.findall(r"hashpartitioning\(doc_id#\d+L?, 32", plan)) == 1, plan
+
+
+def test_dedup_scoreboard_tail_is_pair_sized(spark):
+    """dedup_quality_scoreboard's composition tail must add no
+    quadratic stage on top of the three audited detector pipelines:
+    no CartesianProduct, no Python eval, and the lone nested-loop join
+    the 1-row broadcast truth-count (the grid crossJoin) — every
+    pair-set join is a hash join."""
+    from impala_refresher_spark.operators.dedup import dedup_quality_scoreboard
+
+    import re
+
+    plan = plan_of(dedup_quality_scoreboard(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted mode lists each node once in the detail section
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
