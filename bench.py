@@ -32,6 +32,13 @@ def main() -> None:
         "cosine_similarity_join",
         "text_tfidf",
         "stream_session_windows",
+        # Canonical AMBIENT PROBE (r07 verdict item 5): a constant-plan,
+        # hash-stable scan+filter+agg whose only cross-round variance is
+        # host ambient. Per-query round-over-round comparisons divide by
+        # the probe's ratio first (scripts/bench_compare.py), so a real
+        # regression can't hide behind — nor be faked by — a box-wide
+        # shift.
+        "tpch_q6_forecast_revenue",
     ]
     headline = [q for q in headline if q in QUERIES]
     # plus everything else registered, so coverage regressions show up
@@ -201,6 +208,16 @@ def main() -> None:
     # stdout-tail capture (~4 KB) — r01's all-query line overflowed it
     # and the driver recorded parsed:null despite rc=0.
     print("bench-all: " + json.dumps(timings), file=sys.stderr)
+    # ... and to a durable file, so round-over-round per-query
+    # comparisons (scripts/bench_compare.py) have the FULL map, not the
+    # ~4 KB stderr-tail fragment the driver happens to retain (r07's
+    # cross-round table could only recover 57 of 246 names that way).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCHALL.json"), "w") as fh:
+            json.dump({"sf": sf, "queries": timings}, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stderr + stdout lines still carry it
     line = json.dumps(
         {
             "metric": "declared-query wall-clock (sum)",
@@ -209,6 +226,10 @@ def main() -> None:
             "queries": {k: timings[k] for k in headline if k in timings},
             "n_queries": len(timings),
             "tpch_geomean": tpch_geomean,
+            "ambient_probe": {
+                "name": "tpch_q6_forecast_revenue",
+                "sec": timings.get("tpch_q6_forecast_revenue"),
+            },
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

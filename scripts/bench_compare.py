@@ -1,0 +1,121 @@
+"""Probe-normalized round-over-round per-query bench comparison.
+
+The r07 verdict's item 5: per-query deltas between rounds were being
+explained by a hand-waved "ambient band" (the sandbox's background
+load drifts 10-15% between rounds, uniformly inflating every
+constant-plan query). That explanation was wearing thin, so it is now
+mechanical: `tpch_q6_forecast_revenue` — a constant-plan, hash-stable
+scan+filter+agg with no joins, no Python, no window, whose only
+cross-round variance IS the ambient — is the canonical probe, and
+every per-query comparison divides by the probe ratio first:
+
+    normalized_ratio(q) = (new[q] / old[q]) / (new[probe] / old[probe])
+
+A box-wide shift moves the probe and every other query together, so
+normalized ratios sit near 1.0; a REAL plan/code regression moves one
+query against the probe and survives normalization. Conversely a
+regression can no longer hide inside a favorable ambient drift.
+
+Inputs: two per-query maps {name: sec}. Three accepted shapes, so old
+rounds remain comparable:
+- a BENCHALL.json written by bench.py ({"sf":..., "queries": {...}}),
+- a raw {name: sec} JSON object,
+- a driver BENCH_r{N}.json — the full map is recovered from the
+  "tail" stderr fragment (partial for pre-r08 rounds: ~the
+  alphabetical tail half that fit the driver's ~4 KB capture).
+
+Usage:
+    python scripts/bench_compare.py OLD.json NEW.json [--threshold 1.25]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+PROBE = "tpch_q6_forecast_revenue"
+_NON_QUERY_KEYS = {"n_queries", "tpch_geomean", "sf", "value"}
+
+
+def load_map(path: str) -> dict[str, float]:
+    blob = json.load(open(path))
+    if "queries" in blob and isinstance(blob["queries"], dict) and "tail" not in blob:
+        return {k: float(v) for k, v in blob["queries"].items()}
+    if "tail" in blob:  # driver BENCH_r{N}.json: parse the stderr fragment
+        pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', blob["tail"])
+        return {
+            k: float(v) for k, v in pairs if k not in _NON_QUERY_KEYS
+        }
+    return {k: float(v) for k, v in blob.items()}
+
+
+def compare(
+    old: dict[str, float], new: dict[str, float], threshold: float = 1.25
+) -> dict:
+    if PROBE not in old or PROBE not in new:
+        raise SystemExit(f"probe {PROBE} missing from one side — cannot normalize")
+    ambient = new[PROBE] / old[PROBE]
+    common = sorted(set(old) & set(new))
+    rows = []
+    for q in common:
+        raw = new[q] / old[q] if old[q] else float("inf")
+        rows.append(
+            {
+                "query": q,
+                "old_sec": old[q],
+                "new_sec": new[q],
+                "raw_ratio": round(raw, 3),
+                "norm_ratio": round(raw / ambient, 3),
+            }
+        )
+    rows.sort(key=lambda r: -r["norm_ratio"])
+    flagged = [r for r in rows if r["norm_ratio"] > threshold]
+    return {
+        "probe": PROBE,
+        "ambient_ratio": round(ambient, 4),
+        "n_comparable": len(common),
+        "sum_raw_ratio": round(
+            sum(new[q] for q in common) / sum(old[q] for q in common), 4
+        ),
+        "sum_norm_ratio": round(
+            sum(new[q] for q in common)
+            / sum(old[q] for q in common)
+            / ambient,
+            4,
+        ),
+        "flagged": flagged,
+        "rows": rows,
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.25
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    old, new = load_map(args[0]), load_map(args[1])
+    res = compare(old, new, thr)
+    print(
+        f"probe={res['probe']} ambient_ratio={res['ambient_ratio']} "
+        f"comparable={res['n_comparable']} sum_raw={res['sum_raw_ratio']} "
+        f"sum_normalized={res['sum_norm_ratio']}"
+    )
+    print(f"\nnormalized ratio > {thr} ({len(res['flagged'])}):")
+    for r in res["flagged"]:
+        print(
+            f"  {r['query']}: {r['old_sec']:.3f}s -> {r['new_sec']:.3f}s "
+            f"raw {r['raw_ratio']}x, normalized {r['norm_ratio']}x"
+        )
+    print("\ntop 10 normalized movers (either direction):")
+    movers = sorted(res["rows"], key=lambda r: -abs(r["norm_ratio"] - 1))[:10]
+    for r in movers:
+        print(
+            f"  {r['query']}: raw {r['raw_ratio']}x normalized {r['norm_ratio']}x "
+            f"({r['old_sec']:.3f}s -> {r['new_sec']:.3f}s)"
+        )
+
+
+if __name__ == "__main__":
+    main()

