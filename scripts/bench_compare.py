@@ -16,6 +16,16 @@ normalized ratios sit near 1.0; a REAL plan/code regression moves one
 query against the probe and survives normalization. Conversely a
 regression can no longer hide inside a favorable ambient drift.
 
+Estimator note (first real r07->r08 comparison): a SINGLE probe is a
+noisy ambient estimator — tpch_q6's absolute time is ~0.2 s, so a
+0.07 s scheduler wobble reads as a 40% "ambient shift" and mis-flags
+every stable query. The ambient divisor is therefore the MEDIAN raw
+ratio over the comparable set (a uniform shift moves the median
+exactly; one regressed query cannot move it), and the probe's own
+ratio is reported alongside as the named cross-check — if probe and
+median disagree by >15%, the probe was noisy that round, and the
+output says so.
+
 Inputs: two per-query maps {name: sec}. Three accepted shapes, so old
 rounds remain comparable:
 - a BENCHALL.json written by bench.py ({"sf":..., "queries": {...}}),
@@ -53,10 +63,14 @@ def load_map(path: str) -> dict[str, float]:
 def compare(
     old: dict[str, float], new: dict[str, float], threshold: float = 1.25
 ) -> dict:
-    if PROBE not in old or PROBE not in new:
-        raise SystemExit(f"probe {PROBE} missing from one side — cannot normalize")
-    ambient = new[PROBE] / old[PROBE]
     common = sorted(set(old) & set(new))
+    if not common:
+        raise SystemExit("no comparable queries")
+    ratios = sorted(new[q] / old[q] for q in common if old[q])
+    ambient = ratios[len(ratios) // 2]  # median raw ratio
+    probe_ratio = (
+        new[PROBE] / old[PROBE] if PROBE in old and PROBE in new else None
+    )
     rows = []
     for q in common:
         raw = new[q] / old[q] if old[q] else float("inf")
@@ -73,6 +87,10 @@ def compare(
     flagged = [r for r in rows if r["norm_ratio"] > threshold]
     return {
         "probe": PROBE,
+        "probe_ratio": round(probe_ratio, 4) if probe_ratio else None,
+        "probe_noisy": bool(
+            probe_ratio and abs(probe_ratio / ambient - 1) > 0.15
+        ),
         "ambient_ratio": round(ambient, 4),
         "n_comparable": len(common),
         "sum_raw_ratio": round(
@@ -98,7 +116,8 @@ def main() -> None:
     old, new = load_map(args[0]), load_map(args[1])
     res = compare(old, new, thr)
     print(
-        f"probe={res['probe']} ambient_ratio={res['ambient_ratio']} "
+        f"ambient(median)={res['ambient_ratio']} probe={res['probe']} "
+        f"probe_ratio={res['probe_ratio']} probe_noisy={res['probe_noisy']} "
         f"comparable={res['n_comparable']} sum_raw={res['sum_raw_ratio']} "
         f"sum_normalized={res['sum_norm_ratio']}"
     )
