@@ -7,6 +7,12 @@ above fixture size (fixtures: 5k docs / 500 vectors), pinning the
   cross-doc duplicated span mass - a worst-ish case for the
   gaps-and-islands union (every position covered for every doc).
 - random_project: N vectors x 64 dims generated in-plan.
+- dedup_quality_scoreboard (r08): N docs x ~40 tokens written to a
+  scratch documents.parquet (the registered query reads a fixture
+  dir); every 5th doc is a near-copy of its predecessor with 2 token
+  edits (Jaccard ~0.85, above the 0.4 truth threshold), so truth /
+  candidate mass grows linearly with N while hot-shingle posting
+  lists stay bounded by the vocab design.
 
 Usage: python scripts/measure_new_ops.py [reps]
 """
@@ -86,6 +92,57 @@ def main() -> None:
             f"random_project n_vecs={n_vecs}: best={min(times):.2f}s "
             f"all={[round(t,2) for t in times]} rows={out.n}"
         )
+
+    import shutil
+
+    for n_docs in (20_000, 100_000):
+        # ~40-token docs over a per-doc-family vocab; every 5th doc
+        # near-duplicates its predecessor (same seed, 2 edited tokens).
+        seed = F.when(
+            F.col("id") % 5 == 4, F.col("id") - 1
+        ).otherwise(F.col("id"))
+        toks = F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda j: F.when(
+                (F.col("id") % 5 == 4) & j.isin(3, 17),
+                F.concat(F.lit("e"), F.col("id").cast("string")),
+            ).otherwise(
+                F.concat(
+                    F.lit("t"),
+                    (F.xxhash64(seed, j) % 200_000).cast("string"),
+                )
+            ),
+        )
+        d = spark.range(n_docs).repartition(32).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", toks).alias("text"),
+        )
+        sf_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "_scratch",
+            f"scoreboard_scale_{n_docs}",
+        )
+        shutil.rmtree(sf_dir, ignore_errors=True)
+        os.makedirs(sf_dir)
+        d.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+        from impala_refresher_spark.operators.dedup import (
+            dedup_quality_scoreboard,
+        )
+
+        times = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            rows = dedup_quality_scoreboard(spark, sf_dir).collect()
+            times.append(time.monotonic() - t0)
+        summary = {
+            r.detector: (r.n_detected, r.n_truth, r.n_hits) for r in rows
+        }
+        print(
+            f"dedup_quality_scoreboard n_docs={n_docs}: best={min(times):.2f}s "
+            f"all={[round(t,2) for t in times]} {summary}"
+        )
+        shutil.rmtree(sf_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
