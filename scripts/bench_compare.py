@@ -26,6 +26,15 @@ ratio is reported alongside as the named cross-check — if probe and
 median disagree by >15%, the probe was noisy that round, and the
 output says so.
 
+Flag calibration (null experiment, r08): two runs of IDENTICAL code at
+sf0.1 produced sum_normalized 1.015 but 7 queries over a bare 1.25x
+normalized threshold — every one a 30-240 ms absolute wobble on a
+sub-second query. A flag therefore requires BOTH normalized ratio >
+threshold AND absolute delta > 0.25 s (--min-abs-delta); under that
+rule the null experiment flags zero, while any regression that matters
+at sf0.1 (the r06 HOF trap was 1.4 s -> 240 s) clears both bars by
+orders of magnitude.
+
 Inputs: two per-query maps {name: sec}. Three accepted shapes, so old
 rounds remain comparable:
 - a BENCHALL.json written by bench.py ({"sf":..., "queries": {...}}),
@@ -61,7 +70,10 @@ def load_map(path: str) -> dict[str, float]:
 
 
 def compare(
-    old: dict[str, float], new: dict[str, float], threshold: float = 1.25
+    old: dict[str, float],
+    new: dict[str, float],
+    threshold: float = 1.25,
+    min_abs_delta: float = 0.25,
 ) -> dict:
     common = sorted(set(old) & set(new))
     if not common:
@@ -84,7 +96,12 @@ def compare(
             }
         )
     rows.sort(key=lambda r: -r["norm_ratio"])
-    flagged = [r for r in rows if r["norm_ratio"] > threshold]
+    flagged = [
+        r
+        for r in rows
+        if r["norm_ratio"] > threshold
+        and r["new_sec"] - r["old_sec"] > min_abs_delta
+    ]
     return {
         "probe": PROBE,
         "probe_ratio": round(probe_ratio, 4) if probe_ratio else None,
@@ -113,15 +130,22 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    mad = 0.25
+    for a in sys.argv[1:]:
+        if a.startswith("--min-abs-delta"):
+            mad = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
     old, new = load_map(args[0]), load_map(args[1])
-    res = compare(old, new, thr)
+    res = compare(old, new, thr, mad)
     print(
         f"ambient(median)={res['ambient_ratio']} probe={res['probe']} "
         f"probe_ratio={res['probe_ratio']} probe_noisy={res['probe_noisy']} "
         f"comparable={res['n_comparable']} sum_raw={res['sum_raw_ratio']} "
         f"sum_normalized={res['sum_norm_ratio']}"
     )
-    print(f"\nnormalized ratio > {thr} ({len(res['flagged'])}):")
+    print(
+        f"\nflagged (normalized > {thr} AND abs delta > {mad}s): "
+        f"{len(res['flagged'])}"
+    )
     for r in res["flagged"]:
         print(
             f"  {r['query']}: {r['old_sec']:.3f}s -> {r['new_sec']:.3f}s "

@@ -259,3 +259,8 @@ def test_bench_compare_probe_normalization():
     res = compare(old, regressed, threshold=1.25)
     assert [r["query"] for r in res["flagged"]] == ["q_slow"]
     assert res["flagged"][0]["norm_ratio"] == 2.0
+
+    # the null-experiment calibration: a big RATIO on a tiny ABSOLUTE
+    # delta is run-to-run wobble, not a regression — no flag
+    wobble = dict(uniform, q_fast=uniform["q_fast"] + 0.2)
+    assert compare(old, wobble, threshold=1.25)["flagged"] == []
