@@ -222,6 +222,22 @@ def compute_statuses(
     return rows, backlog, stale
 
 
+def next_window_order(
+    names: list[str],
+    oracled: set[str],
+    last_green: dict[str, int],
+) -> list[tuple[str, int]]:
+    """The steady-state rotation order for the NEXT round's priority
+    list: every oracled query sorted by (last-green round asc, name),
+    never-green names first — i.e. oldest evidence first. The round's
+    net-new and source-change re-queues still get pinned by hand ahead
+    of this list; everything else is mechanical (the r07 verdict's
+    rule: cut the window from the ledger, not from prose counts)."""
+    rot = [n for n in names if n in oracled]
+    rot.sort(key=lambda n: (last_green.get(n, 0), n))
+    return [(n, last_green.get(n, 0)) for n in rot]
+
+
 def main() -> None:
     from impala_refresher_spark.queries import ORACLES, QUERIES
 
@@ -239,6 +255,19 @@ def main() -> None:
 
     names = list(QUERIES)
     window = set(names[:50])
+
+    # --next-window: print the evidence-age-ordered rotation list for
+    # the NEXT round's _R{N}_PRIORITY head, then exit (no file writes).
+    if "--next-window" in sys.argv[1:]:
+        try:
+            print(f"# rotation order for r{cur + 1:02d} (pin net-new and"
+                  " re-queues ahead by hand):")
+            for n, lg in next_window_order(names, set(ORACLES), last_green):
+                print(f'    "{n}",  # r{lg:02d}' if lg
+                      else f'    "{n}",  # never')
+        except BrokenPipeError:
+            pass  # piped through head: fine
+        return
 
     stored: dict[str, dict] = {}
     if os.path.exists(HASHES_PATH):

@@ -264,3 +264,19 @@ def test_bench_compare_probe_normalization():
     # delta is run-to-run wobble, not a regression — no flag
     wobble = dict(uniform, q_fast=uniform["q_fast"] + 0.2)
     assert compare(old, wobble, threshold=1.25)["flagged"] == []
+
+
+def test_next_window_order_is_oldest_evidence_first():
+    """Rotation order: never-green first, then ascending last-green
+    round, name as tie-break; rows-only names excluded."""
+    from scripts.gen_ledger import next_window_order
+
+    names = ["q_new", "q_r3b", "q_r2", "q_r3a", "q_rows_only"]
+    oracled = {"q_new", "q_r2", "q_r3a", "q_r3b"}
+    last_green = {"q_r2": 2, "q_r3a": 3, "q_r3b": 3}
+    assert next_window_order(names, oracled, last_green) == [
+        ("q_new", 0),
+        ("q_r2", 2),
+        ("q_r3a", 3),
+        ("q_r3b", 3),
+    ]
