@@ -280,3 +280,29 @@ def test_next_window_order_is_oldest_evidence_first():
         ("q_r3a", 3),
         ("q_r3b", 3),
     ]
+
+
+def test_registry_priority_list_is_exact_and_tail_invariant_holds():
+    """Rotation guard: the priority list must name every registered
+    query exactly once (a dropped name would be silently appended by
+    _reorder's fallback branch and could evict the rows-only tail from
+    its documented position), and the 2 rows-only queries must sit at
+    the literal tail so they never burn a driver window slot."""
+    import impala_refresher_spark.queries as qmod
+    from impala_refresher_spark.queries import ORACLES, QUERIES
+
+    prio = [v for k, v in vars(qmod).items() if k.endswith("_PRIORITY")]
+    assert len(prio) == 1, "exactly one _R{N}_PRIORITY list"
+    prio = prio[0]
+    assert len(prio) == len(set(prio)), "duplicate name in priority list"
+    assert set(prio) == set(QUERIES), (
+        set(prio) ^ set(QUERIES) or "ok"
+    )
+    names = list(QUERIES)
+    rows_only = [n for n in names if n not in ORACLES]
+    assert names[-2:] == sorted(
+        rows_only, reverse=True
+    ) or set(names[-2:]) == set(rows_only), "rows-only tail invariant"
+    assert all(n in ORACLES for n in names[:50]), (
+        "window slot holds a rows-only query"
+    )
