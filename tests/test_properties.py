@@ -2655,10 +2655,22 @@ def test_subsample_ci_matches_python(spark, orders):
     finally:
         ev.load_table = orig
 
+    # Spark's round() is HALF_UP on the shortest decimal repr of the
+    # double; python's built-in round() is banker's. On an exact .xx5
+    # mean (e.g. 42.125) they diverge by a full cent, which then
+    # exceeds the sd tolerance — model Spark's rounding exactly
+    # (hypothesis found 42.125: round()->42.12, Spark->42.13).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r2(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        )
+
     buckets: dict[int, list] = {}
     for ok, q in orders:
         buckets.setdefault(ok % 16, []).append(q / 4.0)
-    means = [round(sum(v) / len(v), 2) for _, v in sorted(buckets.items())]
+    means = [r2(sum(v) / len(v)) for _, v in sorted(buckets.items())]
     assert r.n_subsamples == len(means)
     assert abs(r.grand_mean - sum(means) / len(means)) <= 1.1e-2
     if len(means) < 2:
