@@ -3083,16 +3083,28 @@ def test_decomposition_matches_python(spark, rows):
     finally:
         pf.load_table = orig
 
+    # model Spark's HALF_UP round, not python's banker's: a 7-day mean
+    # can land exactly on a .xx5 decimal (e.g. 70.875/7 = 10.125, both
+    # binary-exact), where the two roundings diverge by a cent that
+    # then compounds through seasonal and residual past the tolerances
+    # (the test_subsample_ci_matches_python class)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r2(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        )
+
     daily: dict[int, float] = {}
     for d, q in rows:
         daily[d] = daily.get(d, 0.0) + q / 4.0
     days = sorted(daily)
-    revs = {d: round(daily[d], 2) for d in days}
+    revs = {d: r2(daily[d]) for d in days}
     trend = {}
     for i, d in enumerate(days):
         frame = days[max(0, i - 3) : i + 4]
         if len(frame) == 7 and i >= 3:
-            trend[d] = round(sum(revs[x] for x in frame) / 7, 2)
+            trend[d] = r2(sum(revs[x] for x in frame) / 7)
     by_dow: dict[int, list] = {}
     for d in days:
         by_dow.setdefault((date(2024, 1, 1) + timedelta(days=d)).weekday(), []).append(d)
@@ -3100,7 +3112,7 @@ def test_decomposition_matches_python(spark, rows):
     for dow, mem in by_dow.items():
         det = [revs[d] - trend[d] for d in mem if d in trend]
         if det:
-            seasonal[dow] = round(sum(det) / len(det), 2)
+            seasonal[dow] = r2(sum(det) / len(det))
     want = []
     for d in days:
         if d in trend:
@@ -3111,7 +3123,7 @@ def test_decomposition_matches_python(spark, rows):
                     revs[d],
                     trend[d],
                     seasonal[dow],
-                    round(revs[d] - trend[d] - seasonal[dow], 2),
+                    r2(revs[d] - trend[d] - seasonal[dow]),
                 )
             )
     assert [(d, r) for d, r, *_ in got] == [(d, r) for d, r, *_ in want]
