@@ -377,6 +377,15 @@ def test_dedup_quality_scoreboard_python_model(spark, sf_dir):
             (r.doc_a, r.doc_b) for r in dedup_simhash(spark, sf_dir).collect()
         },
     }
+    # Spark's round() is HALF_UP; python's is banker's — they diverge
+    # on exact 5-decimal ties (k/2^a5^b ratios), so model Spark's.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
     rows = {r.detector: r for r in dedup_quality_scoreboard(spark, sf_dir).collect()}
     assert set(rows) == {"minhash_lsh", "simhash"}
     for det, pairs in detected.items():
@@ -385,7 +394,7 @@ def test_dedup_quality_scoreboard_python_model(spark, sf_dir):
         assert r.n_detected == len(pairs)
         assert r.n_truth == len(truth)
         assert r.n_hits == len(hits)
-        assert r.precision == (round(len(hits) / len(pairs), 4) if pairs else None)
-        assert r.recall == (round(len(hits) / len(truth), 4) if truth else None)
+        assert r.precision == (r4(len(hits) / len(pairs)) if pairs else None)
+        assert r.recall == (r4(len(hits) / len(truth)) if truth else None)
     assert rows["minhash_lsh"].precision == 1.0
     assert detected["minhash_lsh"] <= truth
