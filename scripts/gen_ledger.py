@@ -89,11 +89,24 @@ def _referenced_names(fn) -> set[str]:
 def _const_repr(obj) -> str:
     """Deterministic repr for hashable-into-the-ledger constants.
     Sets iterate in hash order (PYTHONHASHSEED-dependent for strings),
-    so set-typed constants are rendered as sorted element reprs;
-    list/tuple/dict preserve source order and repr deterministically."""
+    so set-typed constants are rendered as sorted element reprs — at
+    ANY nesting depth (r08 judge: a set nested inside a list/dict
+    constant would otherwise repr in hash order and flip the
+    transitive hash between interpreter runs). list/tuple/dict
+    preserve source order; their VALUES recurse through this fn."""
     if isinstance(obj, (set, frozenset)):
-        inner = ", ".join(sorted(repr(x) for x in obj))
+        inner = ", ".join(sorted(_const_repr(x) for x in obj))
         return f"{type(obj).__name__}({{{inner}}})"
+    if isinstance(obj, (list, tuple)):
+        inner = ", ".join(_const_repr(x) for x in obj)
+        if isinstance(obj, tuple):
+            return f"({inner},)" if len(obj) == 1 else f"({inner})"
+        return f"[{inner}]"
+    if isinstance(obj, dict):
+        inner = ", ".join(
+            f"{_const_repr(k)}: {_const_repr(v)}" for k, v in obj.items()
+        )
+        return f"{{{inner}}}"
     return repr(obj)
 
 
@@ -146,6 +159,14 @@ def _package_hash(root: str = ROOT) -> str:
     return h.hexdigest()[:16]
 
 
+# Fixture dirs a SWEEP_CERT may cite (TESTDATA.md: the three
+# driver-generated scale factors). Anything else — however green —
+# does not authorize a rebaseline.
+_ACCEPTED_SF_DIRS = frozenset(
+    f"/root/testdata/sf{sf}" for sf in ("0.001", "0.01", "0.1")
+)
+
+
 def rebaseline_allowed(
     cert: dict | None, oracled: set[str], pkg_hash: str
 ) -> tuple[bool, str]:
@@ -167,6 +188,14 @@ def rebaseline_allowed(
         return False, (
             "package sources changed since the sweep "
             f"(cert {cert.get('package_hash')} != current {pkg_hash})"
+        )
+    # r08 judge: the cert used to bind only the CODE, so a sweep over
+    # an arbitrary tiny/synthetic fixture dir would authorize a
+    # rebaseline. Accept only the driver-generated fixture set.
+    if cert.get("sf_dir") not in _ACCEPTED_SF_DIRS:
+        return False, (
+            f"sweep fixture dir {cert.get('sf_dir')!r} is not one of the "
+            f"driver-generated sets {sorted(_ACCEPTED_SF_DIRS)}"
         )
     return True, "ok"
 
@@ -260,7 +289,10 @@ def main() -> None:
     # the NEXT round's _R{N}_PRIORITY head, then exit (no file writes).
     if "--next-window" in sys.argv[1:]:
         try:
-            print(f"# rotation order for r{cur + 1:02d} (pin net-new and"
+            # ``cur`` is already max(CORRECTNESS rounds)+1 — i.e. the
+            # round being seeded when this runs at round start (r08
+            # judge: the old ``cur + 1`` label was off by one).
+            print(f"# rotation order for r{cur:02d} (pin net-new and"
                   " re-queues ahead by hand):")
             for n, lg in next_window_order(names, set(ORACLES), last_green):
                 print(f'    "{n}",  # r{lg:02d}' if lg

@@ -205,6 +205,16 @@ def test_set_constant_repr_is_order_independent():
     assert _const_repr({"b", "a", "c"}) == _const_repr({"c", "a", "b"})
     assert _const_repr(frozenset({1, 2})) == _const_repr(frozenset({2, 1}))
     assert _const_repr({"x": 1}) == "{'x': 1}"
+    # r08 judge: sets NESTED inside list/dict/tuple constants must also
+    # render order-independently, and plain containers must keep their
+    # stock repr so existing ledger hashes don't flip.
+    assert _const_repr([{"b", "a"}, 3]) == _const_repr([{"a", "b"}, 3])
+    assert _const_repr({"k": {"y", "x"}}) == _const_repr({"k": {"x", "y"}})
+    assert _const_repr(({"q", "p"},)) == _const_repr(({"p", "q"},))
+    assert _const_repr([1, "a", (2.5,)]) == repr([1, "a", (2.5,)])
+    assert _const_repr({"k": [1, 2], "j": (3,)}) == repr(
+        {"k": [1, 2], "j": (3,)}
+    )
 
 
 def test_rebaseline_gate_requires_full_clean_matching_sweep():
@@ -214,13 +224,26 @@ def test_rebaseline_gate_requires_full_clean_matching_sweep():
     from scripts.gen_ledger import rebaseline_allowed
 
     oracled = {"q1", "q2"}
-    good = {"ok": ["q1", "q2"], "failed": [], "package_hash": "abc"}
+    good = {
+        "ok": ["q1", "q2"],
+        "failed": [],
+        "package_hash": "abc",
+        "sf_dir": "/root/testdata/sf0.01",
+    }
 
     assert rebaseline_allowed(good, oracled, "abc") == (True, "ok")
     assert not rebaseline_allowed(None, oracled, "abc")[0]
     assert not rebaseline_allowed({**good, "failed": ["q2"]}, oracled, "abc")[0]
     assert not rebaseline_allowed({**good, "ok": ["q1"]}, oracled, "abc")[0]
     assert not rebaseline_allowed(good, oracled, "OTHER")[0]
+    # r08 judge: a green sweep over a non-driver fixture dir must not
+    # authorize a rebaseline — the cert binds data as well as code.
+    assert not rebaseline_allowed(
+        {**good, "sf_dir": "/tmp/tiny_synthetic"}, oracled, "abc"
+    )[0]
+    assert not rebaseline_allowed(
+        {k: v for k, v in good.items() if k != "sf_dir"}, oracled, "abc"
+    )[0]
     # extra swept names beyond the current registry are harmless
     assert rebaseline_allowed(
         {**good, "ok": ["q0", "q1", "q2"]}, oracled, "abc"
@@ -280,6 +303,31 @@ def test_next_window_order_is_oldest_evidence_first():
         ("q_r3a", 3),
         ("q_r3b", 3),
     ]
+
+
+def test_next_window_header_labels_the_round_being_seeded():
+    """r08 judge: run at round-N start (after CORRECTNESS_r{N-1}
+    lands), --next-window seeds _R{N}_PRIORITY, so the header must say
+    r{N} = max(recorded rounds)+1, not r{N+1}."""
+    import glob
+    import re as _re
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(_re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    assert rounds, "driver correctness files expected at repo root"
+    out = subprocess.run(
+        [_sys.executable, os.path.join(root, "scripts", "gen_ledger.py"),
+         "--next-window"],
+        capture_output=True, text=True, cwd=root, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    header = out.stdout.splitlines()[0]
+    assert f"r{max(rounds) + 1:02d}" in header, header
 
 
 def test_registry_priority_list_is_exact_and_tail_invariant_holds():
