@@ -49,20 +49,21 @@ def _load() -> None:
 # ascending (oldest evidence first, name as tie-break), with each
 # round's code-changed / hash-requeued queries pinned to the front.
 #
-# r08 window (slots 1-50), cut from `scripts/gen_ledger.py`'s
-# regenerated output (the r07 verdict's rule: the mechanical ledger,
-# not prose counts, is the authority): the one r08 net-new
-# (dedup_quality_scoreboard — no other code edit this round touches
-# an oracled query's transitive source beyond slot 2), then the 14
-# names whose newest green row is still r02, then the 34
-# alphabetically-first r03 names. The 14 remaining r03 names
-# (tpch_q17..q8 + zorder_cluster_stats) head the r09 window; after
-# r08 lands, max evidence age is r04 (42 names). Re-queues are
+# r09 window (slots 1-50), cut from `gen_ledger.py --next-window`'s
+# output (the r07 verdict's rule: the mechanical ledger, not prose
+# counts, is the authority): the one r09 net-new
+# (inverted_index_delta_merge — no other r09 code edit touches an
+# oracled query's transitive source), then the 14 names whose newest
+# green row is still r03 (tpch_q17..q8 + zorder_cluster_stats), then
+# the 35 alphabetically-first r04 names. The 7 remaining r04 names
+# (stream_cdc_merge..trending_decayed_counts) head the r10 window;
+# after r09 lands, oldest evidence is r04 (7 names). Re-queues are
 # enforced mechanically by the TRANSITIVE source-hash gate in
 # scripts/gen_ledger.py (covers same-package helpers reachable from
 # each query, so the r06 _shingles blind spot is closed; STALE GREEN
 # exits nonzero, and list/dict/set module constants are folded into
-# the hash as of r08).
+# the hash as of r08 — including sets nested inside other constants
+# as of r09).
 #
 # The 2 rows-only queries (`agg_approx_percentiles`,
 # `agg_approx_distinct`) sit at the LITERAL tail (every registry name
@@ -76,73 +77,14 @@ def _load() -> None:
 # (tests/test_llm_ops.py), and their PORTABLE twins are fully oracled
 # (histogram_equidepth, linear_counting_distinct, hll_sketch_rollup).
 # They never burn a driver window slot as `err: no_oracle`.
-_R08_PRIORITY = [
-    # -- slot 1: r08 net-new (1 of the <=5 allowance) — first check:
-    #    the dedup-quality scoreboard composing the minhash-LSH and
-    #    SimHash oracles against the exact-Jaccard truth (the
-    #    ann_recall_at_k pattern applied to the dedup family) --
-    "dedup_quality_scoreboard",
-    # -- slot 2: r08 source-change re-queue — the exact-Jaccard oracle
-    #    literal moved into _ngram_jaccard_oracle() so the scoreboard
-    #    can nest it (stored oracle byte-identical, but the decorator
-    #    line is part of inspect.getsource, so the transitive hash
-    #    flips — exactly the class the gate exists to catch) --
-    "dedup_ngram_jaccard",
-    # -- slots 3-16: the 14 r02-evidence names (oldest green in the
-    #    rotation; count cut from gen_ledger's output, closing the
-    #    r07 prose off-by-two the judge flagged) --
-    "sessionize_user_activity",
-    "sink_csv_roundtrip",
-    "sink_parquet_roundtrip",
-    "sql_star_revenue",
-    "stream_dedup_counts",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_stateful_totals",
-    "stream_tumbling_counts",
-    "stream_watermarked_counts",
-    "text_lexicon_score",
-    "text_tfidf",
-    "token_count_regex",
-    "top_account_by_nation",
-    # -- slots 17-50: the 34 alphabetically-first r03-evidence names;
-    #    the 14 remaining r03 names (tpch_q17..q8 + zorder) head the
-    #    r09 window --
-    "catalog_describe_table",
-    "catalog_list_tables",
-    "compact_small_files",
-    "dpp_partitioned_events",
-    "dup_span_ngrams",
-    "hypertable_rollup_incremental",
-    "kmeans_refine_assignments",
-    "knn_join_topk",
-    "label_centroids",
-    "merge_upsert_orders",
-    "multi_format_union",
-    "pagerank_bipartite",
-    "pca_power_iteration",
-    "pit_feature_join",
-    "quality_gopher_rules",
-    "range_join_count_orderstat",
-    "sample_weighted_reservoir",
-    "scd2_user_value_history",
-    "sink_json_roundtrip",
-    "sink_orc_roundtrip",
-    "stream_dedup_within_wm_counts",
-    "stream_stateful_ewma",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "stream_windowed_topk",
-    "timeseries_interpolate_linear",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_counts",
-    # -- r03-green (rotates r09) --
+_R09_PRIORITY = [
+    # -- slot 1: r09 net-new (1 of the <=5 allowance; the slot the
+    #    r08 verdict nominated): incremental inverted-index
+    #    maintenance — a new batch's postings merged into M7's
+    #    bucketed layout as a second segment, no base rewrite --
+    "inverted_index_delta_merge",
+    # -- slots 2-15: the 14 r03-evidence names (oldest green in the
+    #    rotation; order cut from gen_ledger --next-window) --
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
     "tpch_q19_discounted_revenue",
@@ -157,7 +99,8 @@ _R08_PRIORITY = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "zorder_cluster_stats",
-    # -- r04-green (rotates in later rounds) --
+    # -- slots 16-50: the 35 alphabetically-first r04 names; the 7
+    #    remaining r04 names head the r10 window --
     "anova_segment_acctbal",
     "benford_first_digit",
     "bfs_event_transitions",
@@ -193,6 +136,7 @@ _R08_PRIORITY = [
     "sql_parameterized_filter",
     "sql_pipe_syntax_summary",
     "sql_recursive_reachability",
+    # -- r04-green tail (rotates r10) --
     "stream_cdc_merge",
     "stream_stream_full_outer",
     "survival_user_retention",
@@ -342,15 +286,67 @@ _R08_PRIORITY = [
     "window_range_frame",
     "window_ranking",
     "window_sliding",
-    # -- rows-only by design (literal tail) --
+    # -- r08-green (rotates in later rounds) --
+    "catalog_describe_table",
+    "catalog_list_tables",
+    "compact_small_files",
+    "dedup_ngram_jaccard",
+    "dedup_quality_scoreboard",
+    "dpp_partitioned_events",
+    "dup_span_ngrams",
+    "hypertable_rollup_incremental",
+    "kmeans_refine_assignments",
+    "knn_join_topk",
+    "label_centroids",
+    "merge_upsert_orders",
+    "multi_format_union",
+    "pagerank_bipartite",
+    "pca_power_iteration",
+    "pit_feature_join",
+    "quality_gopher_rules",
+    "range_join_count_orderstat",
+    "sample_weighted_reservoir",
+    "scd2_user_value_history",
+    "sessionize_user_activity",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "sink_orc_roundtrip",
+    "sink_parquet_roundtrip",
+    "sql_star_revenue",
+    "stream_dedup_counts",
+    "stream_dedup_within_wm_counts",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_stateful_ewma",
+    "stream_stateful_totals",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_tumbling_counts",
+    "stream_watermarked_counts",
+    "stream_windowed_topk",
+    "text_lexicon_score",
+    "text_tfidf",
+    "timeseries_interpolate_linear",
+    "token_count_regex",
+    "top_account_by_nation",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_counts",
+    # -- permanent literal tail: the 2 rows-only native-sketch
+    #    demos (policy block above) --
     "agg_approx_percentiles",
     "agg_approx_distinct",
 ]
 
 
 def _reorder() -> None:
-    known = set(_R08_PRIORITY)
-    ordered = [n for n in _R08_PRIORITY if n in QUERIES]
+    known = set(_R09_PRIORITY)
+    ordered = [n for n in _R09_PRIORITY if n in QUERIES]
     ordered += [n for n in QUERIES if n not in known]
     for reg in (QUERIES, ORACLES):
         snap = {n: reg[n] for n in ordered if n in reg}

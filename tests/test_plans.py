@@ -1282,3 +1282,25 @@ def test_dedup_scoreboard_tail_is_pair_sized(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # formatted mode lists each node once in the detail section
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan
+
+
+def test_delta_merge_serves_both_segments_pruned(spark):
+    """M13's serve path must prune BOTH segments (base and delta) to
+    one bucket directory each: the constant-folded bucket predicate is
+    pushed below the union, so the plan carries a tok_bucket
+    PartitionFilter on two separate parquet scans — otherwise the
+    'incremental' index degrades to two corpus copies per lookup."""
+    import re
+
+    from impala_refresher_spark.operators.lakehouse import (
+        inverted_index_delta_merge,
+    )
+
+    plan = plan_of(inverted_index_delta_merge(spark, SF_SMOKE))
+    assert "Union" in plan
+    pfs = [
+        m.group(1)
+        for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "tok_bucket" in m.group(1)
+    ]
+    assert len(pfs) >= 2, plan

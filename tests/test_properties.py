@@ -8665,3 +8665,52 @@ def test_random_projection_matches_python_fold(spark, vecs):
                 acc = acc + x * _rp_sign(j, k)
             want = acc * 0.25
             assert abs(got[(i, j)] - want) <= 5e-7 + 1e-12, (i, j, want)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["customer", "order", "x"]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_delta_merge_lookup_matches_python(spark, tmp_path_factory, docs):
+    """M13: serving a term from the base+delta two-segment index must
+    equal the direct Python scan WITH correct provenance — doc_ids are
+    laid out as i+4 so the first doc always lands in the delta batch
+    (doc_id % 13 == 4) and later docs in the base segment, proving the
+    merged lookup is lossless across the segment split and that the
+    delta segment genuinely serves (an empty/ignored delta would drop
+    the batch docs)."""
+    from impala_refresher_spark.operators.lakehouse import (
+        inverted_index_delta_merge,
+    )
+
+    d = str(tmp_path_factory.mktemp("dm_sf"))
+    rows = [
+        (i + 4, " ".join(ws), "en", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars int"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.tf, r.src, r.lang)
+        for r in inverted_index_delta_merge(spark, d).collect()
+    }
+    want = {
+        i + 4: (
+            ws.count("customer"),
+            "delta" if (i + 4) % 13 == 4 else "base",
+            "en",
+        )
+        for i, ws in enumerate(docs)
+        if "customer" in ws
+    }
+    assert got == want
