@@ -60,4 +60,4 @@ def test_driver_entry_contract(spark):
     # queries()/oracle_sql() stay consistent: every oracle key resolves
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) == 247 and len(o) == 245
+    assert len(q) == 248 and len(o) == 246
