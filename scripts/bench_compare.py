@@ -74,6 +74,21 @@ def load_map(path: str) -> dict[str, float]:
     return {k: float(v) for k, v in blob.items()}
 
 
+def best_of(maps: list[dict[str, float]]) -> dict[str, float]:
+    """Per-query minimum across repeated runs of the SAME code.
+
+    First real r08->r09 comparison lesson: on a degraded box (20%
+    ambient, 6% run-to-run spread) a single-run compare fired 5
+    calibrated flags, every one a wobble. A true regression is slow in
+    EVERY run, so the per-query min keeps it while erasing one-off
+    scheduler/GC/checkpoint-latency spikes. Only meaningful on the NEW
+    side of a compare (min of one map is itself)."""
+    keys = set().union(*maps)
+    return {
+        k: min(m[k] for m in maps if k in m) for k in keys
+    }
+
+
 def compare(
     old: dict[str, float],
     new: dict[str, float],
@@ -137,12 +152,21 @@ def main() -> None:
 
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("old", help="old per-query map (BENCHALL/BENCH_r{N}/raw)")
-    ap.add_argument("new", help="new per-query map")
+    ap.add_argument(
+        "new",
+        nargs="+",
+        help="new per-query map(s); several runs of the same code are "
+        "collapsed per-query to their minimum, so a flag must persist "
+        "across every run (the r09 wobble-adjudication rule)",
+    )
     ap.add_argument("--threshold", type=float, default=1.25)
     ap.add_argument("--min-abs-delta", type=float, default=0.25)
     ns = ap.parse_args()
     thr, mad = ns.threshold, ns.min_abs_delta
-    old, new = load_map(ns.old), load_map(ns.new)
+    old = load_map(ns.old)
+    new = best_of([load_map(p) for p in ns.new])
+    if len(ns.new) > 1:
+        print(f"new = per-query best of {len(ns.new)} runs")
     res = compare(old, new, thr, mad)
     print(
         f"ambient(median)={res['ambient_ratio']} probe={res['probe']} "
@@ -169,4 +193,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:
+        pass  # piped through head: fine
