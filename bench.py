@@ -212,9 +212,14 @@ def main() -> None:
     # comparisons (scripts/bench_compare.py) have the FULL map, not the
     # ~4 KB stderr-tail fragment the driver happens to retain (r07's
     # cross-round table could only recover 57 of 246 names that way).
+    # BENCHALL.json is the canonical sf0.1 artifact ONLY — a smoke run
+    # at another SF writes BENCHALL_sf{X}.json instead of clobbering
+    # the committed cross-round comparison base (r09: an sf0.01 verify
+    # run silently overwrote the r08 map mid-round).
+    fname = "BENCHALL.json" if sf == "0.1" else f"BENCHALL_sf{sf}.json"
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCHALL.json"), "w") as fh:
+                               fname), "w") as fh:
             json.dump({"sf": sf, "queries": timings}, fh, indent=1)
     except OSError:
         pass  # read-only checkout: stderr + stdout lines still carry it
