@@ -948,11 +948,25 @@ def connected_components(
     # Checkpoint the (symmetrized) edge list ONCE: it feeds the join in
     # every round, and without the cut each round would re-execute the
     # upstream pair-generation plan (the expensive similarity join).
+    # EAGER, so the materialized size can steer the loop's partitioning.
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
+    # Scale-adaptive partitioning for the iteration (guide §2.2): every
+    # round's join+aggregate inherits sym's layout, so a near-dup graph
+    # of a few thousand edges spread over the pair-join's inherited
+    # 32-64 partitions pays 64 task launches per round for KB of data
+    # (r09 profile: ~64-task 170 ms map stages per round, ~6 rounds).
+    # Size partitions to ~250k edge rows (~5 MB) each, never more than
+    # the inherited count — at 100 TB the edge list stays wide, on the
+    # fixture the whole loop collapses to 1-2-task rounds. coalesce()
+    # is narrow (no shuffle) and reads the checkpointed blocks.
+    n_edges = sym.count()
+    want = max(1, min(sym.rdd.getNumPartitions(), -(-n_edges // 250_000)))
+    if want < sym.rdd.getNumPartitions():
+        sym = sym.coalesce(want)
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=False)

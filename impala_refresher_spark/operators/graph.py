@@ -214,9 +214,22 @@ def bfs_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
         .distinct()
+        # checkpoint FIRST (keeps the fact-sized window parallel),
+        # then narrow the value-domain-sized result (≤ |event_types|²
+        # rows) to one partition so every frontier round is a 1-task
+        # join instead of 32 task launches per hop for KB of data.
+        # (coalesce before the checkpoint would collapse the window
+        # stage itself to 1 task — measured 3x slower.)
         .localCheckpoint()
+        .coalesce(1)
     )
-    visited = spark.createDataFrame([("signup", 0)], "node string, dist int")
+    # 1-partition seed (a literal SELECT), NOT createDataFrame: the
+    # latter spreads one row over defaultParallelism mostly-empty
+    # partitions, and every loop stage inherits that width. (Also:
+    # never coalesce() a plan with a LocalTableScan leg — measured a
+    # reproducible ~5 s scheduler stall; coalesce only checkpointed
+    # RDDs, where it is a fast narrow read.)
+    visited = spark.sql("SELECT 'signup' AS node, CAST(0 AS INT) AS dist")
     frontier = visited
     for hop in range(1, 9):
         frontier = (
@@ -225,10 +238,11 @@ def bfs_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .localCheckpoint()
+            .coalesce(1)
         )
         if frontier.isEmpty():
             break
-        visited = visited.unionByName(frontier).localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint().coalesce(1)
     return visited.select("node", "dist").orderBy("dist", "node")
 
 
@@ -272,35 +286,46 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     node is reached within 2 hops, and the UNION ALL expansion is
     bounded by out-degree³ rows — fine for a value-domain graph.
 
-    Plan caveat (measured): Spark INLINES the non-recursive `edges`
-    CTE into the UnionLoop's recursive branch — the physical plan
-    shows the events scan + lag window INSIDE the loop, re-derived
-    every iteration. For fact-scale graphs keep the explicit frontier
-    loop of `bfs_event_transitions`: it checkpoints the edge relation
-    once AND dedups the frontier per round, neither of which UNION
-    ALL recursion can express. Having BOTH forms oracle-checked pins
-    that they agree."""
-    from impala_refresher_spark.sources.tables import register_views
+    Plan caveat (measured, and now worked around): Spark INLINES a
+    non-recursive `edges` CTE into the UnionLoop's recursive branch —
+    the physical plan shows the events scan + lag window INSIDE the
+    loop, re-derived every iteration (r09 profile: 41 jobs, ~2.0 s,
+    most of it four re-runs of the window over the fact table). So the
+    fact-sized derivation (scan + lag window + distinct) runs ONCE as
+    a DataFrame, is localCheckpoint'ed (the edge list is value-domain
+    sized: ≤ |event_types|² rows), and the literal WITH RECURSIVE text
+    recurses over that materialized view — each loop iteration now
+    joins the frontier against a KB relation instead of replaying the
+    window (r09: 2.0 s → ~0.6 s, 41 jobs → ~14). This is exactly what
+    `bfs_event_transitions` does by hand; the declarative form keeps
+    its recursive-CTE front end, and both stay oracle-checked against
+    the same recursive SQL."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
 
-    register_views(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+    edges = (
+        seq.filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+        # checkpoint first (the window stays parallel), then narrow the
+        # value-domain-sized edge list (≤ |event_types|² rows) to one
+        # partition so each recursion round is a 1-task join
+        .localCheckpoint()
+        .coalesce(1)
+    )
+    edges.createOrReplaceTempView("reach_edges")
     return spark.sql(
         """
-        WITH RECURSIVE seq AS (
-            SELECT user_id, event_type,
-                   LAG(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev_type
-            FROM events
-        ),
-        edges AS (
-            SELECT DISTINCT prev_type AS src, event_type AS dst
-            FROM seq
-            WHERE prev_type IS NOT NULL AND prev_type <> event_type
-        ),
-        walk AS (
+        WITH RECURSIVE walk AS (
             SELECT 'signup' AS node, 0 AS dist
             UNION ALL
             SELECT e.dst, w.dist + 1
-            FROM walk w JOIN edges e ON e.src = w.node
+            FROM walk w JOIN reach_edges e ON e.src = w.node
             WHERE w.dist < 3
         )
         SELECT node, CAST(MIN(dist) AS INT) AS dist
