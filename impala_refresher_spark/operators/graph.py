@@ -119,22 +119,29 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "outdeg", F.count("*").over(Window.partitionBy("src")).cast("double")
     ).localCheckpoint()
     # every node has out-edges after the undirected doubling, so the
-    # node count is the distinct src count over the materialized edges
-    n = edges_w.agg(F.count_distinct("src").cast("double").alias("n_nodes"))
+    # node count is the distinct src count over the materialized edges.
+    # ONE driver-side scalar (a single long — the repo's legitimate
+    # scalar-collect class): as a crossJoin(broadcast(agg)) it was
+    # re-planned per consumer, so the 2-exchange distinct over the
+    # edge relation ran three times (r09 plan audit: operators 8-16 /
+    # 21-29 were byte-identical count_distinct chains). The double
+    # arithmetic is unchanged: 1.0/n and 0.15/n divide the same IEEE
+    # double either way.
+    n_nodes = F.lit(
+        float(edges_w.agg(F.count_distinct("src").cast("double")).collect()[0][0])
+    )
     # Iteration 1 constant-folded: the initial rank vector is the
     # uniform 1/n, so the first contribution sum needs NO rank join —
     # the per-edge term (1/n)/outdeg is computable from the edge
     # relation alone (the division sequence is exactly the oracle's
     # p.pr / d.outdeg with p.pr = 1.0/n_nodes, so doubles still
     # match bitwise).
-    contrib = (
-        edges_w.crossJoin(F.broadcast(n))
-        .groupBy("dst")
-        .agg(F.sum((F.lit(1.0) / F.col("n_nodes")) / F.col("outdeg")).alias("s"))
+    contrib = edges_w.groupBy("dst").agg(
+        F.sum((F.lit(1.0) / n_nodes) / F.col("outdeg")).alias("s")
     )
-    pr = contrib.crossJoin(F.broadcast(n)).select(
+    pr = contrib.select(
         F.col("dst").alias("node"),
-        F.round(_TELEPORT / F.col("n_nodes") + _DAMP * F.col("s"), 6).alias("pr"),
+        F.round(_TELEPORT / n_nodes + _DAMP * F.col("s"), 6).alias("pr"),
     )
     for _ in range(1):
         contrib = (
@@ -142,9 +149,9 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("s"))
         )
-        pr = contrib.crossJoin(F.broadcast(n)).select(
+        pr = contrib.select(
             F.col("dst").alias("node"),
-            F.round(_TELEPORT / F.col("n_nodes") + _DAMP * F.col("s"), 6).alias("pr"),
+            F.round(_TELEPORT / n_nodes + _DAMP * F.col("s"), 6).alias("pr"),
         )
     return pr.select(
         F.concat(

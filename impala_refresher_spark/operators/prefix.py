@@ -45,10 +45,19 @@ points + offsets jobs) plus near-linear growth; the naive form grows
 13x from 1 M to 10 M (one task sorts and windows everything, spilling)
 and is 32-thread-idle by construction. Crossover lands at a few
 million rows on this box; on a 1000-executor cluster the naive plan is
-not merely slow but un-runnable (one task must hold the corpus), which
-is why every corpus-grain ranking in this package takes the fixed toy-
-SF overhead deliberately (the per-query deltas are pre-declared in
-SURVEY §7).
+not merely slow but un-runnable (one task must hold the corpus).
+
+r09: the bucket count is now DATA-ADAPTIVE (guide §2 — derive
+partitioning from input size, never a constant tuned for one mode):
+the input is materialized first anyway, so a cheap count over the
+checkpointed partitions picks ONE bucket below _TWO_LEVEL_MIN_ROWS —
+the degenerate bounds=[] path, whose in-bucket window IS the global
+window — and the full two-level plan above it. Small inputs skip the
+cut-point job and the 32-way offset machinery (the table's 4-7x toy-SF
+overhead disappears); corpus-scale inputs keep the exact plan the
+table measures at 10 M rows. Output equality across the gate is the
+module's own invariant (any bucketing yields the same values) and
+stays pinned by the oracle differential at every fixture SF.
 """
 
 from __future__ import annotations
@@ -59,6 +68,16 @@ from pyspark.sql.window import Window
 
 _N_BUCKETS = 32
 _PCTL_ACC = 10_000
+# Below this many input rows the bucketing degenerates to ONE bucket
+# (bounds=[]) — the same code path, so offsets become a single 0 and
+# the in-bucket window IS the global window. The module table below
+# shows the naive single-window form beats the two-level machinery
+# until a few million rows (0.16 s vs 0.74 s at sf0.1); the cut-point
+# aggregate job is the main fixed cost this skips. The input is
+# already materialized when the count runs, so the decision costs one
+# ~ms count over checkpointed partitions, and at corpus scale
+# (rows >= the threshold) the full two-level plan is unchanged.
+_TWO_LEVEL_MIN_ROWS = 2_000_000
 
 
 def bucketed_prefix(
@@ -113,10 +132,16 @@ def bucketed_prefix(
         F.col(c).asc() for c in tie_cols
     ]
 
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(
-        set(df.agg(F.percentile_approx(key, qs, _PCTL_ACC).alias("b")).first().b or [])
-    )
+    # Data-adaptive bucket count (guide §2: derive partitioning from
+    # input size, not a constant): under _TWO_LEVEL_MIN_ROWS rows the
+    # single-bucket degenerate path wins (see the constant's note).
+    if df.count() < _TWO_LEVEL_MIN_ROWS:
+        bounds: list = []
+    else:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(
+            set(df.agg(F.percentile_approx(key, qs, _PCTL_ACC).alias("b")).first().b or [])
+        )
     # ascending bucket index: number of cut points strictly below the key
     bkt_asc = sum(
         (F.col(key) > F.lit(b)).cast("int") for b in bounds
@@ -194,17 +219,22 @@ def with_global_row_numbers(
     alone; equal keys share a bucket, so bucket order refines each
     total order)."""
     base = df.localCheckpoint()
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = base.agg(
-        *[
-            F.percentile_approx(key, qs, _PCTL_ACC).alias(name)
-            for name, (key, _, _) in specs.items()
-        ]
-    ).first()
+    # same data-adaptive gate as bucketed_prefix: small inputs skip the
+    # cut-point aggregate and run every spec as one global bucket
+    if base.count() < _TWO_LEVEL_MIN_ROWS:
+        cuts = None
+    else:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = base.agg(
+            *[
+                F.percentile_approx(key, qs, _PCTL_ACC).alias(name)
+                for name, (key, _, _) in specs.items()
+            ]
+        ).first()
 
     out = base
     for name, (key, _, _) in specs.items():
-        bounds = sorted(set(cuts[name] or []))
+        bounds = sorted(set(cuts[name] or [])) if cuts is not None else []
         bkt = (
             sum((F.col(key) > F.lit(bb)).cast("int") for bb in bounds)
             if bounds

@@ -720,13 +720,18 @@ def test_snapshot_diff_is_single_key_join(spark):
     assert "FullOuter" in plan
 
 
-def test_pareto_sweep_windows_over_value_domain(spark):
+def test_pareto_sweep_windows_over_value_domain(spark, monkeypatch):
     """The skyline sweep must window over the per-price aggregate
     (value-domain cardinality) and broadcast the verdict back to the
     fact side — a window or sort over the raw part relation regresses
-    the rewrite toward the quadratic definition."""
+    the rewrite toward the quadratic definition. Pinned at the
+    two-level regime (threshold forced to 0: the shape a corpus-scale
+    input gets); at smoke SF the r09 adaptive gate degenerates to one
+    bucket, where the offsets join is a 1-row broadcast."""
+    import impala_refresher_spark.operators.prefix as prefix_mod
     from impala_refresher_spark.operators.analytics import pareto_frontier_parts
 
+    monkeypatch.setattr(prefix_mod, "_TWO_LEVEL_MIN_ROWS", 0)
     plan = plan_of(pareto_frontier_parts(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
@@ -1103,15 +1108,19 @@ def test_rrf_fusion_join_is_candidate_sized(spark):
     assert plan.lower().count("lex_rank") >= 2 and plan.lower().count("dense_rank") >= 2
 
 
-def test_budget_selection_window_is_bucket_partitioned(spark):
+def test_budget_selection_window_is_bucket_partitioned(spark, monkeypatch):
     """The corpus-grain cumulative sum in select_corpus_token_budget
     must run two-level: its window is PARTITIONED by the quality
     bucket (hash exchange), never a corpus-wide single-partition sort;
-    the only unpartitioned window is the <=32-row bucket-offsets one."""
+    the only unpartitioned window is the <=32-row bucket-offsets one.
+    Pinned at the two-level regime (threshold 0 — the corpus-scale
+    shape under the r09 adaptive gate)."""
     import re
 
+    import impala_refresher_spark.operators.prefix as prefix_mod
     from impala_refresher_spark.operators.pipeline import select_corpus_token_budget
 
+    monkeypatch.setattr(prefix_mod, "_TWO_LEVEL_MIN_ROWS", 0)
     plan = plan_of(select_corpus_token_budget(spark, SF_SMOKE))
     assert re.search(r"hashpartitioning\(_bkt", plan), plan
     # the row-grain window carries the bucket as its partition spec
@@ -1121,7 +1130,7 @@ def test_budget_selection_window_is_bucket_partitioned(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_gini_ranking_is_bucket_partitioned(spark):
+def test_gini_ranking_is_bucket_partitioned(spark, monkeypatch):
     """revenue_concentration_gini's customer-grain row_number must be
     two-level (bucket-partitioned window + offset) with NTILE recovered
     by closed form — no global ntile/row_number window over customers;
@@ -1129,8 +1138,10 @@ def test_gini_ranking_is_bucket_partitioned(spark):
     rollups."""
     import re
 
+    import impala_refresher_spark.operators.prefix as prefix_mod
     from impala_refresher_spark.operators.analytics import revenue_concentration_gini
 
+    monkeypatch.setattr(prefix_mod, "_TWO_LEVEL_MIN_ROWS", 0)
     plan = plan_of(revenue_concentration_gini(spark, SF_SMOKE))
     assert re.search(r"hashpartitioning\(_bkt", plan), plan
     assert re.search(r"windowspecdefinition\(_bkt#\d+, rev_cents", plan), plan
@@ -1138,19 +1149,21 @@ def test_gini_ranking_is_bucket_partitioned(spark):
     assert "ntile(" not in plan, plan
 
 
-def test_evaluation_rank_windows_are_bucket_partitioned(spark):
+def test_evaluation_rank_windows_are_bucket_partitioned(spark, monkeypatch):
     """The three corpus/value-grain evaluation rankings (AUC rank, gain
     deciles' NTILE replacement, the KS CDFs) must run two-level: their
     row-grain windows are PARTITIONED by the percentile bucket, with no
     unpartitioned window over score/v and no global ntile."""
     import re
 
+    import impala_refresher_spark.operators.prefix as prefix_mod
     from impala_refresher_spark.operators.evaluation import (
         ks_statistic_status,
         score_auc_quality,
         score_gain_deciles,
     )
 
+    monkeypatch.setattr(prefix_mod, "_TWO_LEVEL_MIN_ROWS", 0)
     for fn, key in (
         (score_auc_quality, "score"),
         (score_gain_deciles, "score"),
@@ -1163,18 +1176,23 @@ def test_evaluation_rank_windows_are_bucket_partitioned(spark):
         assert "ntile(" not in plan, fn.__name__
 
 
-def test_rfm_and_pareto_windows_are_bucket_partitioned(spark):
+def test_rfm_and_pareto_windows_are_bucket_partitioned(spark, monkeypatch):
     """customer_rfm_segments' three NTILEs and pareto_frontier_parts'
     price sweep must run two-level: row-grain windows partitioned by
     the percentile bucket, no global ntile, no unpartitioned window
-    over the ranked column."""
+    over the ranked column. Pinned at the two-level regime (threshold
+    forced to 0 — the corpus-scale shape; the r09 adaptive gate
+    degenerates small inputs to one bucket, covered by
+    test_prefix_degenerates_to_one_bucket_below_threshold)."""
     import re
 
+    import impala_refresher_spark.operators.prefix as prefix_mod
     from impala_refresher_spark.operators.analytics import (
         customer_rfm_segments,
         pareto_frontier_parts,
     )
 
+    monkeypatch.setattr(prefix_mod, "_TWO_LEVEL_MIN_ROWS", 0)
     plan = plan_of(customer_rfm_segments(spark, SF_SMOKE))
     assert re.search(r"hashpartitioning\(_bkt", plan), plan
     assert "ntile(" not in plan, plan
@@ -1185,6 +1203,40 @@ def test_rfm_and_pareto_windows_are_bucket_partitioned(spark):
     assert re.search(r"hashpartitioning\(_bkt", plan), plan
     assert re.search(r"windowspecdefinition\(_bkt#\d+, p_retailprice", plan), plan
     assert not re.search(r"windowspecdefinition\(p_retailprice#\d+ ASC", plan), plan
+
+
+def test_prefix_degenerates_to_one_bucket_below_threshold(spark):
+    """r09 adaptive gate: below _TWO_LEVEL_MIN_ROWS the prefix helpers
+    must skip the cut-point machinery (one bucket, no percentile agg,
+    no _bkt hash partitioning) AND produce values identical to the
+    forced two-level plan — the module's any-bucketing invariant."""
+    import impala_refresher_spark.operators.prefix as prefix_mod
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") * 7 % 101).alias("k")
+    )
+    out_small = prefix_mod.with_global_running(
+        df, "k", True, ["id"], {"rn": F.lit(1).cast("long")}
+    )
+    plan = plan_of(out_small)
+    assert "percentile_approx" not in plan, plan
+    small = sorted(map(tuple, out_small.collect()))
+
+    orig = prefix_mod._TWO_LEVEL_MIN_ROWS
+    try:
+        prefix_mod._TWO_LEVEL_MIN_ROWS = 0
+        big = sorted(
+            map(
+                tuple,
+                prefix_mod.with_global_running(
+                    df, "k", True, ["id"], {"rn": F.lit(1).cast("long")}
+                ).collect(),
+            )
+        )
+    finally:
+        prefix_mod._TWO_LEVEL_MIN_ROWS = orig
+    assert small == big
 
 
 def test_winnowing_selection_shares_one_doc_exchange(spark):
