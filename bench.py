@@ -81,6 +81,19 @@ def main() -> None:
         "star_join_revenue", "stream_stateful_totals", "recover_partitions_status",
         "dedup_cluster_components", "ann_pq_topk", "quality_lm_trigram",
         "dedup_minhash_incremental", "fingerprint_winnowing",
+        # r09: the current top of the per-query cost table (composite
+        # scoreboards, iterative graph/cluster loops, big-plan corpus
+        # pipelines). Their first sf0.1 run after only a sf0.001 warm
+        # was measured 2-4x JIT-inflated, which burned pass-2/3 retime
+        # budget on re-measuring them instead of the tail — the exact
+        # failure mode this mid-size warm pass exists for.
+        "dedup_quality_scoreboard", "ann_recall_at_k",
+        "dedup_cluster_survivors", "semdedup_embeddings",
+        "pagerank_bipartite", "stream_stateful_ewma",
+        "market_basket_pairs", "cogroup_reconcile",
+        "pipeline_training_corpus_v2", "stream_cdc_merge",
+        "sql_recursive_reachability", "kmeans_refine_assignments",
+        "knn_join_topk", "retrieval_rrf_fusion", "entity_resolution_clusters",
     }
     mid_dir = "/root/testdata/sf0.01"
     if not (os.path.isdir(mid_dir) and os.path.realpath(mid_dir) != os.path.realpath(sf_dir)):

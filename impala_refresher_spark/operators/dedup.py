@@ -999,25 +999,25 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=False)
-    for _ in range(max_iter):
+    def _step(lbls: DataFrame) -> DataFrame:
         # Pregel "messages ∪ self" form: neighbour labels arrive as
         # messages, every node contributes its own label tagged
         # is_self, and ONE aggregate takes both the new label (min over
         # everything) and the old label (the self row) — two shuffles
-        # per round (message join, node aggregate) instead of the
+        # per step (message join, node aggregate) instead of the
         # three of the aggregate-then-left-join form. The convergence
         # flag rides in-row so the checkpointed result answers "did
         # anything change?" with a filter-count over materialized
         # partitions, never a third join.
-        msgs = sym.join(labels, sym.dst == labels.node).select(
+        msgs = sym.join(lbls, sym.dst == lbls.node).select(
             F.col("src").alias("node"),
             F.col("label"),
             F.lit(False).alias("is_self"),
         )
-        both = labels.select(
+        both = lbls.select(
             "node", "label", F.lit(True).alias("is_self")
         ).unionByName(msgs)
-        pre = (
+        return (
             both.groupBy("node")
             .agg(
                 F.min("label").alias("new_label"),
@@ -1029,6 +1029,18 @@ def connected_components(
                 (F.col("new_label") != F.col("old_label")).alias("chg"),
             )
         )
+
+    for _ in range(max(1, max_iter // 2)):
+        # TWO propagation steps per materialized round (r09): the
+        # checkpoint, the convergence count and AQE's per-stage
+        # re-planning are the round's fixed costs, and min-label needs
+        # `diameter` steps regardless — pairing steps halves the fixed
+        # costs without changing a single label (the fixpoint test is
+        # exact: step 2 reporting no change means step 1's output was
+        # already the fixpoint, since the step function is idempotent
+        # there; a converged graph pays one redundant step, not a
+        # round).
+        pre = _step(_step(labels).select("node", "label"))
         if round_stats is not None:
             # pre-checkpoint plan size: constant across rounds iff the
             # checkpoint actually truncates lineage each round
