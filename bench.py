@@ -81,19 +81,16 @@ def main() -> None:
         "star_join_revenue", "stream_stateful_totals", "recover_partitions_status",
         "dedup_cluster_components", "ann_pq_topk", "quality_lm_trigram",
         "dedup_minhash_incremental", "fingerprint_winnowing",
-        # r09: the current top of the per-query cost table (composite
-        # scoreboards, iterative graph/cluster loops, big-plan corpus
-        # pipelines). Their first sf0.1 run after only a sf0.001 warm
-        # was measured 2-4x JIT-inflated, which burned pass-2/3 retime
-        # budget on re-measuring them instead of the tail — the exact
-        # failure mode this mid-size warm pass exists for.
+        # r09: the two multi-branch composite scoreboards, whose first
+        # sf0.1 run after only a sf0.001 warm measured 2-4x
+        # JIT-inflated (8-16 s vs ~3 s steady state), burning pass-2/3
+        # retime budget — the exact failure mode this mid-size warm
+        # pass exists for. Kept to TWO additions: a broader r09
+        # experiment that mid-warmed 15 top-of-table queries pushed
+        # pass-1 past the 540 s budget and skipped pass-2 for half the
+        # registry, inflating the tail's minimums — worse than the
+        # JIT noise it removed.
         "dedup_quality_scoreboard", "ann_recall_at_k",
-        "dedup_cluster_survivors", "semdedup_embeddings",
-        "pagerank_bipartite", "stream_stateful_ewma",
-        "market_basket_pairs", "cogroup_reconcile",
-        "pipeline_training_corpus_v2", "stream_cdc_merge",
-        "sql_recursive_reachability", "kmeans_refine_assignments",
-        "knn_join_topk", "retrieval_rrf_fusion", "entity_resolution_clusters",
     }
     mid_dir = "/root/testdata/sf0.01"
     if not (os.path.isdir(mid_dir) and os.path.realpath(mid_dir) != os.path.realpath(sf_dir)):
@@ -130,15 +127,21 @@ def main() -> None:
     # steady-state number a long-lived cluster session actually
     # delivers. Warmups run only in pass 1 (pass 2 IS warm).
     #
-    # The default budget (540 s) covers both full passes at sf0.1 on
-    # this box with margin; it exists so a slower environment degrades
-    # to partial re-timing instead of an unbounded run.
+    # The default budget covers both full passes at sf0.1 with margin;
+    # it exists so a slower environment degrades to partial re-timing
+    # instead of an unbounded run. r09 raised it 540 -> 900 s: on a
+    # thermally-degraded box (measured ~9% slower after hours of
+    # sustained load) pass 1 alone approached 540 s and the budget cut
+    # skipped pass-2 for the ~100 FASTEST queries — whose single
+    # pass-1 sample is exactly the stall-prone one — inflating the
+    # tail's recorded minimums ~12%. 900 s keeps both passes complete
+    # there while still bounding a pathological environment.
     # Pass 2 runs under a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET
     # seconds, measured from bench start) and re-times queries in
     # DESCENDING pass-1 time order: a stall-inflated query carries a
     # big pass-1 number, so the suspects are re-measured first and a
     # budget cut costs only the small, stall-insensitive tail.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
     deadline = time.monotonic() + budget
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

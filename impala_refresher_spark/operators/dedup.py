@@ -802,15 +802,17 @@ def _simhash_pairs(d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
+    # r09: aggregate plain bit counts (sum of bit i) plus one row count
+    # instead of 60 SUM(CASE ±1) — branch-free per-row work, and the
+    # sign test is the exact integer equivalence b_i > 0 ⟺ 2·s_i > n
+    # (fingerprints verified identical; ~4% on the pass at sf0.1).
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"s{i}")
         for i in range(60)
-    ]
+    ] + [F.count("*").alias("n")]
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
     bit_weights = [
-        F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+        F.when(F.col(f"s{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")).otherwise(0)
         for i in range(60)
     ]
     fp = per_doc.select(
@@ -1855,37 +1857,22 @@ def dedup_quality_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1: 4.0 s → 3.3 s (3-run min) with identical output."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
 
-    from concurrent.futures import ThreadPoolExecutor
+    branches = {
+        "truth": lambda: _jaccard_pairs(_shingled(d)).select("doc_a", "doc_b"),
+        "minhash_lsh": lambda: _minhash_lsh_pairs(d).select("doc_a", "doc_b"),
+        "simhash": lambda: _simhash_pairs(d).select("doc_a", "doc_b"),
+    }
+    from impala_refresher_spark.concurrency import run_branches
 
-    sc = spark.sparkContext
-
-    def _branch(label, fn):
-        sc.setJobDescription(f"dedup_quality_scoreboard: {label}")
-        out = fn().localCheckpoint().coalesce(1)
-        sc.setJobDescription(None)
-        return out
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_truth = pool.submit(
-            _branch, "exact-jaccard truth",
-            lambda: _jaccard_pairs(_shingled(d)).select("doc_a", "doc_b"),
+    got = run_branches(spark, "dedup_quality_scoreboard", branches)
+    truth = got["truth"]
+    det = got["minhash_lsh"].select(
+        F.lit("minhash_lsh").alias("detector"), "doc_a", "doc_b"
+    ).unionAll(
+        got["simhash"].select(
+            F.lit("simhash").alias("detector"), "doc_a", "doc_b"
         )
-        f_lsh = pool.submit(
-            _branch, "minhash-lsh",
-            lambda: _minhash_lsh_pairs(d).select("doc_a", "doc_b"),
-        )
-        f_smh = pool.submit(
-            _branch, "simhash",
-            lambda: _simhash_pairs(d).select("doc_a", "doc_b"),
-        )
-        truth = f_truth.result()
-        det = f_lsh.result().select(
-            F.lit("minhash_lsh").alias("detector"), "doc_a", "doc_b"
-        ).unionAll(
-            f_smh.result().select(
-                F.lit("simhash").alias("detector"), "doc_a", "doc_b"
-            )
-        )
+    )
     counts = (
         det.join(truth.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
         .groupBy("detector")

@@ -914,39 +914,20 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", ann_ivf_topk),
         ("pq", ann_pq_topk),
     ]
-    # r09: materialize the four independent branches (exact truth +
-    # three index pipelines) CONCURRENTLY into checkpointed |Q|·k-sized
-    # relations (guide §2.6). They were serialized before: the IVF/PQ
-    # branches hold eager driver collects (centroid/codebook
-    # exchanges) that block the constructing thread, so each branch's
-    # cluster work started only after the previous one's finished.
-    # Results are unchanged — the same four plans run, just overlapped.
-    from concurrent.futures import ThreadPoolExecutor
-
-    sc = spark.sparkContext
-
-    def _branch(label, mk):
-        sc.setJobDescription(f"ann_recall_at_k: {label}")
-        out = mk().localCheckpoint().coalesce(1)
-        sc.setJobDescription(None)
-        return out
-
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        f_exact = pool.submit(_branch, "exact", lambda: exact)
-        f_ann = [
-            pool.submit(
-                _branch, name,
-                lambda name=name, fn=fn: fn(spark, sf_dir).select(
-                    F.lit(name).alias("index_name"), "q_id", "vec_id"
-                ),
-            )
-            for name, fn in branches
-        ]
-        exact = f_exact.result()
-        ann = None
-        for f in f_ann:
-            b = f.result()
-            ann = b if ann is None else ann.unionAll(b)
+    # r09 note: overlapping the four branches via thread-materialized
+    # checkpoints (the dedup scoreboard's winning pattern) was A/B'd
+    # here and REJECTED — warm same-session min 2.61 s sequential vs
+    # 2.96 s threaded at sf0.1. These branches are dominated by their
+    # eager centroid/codebook collects and |Q|·k-sized tails, so the
+    # overlap buys less than four extra checkpoint jobs cost; the
+    # branches compose lazily into one DAG whose independent stages
+    # AQE already runs concurrently.
+    ann = None
+    for name, fn in branches:
+        b = fn(spark, sf_dir).select(
+            F.lit(name).alias("index_name"), "q_id", "vec_id"
+        )
+        ann = b if ann is None else ann.unionAll(b)
     hits = (
         ann.join(exact, ["q_id", "vec_id"])
         .groupBy("index_name", "q_id")

@@ -8199,7 +8199,6 @@ def test_recursive_reachability_matches_python_bfs(spark, evs):
     'signup' capped at depth 3, self-transitions dropped, 'signup'
     itself always present at distance 0 — including tied timestamps
     (event_id tiebreak) and graphs with no signup edges at all."""
-    import impala_refresher_spark.sources.tables as tbl
     from impala_refresher_spark.operators.graph import (
         sql_recursive_reachability,
     )
@@ -8211,14 +8210,18 @@ def test_recursive_reachability_matches_python_bfs(spark, evs):
     df = spark.createDataFrame(
         rows, "user_id long, event_id long, ts timestamp, event_type string"
     )
-    orig = tbl.register_views
-    tbl.register_views = (
-        lambda spark, sf, tables=None: df.createOrReplaceTempView("events")
-    )
+    # r09: the operator derives the edge list via load_table (the
+    # recursive CTE now runs over a materialized edge view), so the
+    # injection seam is graph.load_table (bound at import), not
+    # register_views
+    import impala_refresher_spark.operators.graph as graph_mod
+
+    orig = graph_mod.load_table
+    graph_mod.load_table = lambda spark, sf, name: df
     try:
         got = {r.node: r.dist for r in sql_recursive_reachability(spark, "x").collect()}
     finally:
-        tbl.register_views = orig
+        graph_mod.load_table = orig
 
     per_user: dict = {}
     for u, eid, ts, et in rows:
