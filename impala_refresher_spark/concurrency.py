@@ -57,5 +57,8 @@ def run_branches(
     for t in threads:
         t.join()
     if errors:
-        raise next(iter(errors.values()))
+        name, err = next(iter(errors.items()))
+        others = [n for n in errors if n != name]
+        suffix = f" (further failed branches: {', '.join(others)})" if others else ""
+        raise RuntimeError(f"{label}: branch {name!r} failed{suffix}") from err
     return results

@@ -162,9 +162,11 @@ def _ngram_jaccard_oracle() -> str:
 
 def _shingled(docs: DataFrame) -> DataFrame:
     """(doc_id, sh: array<string>) — the corpus shingle arrays, the
-    shared front of the Jaccard-truth and MinHash pipelines (the
-    scoreboard checkpoints this once and fans three detectors out of
-    it instead of re-shingling the corpus per branch)."""
+    shared shingle projection at the front of the Jaccard-truth and
+    MinHash pipelines. (Each scoreboard branch derives its own copy
+    inside its own codegen stages: sharing ONE checkpointed shingle
+    pass across branches was A/B'd and rejected in r09 — a wash
+    locally and a corpus-sized materialized intermediate at scale.)"""
     return docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
 
 
@@ -952,6 +954,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup clustering: connected components over the similarity pairs
 # ---------------------------------------------------------------------------
 
+# Propagation steps batched into one materialized round of the CC loop.
+# Each round pays fixed costs (checkpoint job, convergence count, AQE
+# re-planning) while min-label needs `diameter` steps total; more steps
+# per round divide the fixed costs but DEEPEN the per-round plan, and
+# the planning cost grows faster than the fixed costs shrink. r10 A/B
+# at sf0.1, warm 3-run: 2 steps — components 2.16 s / survivors
+# ~2.5 s / entity_resolution 1.25 s; 4 steps — 3.97 / 3.51 / 1.81 s
+# (every consumer ~1.5x WORSE: each round's pre-checkpoint plan chains
+# four join+aggregate layers and AQE re-plans all of them). 2 is the
+# measured knee; the VERDICT-r09 idea "check convergence every other
+# paired round" is the 4-step variant and is hereby measured and
+# rejected.
+_CC_STEPS_PER_ROUND = 2
+
+
 def connected_components(
     edges: DataFrame,
     a: str = "a",
@@ -980,9 +997,23 @@ def connected_components(
     # every round, and without the cut each round would re-execute the
     # upstream pair-generation plan (the expensive similarity join).
     # EAGER, so the materialized size can steer the loop's partitioning.
+    # Symmetrize by EXPLODING each pair into its two directions instead
+    # of a union of two selects (r10): the union form inlines the
+    # upstream pair-generation plan into BOTH branches, so the one
+    # materialization job ran the expensive similarity join twice
+    # (exchange reuse saves the shuffles but not the join+dot work);
+    # the generate form computes each pair once and emits both rows in
+    # place. Same rows, same checkpoint.
     sym = (
-        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .localCheckpoint()
     )
     # Scale-adaptive partitioning for the iteration (guide §2.2): every
@@ -1032,17 +1063,23 @@ def connected_components(
             )
         )
 
-    for _ in range(max(1, max_iter // 2)):
-        # TWO propagation steps per materialized round (r09): the
-        # checkpoint, the convergence count and AQE's per-stage
-        # re-planning are the round's fixed costs, and min-label needs
-        # `diameter` steps regardless — pairing steps halves the fixed
-        # costs without changing a single label (the fixpoint test is
-        # exact: step 2 reporting no change means step 1's output was
-        # already the fixpoint, since the step function is idempotent
-        # there; a converged graph pays one redundant step, not a
-        # round).
-        pre = _step(_step(labels).select("node", "label"))
+    # ceil(max_iter / steps) rounds of _CC_STEPS_PER_ROUND steps each:
+    # the round count rounds UP, so the contract "at least max_iter
+    # propagation steps before giving up" is never undercut.
+    for _ in range(max(1, -(-max_iter // _CC_STEPS_PER_ROUND))):
+        # MULTIPLE propagation steps per materialized round (r09 paired
+        # them, r10 A/B'd wider): the checkpoint, the convergence count
+        # and AQE's per-stage re-planning are the round's fixed costs,
+        # and min-label needs `diameter` steps regardless — batching
+        # steps divides the fixed costs without changing a single label
+        # (the fixpoint test is exact: the LAST step reporting no
+        # change means its input was already the fixpoint, since the
+        # step function is idempotent there; a converged graph pays at
+        # most steps-1 redundant steps, not extra rounds).
+        pre = labels
+        for _ in range(_CC_STEPS_PER_ROUND - 1):
+            pre = _step(pre).select("node", "label")
+        pre = _step(pre)
         if round_stats is not None:
             # pre-checkpoint plan size: constant across rounds iff the
             # checkpoint actually truncates lineage each round
@@ -1757,10 +1794,20 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     assigned = v.select("vec_id", best.alias("cid"))
+    # Materialize the assigned+normalized relation ONCE (r10): it has
+    # three consumers — the salt-sizing statistics pass inside
+    # blocked_pair_join and both self-join sides — and each carried the
+    # full K*dim argmin expression tree (the before-plan was 118 KB /
+    # 18 exchanges; AQE re-plans every stage of it). The checkpoint is
+    # the relation the pair join must shuffle anyway (vec_id, cid, unit
+    # vector — no larger than the join's own exchange), so this trades
+    # one write of the join input for two recomputes of the
+    # scan→normalize→assign pipeline and KB-scale plans thereafter.
     u = (
         e.select("vec_id", _unit(F.col("embedding")).alias("uv"))
         .join(assigned, "vec_id")
         .select("vec_id", "cid", "uv")
+        .localCheckpoint()
     )
     return (
         blocked_pair_join(u, "cid", "vec_id")

@@ -249,7 +249,15 @@ def bfs_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if frontier.isEmpty():
             break
-        visited = visited.unionByName(frontier).localCheckpoint().coalesce(1)
+        # No checkpoint on visited (r10): every leg of this union is
+        # already a checkpointed 1-partition frontier (or the literal
+        # seed), so the accumulated plan is a flat union of ≤|hops|
+        # materialized ExistingRDDs — re-checkpointing it added an
+        # eager job per hop without truncating any recomputation.
+        # (A wash on wall at sf0.1 — warm min 1.02 s both ways — but
+        # one fewer scheduled job per hop, which is the §2.4 fixed
+        # cost this loop pays per round at any scale.)
+        visited = visited.unionByName(frontier)
     return visited.select("node", "dist").orderBy("dist", "node")
 
 
@@ -325,19 +333,24 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
         .coalesce(1)
     )
-    edges.createOrReplaceTempView("reach_edges")
+    # Bind the edge relation as a templated DataFrame argument instead
+    # of a session-global temp view: a generic createOrReplaceTempView
+    # name ("reach_edges") is shared session state, and this package
+    # runs query branches concurrently elsewhere — a name collision
+    # would silently join the wrong edge list.
     return spark.sql(
         """
         WITH RECURSIVE walk AS (
             SELECT 'signup' AS node, 0 AS dist
             UNION ALL
             SELECT e.dst, w.dist + 1
-            FROM walk w JOIN reach_edges e ON e.src = w.node
+            FROM walk w JOIN {edges} e ON e.src = w.node
             WHERE w.dist < 3
         )
         SELECT node, CAST(MIN(dist) AS INT) AS dist
         FROM walk
         GROUP BY node
         ORDER BY dist, node
-        """
+        """,
+        edges=edges,
     )

@@ -465,7 +465,11 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluated per conjunct (measured 365× at sf0.1).
     keep_q = gopher_gate_ids(fan_out(d))
     exact_keep = d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    g = span_grams(d)
+    # fan_out the span branch too (r10): without it the 8-gram explode
+    # of the whole corpus ran on the scan's ONE input split — profiled
+    # at 1.8 s on a single task while 31 cores idled (the other two
+    # branches were already fanned via gopher_gate_ids).
+    g = span_grams(fan_out(d))
     # Span-drop via ONE gram-partition window: min(doc_id) per gram
     # rides along every posting row, so the corpus-sized posting list
     # shuffles ONCE. (The aggregate-then-join-back form shuffles the
@@ -473,11 +477,18 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back — measured ~1.7x slower at sf0.1. Window state per gram is
     # one running min, so a hot gram degrades to sort-spill, never a
     # pair blowup.)
+    # Shuffle-byte discipline (r10, guide §2.3): the exchange/sort key
+    # is xxhash64(gram) — 8 bytes instead of the ~50-byte 8-word span
+    # text, the same hashed-key rule the bigram branch and
+    # dup_span_ngrams' docstring already commit to. A cross-gram
+    # 64-bit collision (~|grams|²/2^65, ≈1e-9 here) could only merge
+    # two posting lists; min-doc semantics keep every genuine dup.
     from pyspark.sql import Window
 
-    gw = Window.partitionBy("gram")
+    gw = Window.partitionBy("gh")
     span_drop = (
-        g.withColumn("keeper", F.min("doc_id").over(gw))
+        g.select("doc_id", F.xxhash64("gram").alias("gh"))
+        .withColumn("keeper", F.min("doc_id").over(gw))
         .filter(F.col("doc_id") > F.col("keeper"))
         .select("doc_id")
         .distinct()

@@ -1145,12 +1145,38 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: the explode multiplies rows by the embedding dim (64)
     but stays map-only (no shuffle, no Python); the persisted layout at
-    100 TB remains the array form."""
-    vecs = int8_quantize_vectors(spark, sf_dir)
-    return vecs.select(
-        "vec_id",
-        "scale_factor",
-        F.posexplode("q").alias("pos", "q_val"),
+    100 TB remains the array form.
+
+    r10 shape change (same rows): explode the RAW ``embedding`` column
+    and quantize per exploded element, instead of posexploding the
+    computed ``q`` array. InferFiltersFromGenerate synthesizes
+    ``size(g)>0 AND isnotnull(g)`` over the Generate input ``g`` and
+    pushes it below the projection, re-INLINING ``g``'s full expression
+    — for ``g = q`` that filter re-evaluated the max-|x| fold INSIDE
+    the per-element lambda, O(dim²) work per row in the scan-stage
+    filter (the r10 before-plan's Filter carries the fold three times,
+    twice under a transform). With ``g = embedding`` the inferred
+    filter is a cheap column predicate, and the quantize arithmetic —
+    identical per element: round(try_divide(x, max_abs) * 127) — runs
+    exactly once, above the ``max_abs > 0`` guard."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    absmax = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.when(v > acc, v).otherwise(acc),
+    )
+    return (
+        e.withColumn("max_abs", absmax)
+        .filter(F.col("max_abs") > 0)
+        .select("vec_id", "max_abs", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            F.round("max_abs", 6).alias("scale_factor"),
+            "pos",
+            F.round(F.try_divide(F.col("x").cast("double"), F.col("max_abs")) * 127)
+            .cast("int")
+            .alias("q_val"),
+        )
     )
 
 
@@ -1273,7 +1299,8 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE triangle-guarded pair join computes each unordered pair's
     dot product once; the symmetric view (each pair seen from both
-    endpoints) is a projection union, NOT a second join; then one
+    endpoints) is an in-place explode of the two directions, NOT a
+    second join or a plan-duplicating union; then one
     window per vec_id takes the top-3 with a deterministic
     (sim DESC, neighbor_id) tie-break. Pair work is n²/2 within blocks
     — at 100 TB the blocking key comes from LSH buckets or IVF cells
@@ -1286,13 +1313,21 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vec_id").alias("pb"),
         _dot(F.col("a.uv"), F.col("b.uv")).alias("sim"),
     )
+    # Symmetrize by exploding each pair into its two directions, NOT a
+    # union of two selects (r10): Catalyst inlines the pair-join plan
+    # into both union branches, so every dot product was computed TWICE
+    # (the r10 before-plan shows two full scan→normalize→join subtrees
+    # under the Union); the generate form emits both directions from
+    # ONE join. Same rows.
     sym = pairs.select(
-        F.col("pa").alias("vec_id"), F.col("pb").alias("neighbor_id"), "sim"
-    ).unionByName(
-        pairs.select(
-            F.col("pb").alias("vec_id"), F.col("pa").alias("neighbor_id"), "sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("vec_id"), F.col("pb").alias("neighbor_id")),
+                F.struct(F.col("pb").alias("vec_id"), F.col("pa").alias("neighbor_id")),
+            )
+        ).alias("_e"),
+        "sim",
+    ).select("_e.vec_id", "_e.neighbor_id", "sim")
     from pyspark.sql import Window as W
 
     w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

@@ -181,22 +181,33 @@ _RECONCILE_SCHEMA = (
 )
 
 
-def _reconcile(key, orders_pdf, events_pdf):
-    """Per-key two-sided merge in pandas: the cogroup API hands BOTH
-    groups for one key to Python together — the shape for custom
-    reconciliation logic (ledger matching, entity resolution) that a
-    join + aggregate can't express row-algebraically. Here the logic
-    IS re-expressible (so the oracle can check it exactly); the value
-    under test is the API path: one shuffle per side, Arrow both ways."""
-    import pandas as pd
+def _reconcile(key, orders_tab, events_tab):
+    """Per-key two-sided merge: the cogroup API hands BOTH groups for
+    one key to Python together — the shape for custom reconciliation
+    logic (ledger matching, entity resolution) that a join + aggregate
+    can't express row-algebraically. Here the logic IS re-expressible
+    (so the oracle can check it exactly); the value under test is the
+    API path: one shuffle per side, Arrow both ways.
 
-    return pd.DataFrame(
+    r10: receives/returns ARROW tables (``applyInArrow``) instead of
+    pandas DataFrames — same per-key semantics, but the per-key cost
+    drops from two pandas-DataFrame constructions + one pandas→Arrow
+    conversion to plain Arrow slices (guide §4.2: hand batches to
+    native code; measured 2.5 s → 1.3 s warm at sf0.1, where the
+    per-key boundary overhead × 15 k keys IS the query). The sums
+    still go through the same float64 numpy fold as the pandas form
+    (`to_pandas().sum()`), so every rounded value is bit-identical."""
+    import pyarrow as pa
+
+    osum = orders_tab.column("o_totalprice").to_pandas().sum() if orders_tab.num_rows else 0.0
+    esum = events_tab.column("value").to_pandas().sum() if events_tab.num_rows else 0.0
+    return pa.table(
         {
-            "custkey": [key[0]],
-            "n_orders": [len(orders_pdf)],
-            "n_events": [len(events_pdf)],
-            "total_spend": [round(float(orders_pdf["o_totalprice"].sum()), 2)],
-            "total_event_value": [round(float(events_pdf["value"].sum()), 2)],
+            "custkey": pa.array([key[0].as_py()], pa.int64()),
+            "n_orders": pa.array([orders_tab.num_rows], pa.int64()),
+            "n_events": pa.array([events_tab.num_rows], pa.int64()),
+            "total_spend": pa.array([round(float(osum), 2)], pa.float64()),
+            "total_event_value": pa.array([round(float(esum), 2)], pa.float64()),
         }
     )
 
@@ -223,22 +234,49 @@ def _reconcile(key, orders_pdf, events_pdf):
     """,
 )
 def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: ``groupby().cogroup().applyInPandas`` — Spark's two-sided
+    """X4: ``groupby().cogroup().applyInArrow`` — Spark's two-sided
     grouped-map. Each key's order rows AND event rows arrive in one
-    Python call as two Arrow-backed DataFrames.
+    Python call as two Arrow tables (r10: Arrow-native instead of
+    ``applyInPandas`` — same cogrouped-map path, minus the per-key
+    pandas conversions; see ``_reconcile``).
 
     Scale shape: one hash shuffle per side on the key (same cost as
     the equivalent join), then map-side Python over co-located pairs;
     state is one key's data, never the whole relation. Use it when the
     merge logic needs imperative code over both sides at once —
     otherwise prefer the pure join+aggregate plan (which the oracle
-    uses to check this one exactly)."""
+    uses to check this one exactly).
+
+    Raw-rows vs pre-aggregate-then-cogroup, measured (r10, noop sink,
+    warm min; keys×rows scaling shifts keys so both multiply):
+
+    ========================  =======  ========  =================
+    fixture                   raw (s)  pre (s)   pre, AQE-coalesce
+                                                 disabled (s)
+    ========================  =======  ========  =================
+    sf0.1 (150 k rows/15 k k)   2.54     13.81        2.84
+    keys×rows × 10             19.61     21.30          —
+    rows-only × 10              3.38     11.95          —
+    rows-only × 30              3.24     14.45          —
+    ========================  =======  ========  =================
+
+    Raw-row wins or ties EVERYWHERE reachable locally: for these
+    16-byte rows the Arrow volume is second-order (30× the rows moved
+    raw 3.4 → 3.2 s, noise), the wall is per-key Python call overhead
+    (~0.1-0.8 ms/key) which pre-agg cannot reduce (same key count),
+    and pre-agg's tiny post-agg shuffle gets AQE-coalesced to 1-4
+    partitions, SERIALIZING the per-key Python — a 5× regression that
+    would also fire in production after any selective filter. The
+    pre-agg form only pays off when rows/key × row-width makes the
+    Arrow transfer dominate per-key overhead (wide/blob rows — the
+    guide §8 regime), which no reachable multiple of this fixture
+    exhibits; it is therefore NOT gated in."""
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     e = load_table(spark, sf_dir, "events").select("user_id", "value")
     return (
         o.groupby("o_custkey")
         .cogroup(e.groupby("user_id"))
-        .applyInPandas(_reconcile, _RECONCILE_SCHEMA)
+        .applyInArrow(_reconcile, _RECONCILE_SCHEMA)
     )
 
 

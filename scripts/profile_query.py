@@ -27,6 +27,7 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--repeat"):
             repeat = int(a.split("=")[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+    repeat = max(1, repeat)
     names = args[0].split(",")
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
 
@@ -34,13 +35,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import SparkSession
 
-    from impala_refresher_spark.session import get_spark
-
     # mirror session.py but with the event log on
-    SparkSession.builder.config("spark.eventLog.enabled", "true").config(
-        "spark.eventLog.dir", f"file://{EVDIR}"
-    )
-    os.environ["SPARK_GRAFT_EVENTLOG"] = "1"
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .appName("profile")

@@ -25,7 +25,16 @@ def test_query_matches_oracle(spark, con, name):
 
 
 def test_every_query_runs(spark):
-    """Queries without an oracle still must execute and be stable."""
+    """Queries without an oracle still must execute and be stable.
+
+    Restricted to the non-oracled registry slice: every oracled query
+    is already EXECUTED (collected and hash-compared) by its own
+    test_query_matches_oracle[name] parametrization above, so looping
+    over all 248 here re-ran 246 of them a second time for no extra
+    assertion — ~2 min of the suite's former 32-min wall (r09
+    VERIFY tests_ok=false was a budget timeout, not a failure)."""
     for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
         df = fn(spark, SF_SMOKE)
         assert df.count() >= 0, name

@@ -1316,7 +1316,7 @@ def test_span_removal_windows_share_one_doc_exchange(spark):
     assert "Cartesian" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert re.search(r"windowspecdefinition\(doc_id#\d+L?, pos", plan), plan
-    assert len(re.findall(r"hashpartitioning\(doc_id#\d+L?, 32", plan)) == 1, plan
+    assert len(re.findall(r"hashpartitioning\(doc_id#\d+L?, \d+", plan)) == 1, plan
 
 
 def test_dedup_scoreboard_tail_is_pair_sized(spark):
