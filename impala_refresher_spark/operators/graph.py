@@ -93,9 +93,18 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # Undirected doubling by exploding both directions in place (r10):
+    # the earlier unionAll of two selects inlined the orders⋈lineitem
+    # join + distinct into BOTH branches, so the one checkpoint
+    # materialization below executed the edge derivation twice.
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # Attach the out-degree to the edge relation ONCE, outside the
     # loop, as a COUNT window over the src partition: one shuffle on
     # src produces the weighted edge relation directly. (The earlier

@@ -178,7 +178,19 @@ def blocked_pair_join(
     ``n_salts=None`` (the default) derives S from the widest block via
     `_pair_salts_for`; pass an explicit S to skip the statistics pass
     (e.g. when a profile already sized it).
+
+    When the statistics pass runs, ``u`` is localCheckpoint'ed first
+    (r10): the derivation otherwise has THREE consumers — the stats
+    job and both self-join aliases — each re-running the upstream
+    normalize/assign pipeline and each re-planned by AQE with the full
+    expression tree. The checkpoint is exactly the relation the pair
+    join must shuffle anyway (id, block, unit vector — no wider than
+    the join's own exchanges), so one write replaces two recomputes;
+    with an explicit ``n_salts`` there is no stats pass and the two
+    join sides share their exchange, so the caller's lazy plan is kept.
     """
+    if n_salts is None:
+        u = u.localCheckpoint()
     s = n_salts if n_salts is not None else _pair_salts_for(u, block_col)
     s_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(s)).cast("int")
     cells = F.array(
