@@ -1356,3 +1356,68 @@ def test_delta_merge_serves_both_segments_pruned(spark):
         if "tok_bucket" in m.group(1)
     ]
     assert len(pfs) >= 2, plan
+
+
+def test_knn_symmetrization_joins_once(spark):
+    """knn_join_topk's symmetric pair view must come from ONE pair
+    join: the r09 unionByName form let Catalyst inline the full
+    scan→normalize→triangle-join→dot subtree into BOTH union branches,
+    computing every dot product twice (r10 before-plan: two joins,
+    16 exchanges). Locked: exactly one join operator, no Union, and a
+    Generate emits the two pair directions in place."""
+    import re
+
+    from impala_refresher_spark.operators.similarity import knn_join_topk
+
+    plan = plan_of(knn_join_topk(spark, SF_SMOKE))
+    # operator-detail headers only (the tree section repeats each name)
+    joins = re.findall(
+        r"^\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+        plan,
+        re.M,
+    )
+    assert len(joins) == 1, (joins, plan)
+    assert "Union" not in plan, plan
+    assert "Generate" in plan  # the explode of both directions
+
+
+def test_int8_quantize_filter_stays_cheap(spark):
+    """embed_int8_quantize must explode the RAW embedding column, not
+    the computed q array: InferFiltersFromGenerate synthesizes
+    size()/isnotnull() predicates over the Generate input and re-inlines
+    its full expression below the projection — over q that evaluated
+    the max-|x| fold INSIDE a per-element lambda, O(dim²) per row in
+    the scan-stage Filter (r10 before-plan). Locked: no Filter
+    condition contains the quantize arithmetic (the *127 transform —
+    the max-abs>0 guard legitimately carries ONE fold), and the fold
+    appears at most twice plan-wide (guard + quantize projection)."""
+    import re
+
+    from impala_refresher_spark.operators.similarity import embed_int8_quantize
+
+    plan = plan_of(embed_int8_quantize(spark, SF_SMOKE))
+    conditions = re.findall(r"Condition : (.*)", plan)
+    assert conditions, plan
+    for cond in conditions:
+        assert "127" not in cond, cond
+    assert plan.count("aggregate(") <= 2, plan
+
+
+def test_pipeline_v2_span_branch_fans_out_and_hashes(spark):
+    """pipeline_training_corpus_v2's span-drop branch must (a) fan the
+    8-gram explode out to the full core count — without the round-robin
+    repartition the whole corpus exploded on the scan's single split
+    (profiled: 1.8 s on one task at sf0.1) — and (b) shuffle/sort the
+    8-byte xxhash64 of the gram, never the 8-word span text."""
+    import re
+
+    from impala_refresher_spark.operators.pipeline import (
+        pipeline_training_corpus_v2,
+    )
+
+    plan = plan_of(pipeline_training_corpus_v2(spark, SF_SMOKE))
+    assert re.search(r"xxhash64\(gram", plan), plan
+    # the span window partitions by the hashed key
+    assert re.search(r"windowspecdefinition\(gh#\d+L", plan), plan
+    # no exchange hash-partitions on the raw gram string
+    assert not re.search(r"hashpartitioning\(gram#\d+[,)]", plan), plan
